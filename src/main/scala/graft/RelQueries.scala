@@ -1,0 +1,353 @@
+package graft
+
+import graft.functions.{CleanFns, Det}
+import graft.operators.Profile
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational + analytic workload over the TPC-H-ish testdata, mapping the
+  * reference's operator inventory (SURVEY.md §2) onto oracle-checkable
+  * queries. Scale notes per query explain the 100 TB plan shape.
+  */
+object RelQueries {
+  import Queries.tbl
+
+  // q01 — A1 grouped multi-agg (TPC-H Q1 shape). One shuffle, map-side
+  // partial aggs; decimal sums are Tungsten-native. Scans only 7 columns.
+  private val q01 = Q(
+    "q01_groupby_agg",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  // q02 — A2 value_counts + share% with deterministic tie-break. The
+  // window over the 5-row agg result is trivially small at any scale.
+  private val q02 = Q(
+    "q02_topk_share",
+    (s, dir) => Profile.topK(tbl(s, dir, "orders"), "o_orderpriority", 10),
+    Some("""SELECT o_orderpriority, cnt,
+      floor(cnt * 100.0 / SUM(cnt) OVER () * 10000 + 0.5) / 10000 AS share_pct
+      FROM (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority)
+      ORDER BY cnt DESC, o_orderpriority ASC LIMIT 10"""))
+
+  // q03 — multi-way join: revenue per nation. nation/region are broadcast
+  // (tiny dims); lineitem⋈orders⋈customer shuffle on their keys; AQE
+  // handles skew. Flagship `entry` query.
+  private val q03 = Q(
+    "q03_join_revenue",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o  = tbl(s, dir, "orders")
+      val c  = tbl(s, dir, "customer")
+      val n  = tbl(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""),
+    headline = true)
+
+  // q04 — left-semi join (EXISTS). Semi-join shuffles only the keys of the
+  // probe side; no row duplication.
+  private val q04 = Q(
+    "q04_semi_join",
+    (s, dir) => {
+      val o  = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // q05 — left-anti join (NOT EXISTS): customers without orders.
+  private val q05 = Q(
+    "q05_anti_join",
+    (s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS cnt FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // q06 — ranking window: top-3 orders per customer. Single shuffle on
+  // o_custkey; rank pushdown (WindowGroupLimit) keeps per-key state at 3.
+  private val q06 = Q(
+    "q06_window_topn",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+    headline = true)
+
+  // q07 — A5 exact percentiles (pandas-style linear interpolation).
+  private val q07 = Q(
+    "q07_percentiles",
+    (s, dir) => Profile.percentiles(tbl(s, dir, "lineitem"), "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.9, 0.95, 0.99)),
+    Some("SELECT " + Seq(25, 50, 75, 90, 95, 99).map(p =>
+      Det.roundAtSql(f"quantile_cont(l_extendedprice, 0.$p%02d)", 4) + s" AS p$p")
+      .mkString(", ") + " FROM lineitem"))
+
+  // q08 — A3/A4 deterministic describe() over o_totalprice.
+  private val q08 = Q(
+    "q08_desc_stats",
+    (s, dir) => Profile.descStats(tbl(s, dir, "orders"), "o_totalprice"),
+    Some {
+      val s1 = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)"
+      val s2 = "CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE)"
+      val n  = "CAST(COUNT(o_totalprice) AS DOUBLE)"
+      s"""SELECT COUNT(o_totalprice) AS cnt,
+      ${Det.roundAtSql(s"$s1 / COUNT(o_totalprice)", 4)} AS mean,
+      ${Det.roundAtSql(s"sqrt(($s2 - $s1 * $s1 / $n) / ($n - 1.0))", 4)} AS std,
+      MIN(o_totalprice) AS min,
+      ${Det.roundAtSql("quantile_cont(o_totalprice, 0.25)", 4)} AS p25,
+      ${Det.roundAtSql("quantile_cont(o_totalprice, 0.50)", 4)} AS p50,
+      ${Det.roundAtSql("quantile_cont(o_totalprice, 0.75)", 4)} AS p75,
+      MAX(o_totalprice) AS max
+      FROM orders"""
+    })
+
+  // q09 — A10 IQR outliers: quantile pass broadcast into a filter pass.
+  private val q09 = Q(
+    "q09_iqr_outliers",
+    (s, dir) => Profile.iqrOutliers(tbl(s, dir, "orders"), "o_totalprice"),
+    Some("""WITH q AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                              quantile_cont(o_totalprice, 0.75) AS q3 FROM orders),
+      f AS (SELECT o_totalprice,
+              (o_totalprice < q1 - (q3 - q1) * 1.5 OR
+               o_totalprice > q3 + (q3 - q1) * 1.5) AS is_out
+            FROM orders CROSS JOIN q)
+      SELECT COUNT(*) AS n_rows,
+        SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS n_outliers,
+        floor(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) * 100.0 / COUNT(*) * 10000 + 0.5) / 10000 AS outlier_pct,
+        MIN(CASE WHEN is_out THEN o_totalprice END) AS out_min,
+        MAX(CASE WHEN is_out THEN o_totalprice END) AS out_max
+      FROM f"""))
+
+  // q10 — A11 deterministic Pearson correlation per group (from exact
+  // decimal cross-sums; single aggregation pass).
+  private val q10 = Q(
+    "q10_corr",
+    (s, dir) => tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Det.roundAt(Det.dcorr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        Det.roundAt(Det.dcorr(col("l_discount"), col("l_tax")), 4).as("corr_disc_tax"))
+      .orderBy("l_returnflag"),
+    Some {
+      def c(x: String, y: String) = {
+        val n  = s"CAST(COUNT(*) AS DOUBLE)"
+        def ds(e: String, sc: Int) = s"CAST(SUM(CAST($e AS DECIMAL(28,$sc))) AS DOUBLE)"
+        val (sx, sy)  = (ds(x, 2), ds(y, 2))
+        val (sxx, syy, sxy) = (ds(s"$x * $x", 4), ds(s"$y * $y", 4), ds(s"$x * $y", 4))
+        Det.roundAtSql(s"($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))", 4)
+      }
+      s"""SELECT l_returnflag,
+        ${c("l_quantity", "l_extendedprice")} AS corr_qty_price,
+        ${c("l_discount", "l_tax")} AS corr_disc_tax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    })
+
+  // q11 — A7 monthly trend over the events table.
+  private val q11 = Q(
+    "q11_monthly_trend",
+    (s, dir) => Profile.monthlyTrend(tbl(s, dir, "events"), "ts", "value"),
+    Some("""SELECT strftime(ts, '%Y-%m') AS mes, COUNT(*) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1 ORDER BY mes"""),
+    headline = true)
+
+  // q12 — A8 date range.
+  private val q12 = Q(
+    "q12_date_range",
+    (s, dir) => Profile.dateRange(tbl(s, dir, "events"), "ts"),
+    Some("""SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+      strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS ts_max FROM events"""))
+
+  // q13 — D6 null/completeness profile (single scan, stack-melted).
+  private val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val q13 = Q(
+    "q13_null_profile",
+    (s, dir) => Profile.nullProfile(tbl(s, dir, "orders"), orderCols)
+      .orderBy("column"),
+    Some("SELECT * FROM (" + orderCols.map(c =>
+      s"""SELECT '$c' AS "column", SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+          floor((COUNT(*) - SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)) * 100.0 / COUNT(*) * 100 + 0.5) / 100 AS completeness_pct
+          FROM orders""").mkString(" UNION ALL ") + """) ORDER BY "column""""))
+
+  // q14 — D1 time-part derivation (weekday Monday=0, English month name).
+  private val q14 = Q(
+    "q14_time_parts",
+    (s, dir) => {
+      val parts = CleanFns.timeParts(col("o_orderdate"))
+      val df = parts.foldLeft(tbl(s, dir, "orders")) { case (d, (n, c)) => d.withColumn(n, c) }
+      df.groupBy(parts.map(p => col(p._1)): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("año").cast("long").as("año"), col("mes").cast("long").as("mes"),
+          col("dia").cast("long").as("dia"), col("trimestre").cast("long").as("trimestre"),
+          col("dia_semana").cast("long").as("dia_semana"), col("nombre_mes"), col("cnt"))
+        .orderBy("año", "mes", "dia")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS año, CAST(month(o_orderdate) AS BIGINT) AS mes,
+      CAST(day(o_orderdate) AS BIGINT) AS dia, CAST(quarter(o_orderdate) AS BIGINT) AS trimestre,
+      CAST(isodow(o_orderdate) - 1 AS BIGINT) AS dia_semana,
+      strftime(o_orderdate, '%B') AS nombre_mes, COUNT(*) AS cnt
+      FROM orders GROUP BY 1,2,3,4,5,6 ORDER BY año, mes, dia"""))
+
+  // q15 — D2 price bucketing (thresholds scaled to o_totalprice's range).
+  private val buckets = Seq(50000.0 -> "Económico", 100000.0 -> "Medio",
+    200000.0 -> "Medio-Alto", 300000.0 -> "Alto")
+  private val q15 = Q(
+    "q15_price_bucket",
+    (s, dir) => tbl(s, dir, "orders")
+      .groupBy(CleanFns.priceCategory(col("o_totalprice"), buckets).as("categoria_precio"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy("categoria_precio"),
+    Some("""SELECT CASE
+        WHEN o_totalprice IS NULL THEN 'No especificado'
+        WHEN o_totalprice <= 50000 THEN 'Económico'
+        WHEN o_totalprice <= 100000 THEN 'Medio'
+        WHEN o_totalprice <= 200000 THEN 'Medio-Alto'
+        WHEN o_totalprice <= 300000 THEN 'Alto'
+        ELSE 'Premium' END AS categoria_precio,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1 ORDER BY categoria_precio"""))
+
+  // q16 — P9 boolean binarization ('t'/'true'/'1'/'yes'/'si' → 1), driven
+  // through the events JSON props field (also exercises JSON extraction).
+  private val q16 = Q(
+    "q16_bool_bin",
+    (s, dir) => tbl(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(CleanFns.boolBin(col("k")).cast("long")).as("n_one"),
+        sum(col("k").cast("long")).as("sum_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+      SUM(CASE WHEN lower(trim(json_extract_string(props, '$.k'))) IN ('t','true','1','yes','si')
+               THEN 1 ELSE 0 END) AS n_one,
+      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // q17 — P11/P14 text cleanup + length profile over customer names.
+  private val q17 = Q(
+    "q17_text_clean",
+    (s, dir) => tbl(s, dir, "customer")
+      .select(length(CleanFns.textClean(col("c_name"))).cast("long").as("name_len"))
+      .groupBy("name_len").agg(count(lit(1)).as("cnt"))
+      .orderBy("name_len"),
+    Some("""SELECT CAST(length(COALESCE(trim(c_name), 'No especificado')) AS BIGINT) AS name_len,
+      COUNT(*) AS cnt FROM customer GROUP BY 1 ORDER BY name_len"""))
+
+  // q18 — P6 price-string parsing round-trip: format each price as
+  // '$x.xx', parse with cleanPrice, verify lossless (n_mismatch = 0).
+  private val q18 = Q(
+    "q18_price_parse",
+    (s, dir) => {
+      val parsed = CleanFns.cleanPrice(format_string("$%.2f", col("o_totalprice")))
+      tbl(s, dir, "orders").agg(
+        count(lit(1)).as("cnt"),
+        Det.dsum(parsed).as("sum_parsed"),
+        sum((parsed =!= col("o_totalprice")).cast("long")).as("n_mismatch"))
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+      CAST(SUM(CAST(COALESCE(CAST(regexp_replace(printf('$%.2f', o_totalprice), '[$,]', '', 'g') AS DOUBLE), 0.0) AS DECIMAL(28,2))) AS DOUBLE) AS sum_parsed,
+      SUM(CASE WHEN COALESCE(CAST(regexp_replace(printf('$%.2f', o_totalprice), '[$,]', '', 'g') AS DOUBLE), 0.0) <> o_totalprice THEN 1 ELSE 0 END) AS n_mismatch
+      FROM orders"""))
+
+  // q19 — P7 permissive date parsing round-trip over formatted o_orderdate.
+  private val q19 = Q(
+    "q19_date_parse",
+    (s, dir) => {
+      val d = CleanFns.parseDate(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      tbl(s, dir, "orders")
+        .groupBy(year(d).cast("long").as("año"))
+        .agg(count(lit(1)).as("cnt"),
+          min(CleanFns.normDate(date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("first_day"),
+          sum(d.isNull.cast("long")).as("n_unparsed"))
+        .orderBy("año")
+    },
+    Some("""SELECT CAST(year(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS BIGINT) AS año,
+      COUNT(*) AS cnt,
+      MIN(strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y-%m-%d')) AS first_day,
+      SUM(CASE WHEN strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS n_unparsed
+      FROM orders GROUP BY 1 ORDER BY año"""))
+
+  // q20 — union + except set ops: order keys seen in lineitem but not in
+  // a high-value subset, per status (exercises EXCEPT/INTERSECT surface).
+  private val q20 = Q(
+    "q20_set_ops",
+    (s, dir) => {
+      val o    = tbl(s, dir, "orders")
+      val big  = o.filter(col("o_totalprice") > 150000).select("o_orderkey")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val both = big.intersect(urgent)
+      val only = big.except(urgent)
+      both.withColumn("src", lit("both"))
+        .union(only.withColumn("src", lit("only_big")))
+        .groupBy("src").agg(count(lit(1)).as("cnt"))
+        .orderBy("src")
+    },
+    Some("""WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000),
+      urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      u AS (SELECT o_orderkey, 'both' AS src FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+            UNION ALL
+            SELECT o_orderkey, 'only_big' AS src FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent))
+      SELECT src, COUNT(*) AS cnt FROM u GROUP BY src ORDER BY src"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}

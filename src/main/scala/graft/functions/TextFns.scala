@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting, and the
+  * shingle/hash primitives shared by the dedup operators. All pure Column
+  * expressions (codegen'd, no UDFs), all engine-portable: the hash
+  * primitive is md5-based so the DuckDB oracle can reproduce every value
+  * bit-for-bit.
+  */
+object TextFns {
+
+  // ── portable 60-bit hash ─────────────────────────────────────────────
+  /** First 15 hex chars of md5 as a non-negative bigint (60 bits). Exactly
+    * reproducible in any engine with md5 (DuckDB:
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`). Used instead of
+    * xxhash64 wherever the oracle must re-derive the value. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** SQL fragment producing the same value in DuckDB. */
+  def portableHashSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  // ── normalization / tokens ───────────────────────────────────────────
+  /** Canonical text form for fingerprinting: lowercase, collapse runs of
+    * whitespace, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c.cast(StringType)), "\\s+", " "))
+
+  /** Whitespace tokens ('' for empty text → zero tokens). */
+  def tokens(c: Column): Column = {
+    val t = normText(c)
+    when(t === "", array().cast(ArrayType(StringType))).otherwise(split(t, " "))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: runs of letters, single digits, and single
+    * punctuation marks each count as one token (the GPT-2 pre-tokenizer
+    * shape, without the vocab). */
+  def subwordCount(c: Column): Column =
+    regexp_count(c.cast(StringType), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  // ── document fingerprint ─────────────────────────────────────────────
+  /** 60-bit fingerprint of the normalized text — exact-dup detection key.
+    * (The reference has no fingerprints; this is the scale path for D7
+    * whole-row dup profiling: hash-compare instead of full-text
+    * compare.) */
+  def fingerprint(c: Column): Column = portableHash(normText(c))
+
+  // ── shingles ─────────────────────────────────────────────────────────
+  /** Word n-gram shingles (array<string>), distinct, from normalized
+    * text. Documents shorter than n words yield their full text as the
+    * single shingle. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val nsh  = size(toks) - (n - 1)
+    val grams = transform(
+      sequence(lit(0), greatest(nsh - 1, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) <= n, array(concat_ws(" ", toks))).otherwise(array_distinct(grams))
+  }
+
+  /** Character n-gram shingles, distinct. */
+  def charShingles(c: Column, n: Int): Column = {
+    val t   = normText(c)
+    val cnt = greatest(length(t) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), cnt), i => substring(t, i, lit(n))))
+  }
+
+  // ── language ID (n-gram / marker-word heuristic) ─────────────────────
+  /** Marker stopwords per language; deterministic and cheap — a real
+    * pipeline would swap in fastText, the plumbing stays identical. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " with "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " los "),
+    "de" -> Seq(" der ", " und ", " die ", " das ", " mit "),
+    "fr" -> Seq(" le ", " les ", " des ", " est ", " une "))
+
+  /** Predicted language = argmax marker hits; ties and zero hits →
+    * 'unknown' unless a single language leads strictly. */
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c.cast(StringType)), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => when(contains(padded, lit(w)), 1).otherwise(0))
+        .reduce(_ + _)
+    val scores  = LangMarkers.map { case (lang, ws) => lang -> score(ws) }
+    val best    = greatest(scores.map(_._2): _*)
+    val nBest   = scores.map { case (_, s) => when(s === best, 1).otherwise(0) }.reduce(_ + _)
+    val winner  = scores.foldRight(lit("unknown"): Column) { case ((lang, s), rest) =>
+      when(s === best, lit(lang)).otherwise(rest)
+    }
+    when(best === 0 || nBest > 1, lit("unknown")).otherwise(winner)
+  }
+
+  // ── quality scoring ──────────────────────────────────────────────────
+  /** Heuristic document-quality signals (Gopher/C4-style filters):
+    * length, mean word length, punctuation/digit/space ratios, stopword
+    * presence. Returns a struct; `qualityScore` collapses it to one
+    * double in [0,1]. */
+  def qualitySignals(c: Column): Column = {
+    val t      = c.cast(StringType)
+    val nChars = length(t).cast(DoubleType)
+    val nTok   = tokenCount(t).cast(DoubleType)
+    val safe   = when(nChars === 0, 1.0).otherwise(nChars)
+    struct(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      (nChars / greatest(nTok, lit(1.0))).as("mean_word_len"),
+      (regexp_count(t, lit("[.,;:!?]")).cast(DoubleType) / safe).as("punct_ratio"),
+      (regexp_count(t, lit("[0-9]")).cast(DoubleType) / safe).as("digit_ratio"),
+      (regexp_count(t, lit("[A-Za-z]")).cast(DoubleType) / safe).as("alpha_ratio"))
+  }
+
+  /** Composite quality in [0,1]: long-enough, word-shaped, mostly
+    * alphabetic text scores high. Deterministic closed form. */
+  def qualityScore(c: Column): Column = {
+    val s        = qualitySignals(c)
+    val lenScore = least(s("n_tokens") / lit(20.0), lit(1.0))
+    val wordLen  = s("mean_word_len")
+    val shapeOk  = when(wordLen >= 2.5 && wordLen <= 12.0, 1.0).otherwise(0.5)
+    val alpha    = s("alpha_ratio")
+    round(lenScore * shapeOk * alpha, 6)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Dense-vector primitives over `array<float>` embedding columns, as pure
+  * Column expressions (`zip_with`/`aggregate` fold left-to-right, so the
+  * summation order is fixed and results are reproducible across engines up
+  * to double rounding — we round similarity outputs to 6 decimals at query
+  * boundaries).
+  */
+object VectorFns {
+
+  /** Σ aᵢ·bᵢ in double (floats upcast first — keeps error ~1e-15 rel). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v.cast(DoubleType)))
+
+  /** Cosine similarity; 0.0 when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b) / (l2Norm(a) * l2Norm(b))
+    when(l2Norm(a) === 0.0 || l2Norm(b) === 0.0, 0.0).otherwise(d)
+  }
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType)
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+}

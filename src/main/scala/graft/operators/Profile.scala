@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.Det
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** The reference's analytical workload (SURVEY.md §2.4: profiling, top-k,
+  * descriptive stats, IQR outliers, correlations, trends) as lazy
+  * DataFrame operators. Each is a single aggregation pass — at 100 TB they
+  * are one shuffle each (partial agg map-side), no driver-side loops.
+  */
+object Profile {
+
+  /** D6: per-column null count + completeness %. One full-scan aggregate
+    * producing a column-count-sized result (melted on the driver side of
+    * the plan via stack — rows = #cols, never data-sized). */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => sum(col(c).isNull.cast("long")).as(s"__null_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols
+      .map(c => s"'$c', `__null_$c`")
+      .mkString(s"stack(${cols.size}, ", ", ", ") as (column, n_null)")
+    one.selectExpr("__n", stackExpr)
+      .select(
+        col("column"),
+        col("n_null"),
+        Det.roundAt((col("__n") - col("n_null")) * 100.0 / col("__n"), 2).as("completeness_pct"))
+  }
+
+  /** D7: whole-row and key duplicate profile. */
+  def dupProfile(df: DataFrame, key: String): DataFrame = {
+    val n     = df.count()
+    val nDist = df.distinct().count()
+    val nKey  = df.select(key).distinct().count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, n - nDist, n - nKey))
+      .toDF("n_rows", "n_dup_rows", "n_dup_keys")
+  }
+
+  /** A2: value_counts top-k with share % and deterministic tie-break. */
+  def topK(df: DataFrame, c: String, k: Int): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .withColumn("share_pct",
+        Det.roundAt(col("cnt") * 100.0 / sum(col("cnt")).over(), 4))
+      .orderBy(col("cnt").desc, col(c).asc)
+      .limit(k)
+
+  /** A5: exact percentiles (pandas linear interpolation ⇔ Spark
+    * `percentile` ⇔ DuckDB `quantile_cont`). */
+  def percentiles(df: DataFrame, c: String, ps: Seq[Double]): DataFrame = {
+    val aggs = ps.map(p =>
+      Det.roundAt(percentile(col(c), lit(p)), 4).as(s"p${(p * 100).round}"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A3/A4: deterministic describe() — count/mean/std/min/quartiles/max. */
+  def descStats(df: DataFrame, c: String, scale: Int = 2): DataFrame =
+    df.agg(
+      count(col(c)).as("cnt"),
+      Det.roundAt(Det.davg(col(c), scale), 4).as("mean"),
+      Det.roundAt(Det.dstddev(col(c), scale), 4).as("std"),
+      min(col(c)).as("min"),
+      Det.roundAt(percentile(col(c), lit(0.25)), 4).as("p25"),
+      Det.roundAt(percentile(col(c), lit(0.5)), 4).as("p50"),
+      Det.roundAt(percentile(col(c), lit(0.75)), 4).as("p75"),
+      max(col(c)).as("max"))
+
+  /** A10: IQR outliers — quantile pass broadcast into a filter pass.
+    * Two scans, no collect; the quantile row is a 1-row broadcast join. */
+  def iqrOutliers(df: DataFrame, c: String): DataFrame = {
+    val q = df.agg(
+      percentile(col(c), lit(0.25)).as("__q1"),
+      percentile(col(c), lit(0.75)).as("__q3"))
+    val lo = col("__q1") - (col("__q3") - col("__q1")) * 1.5
+    val hi = col("__q3") + (col("__q3") - col("__q1")) * 1.5
+    df.join(broadcast(q))
+      .withColumn("__out", col(c) < lo || col(c) > hi)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__out").cast("long")).as("n_outliers"),
+        Det.roundAt(sum(col("__out").cast("long")) * 100.0 / count(lit(1)), 4).as("outlier_pct"),
+        min(when(col("__out"), col(c))).as("out_min"),
+        max(when(col("__out"), col(c))).as("out_max"))
+  }
+
+  /** A11: pairwise Pearson correlations (deterministic, null-pair-skipping
+    * like pandas). One aggregate scan for all pairs. */
+  def corrPairs(df: DataFrame, pairs: Seq[(String, String)], scale: Int = 2): DataFrame = {
+    val aggs = pairs.map { case (a, b) =>
+      Det.roundAt(Det.dcorr(col(a), col(b), scale), 4).as(s"corr_${a}_$b")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A7: monthly trend — counts + exact sum per calendar month. */
+  def monthlyTrend(df: DataFrame, ts: String, value: String): DataFrame =
+    df.groupBy(date_format(col(ts), "yyyy-MM").as("mes"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col(value)).as("total"))
+      .orderBy("mes")
+
+  /** A8: date range as strings (ns/us truncation-safe). */
+  def dateRange(df: DataFrame, ts: String): DataFrame =
+    df.agg(
+      date_format(min(col(ts)), "yyyy-MM-dd HH:mm:ss").as("ts_min"),
+      date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("ts_max"))
+}
