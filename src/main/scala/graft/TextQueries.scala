@@ -1,6 +1,186 @@
 package graft
 
-/** Text-analysis + dedup workload over the documents table. */
+import graft.functions.{Det, TextFns}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication workload over the `documents` table
+  * (SURVEY.md north-star ops: exact dedup, MinHash+LSH, SimHash, n-gram
+  * Jaccard, language ID, quality scoring, token counting).
+  *
+  * Every oracle below re-derives the SAME pipeline in DuckDB SQL — the
+  * md5-based portable hash makes signatures, band keys, and candidate
+  * pairs bit-identical across engines, so even the LSH paths are checked
+  * exactly, not approximately.
+  */
 object TextQueries {
-  val all: Seq[Q] = Seq()
+  import Queries.tbl
+
+  // ── shared DuckDB fragments (mirror TextFns) ──────────────────────────
+  /** portable 60-bit hash of an expression */
+  private def hSql(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toks = s"CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END"
+  /** distinct word n-shingles (mirrors TextFns.wordShingles) */
+  private def wordShinglesSql(n: Int) =
+    s"""CASE WHEN len($toks) <= $n THEN [array_to_string($toks, ' ')]
+        ELSE list_distinct(list_transform(range(1, len($toks) - ${n - 1} + 1),
+          i -> array_to_string(($toks)[i:i + ${n - 2} + 1], ' '))) END"""
+  /** distinct char n-shingles (mirrors TextFns.charShingles) */
+  private def charShinglesSql(n: Int) =
+    s"""list_distinct(list_transform(range(1, greatest(length($norm) - ${n - 1}, 1) + 1),
+        i -> substr($norm, i, $n)))"""
+  private def jaccardSql(a: String, b: String) =
+    Det.roundAtSql(s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct(list_concat($a, $b)))", 6)
+
+  // q21 — exact dedup via content fingerprint: one groupBy on a 60-bit
+  // hash; the whole-corpus exact-dedup shape (never full-text compares).
+  private val q21 = Q(
+    "q21_exact_dedup",
+    (s, dir) => Dedup.exactStats(tbl(s, dir, "documents"), "text"),
+    Some(s"""WITH fp AS (SELECT ${hSql(norm)} AS fp FROM documents),
+      g AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp)
+      SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_distinct,
+        CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+      FROM g"""))
+
+  // q22 — MinHash+LSH near-dup pairs: 32 hashes, 8 bands × 4 rows, word
+  // 3-shingles, exact-Jaccard verify ≥ 0.5. The oracle rebuilds identical
+  // signatures/band keys, so candidates match exactly. Headline dedup op.
+  private val q22 = Q(
+    "q22_minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5),
+    Some {
+      val sigHash = hSql("CAST(i AS VARCHAR) || '|' || x")
+      val bandHash = hSql(
+        "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
+      s"""WITH docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
+        signed AS (SELECT doc_id, sh,
+          list_transform(range(0, 32), i ->
+            list_min(list_transform(sh, x -> $sigHash))) AS sig FROM docs),
+        keyed AS (SELECT doc_id, sh,
+          list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
+        banded AS (SELECT doc_id, sh, bb.range AS band, keys[bb.range + 1] AS key
+          FROM keyed CROSS JOIN range(0, 8) AS bb),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
+          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+        SELECT id_a, id_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
+        FROM cand WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
+        ORDER BY id_a, id_b""" },
+    headline = true)
+
+  // q23 — SimHash near-dup pairs: 32-bit sketch over word 3-shingles,
+  // 4×8-bit bands (pigeonhole-complete for hamming ≤ 3), verify
+  // bit_count(xor) ≤ 3.
+  private val q23 = Q(
+    "q23_simhash",
+    (s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, maxHamming = 3),
+    Some {
+      val sim = s"""CAST(list_sum(list_transform(range(0, 32), i ->
+        CASE WHEN 2 * len(list_filter(hs, h -> (h >> i) & 1 = 1)) >= len(hs)
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)"""
+      s"""WITH docs AS (SELECT doc_id,
+          list_transform(${wordShinglesSql(3)}, x -> ${hSql("x")}) AS hs FROM documents),
+        sk AS (SELECT doc_id, $sim AS sh FROM docs),
+        banded AS (SELECT doc_id, sh, bb.range AS band,
+            (sh >> (8 * bb.range)) & 255 AS key
+          FROM sk CROSS JOIN range(0, 4) AS bb),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
+          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        ORDER BY id_a, id_b""" })
+
+  // q24 — brute-force char-5-gram Jaccard pairs ≥ 0.8: the exact baseline
+  // that measures the LSH paths' recall. O(n²) — verify-scale only.
+  private val q24 = Q(
+    "q24_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      n = 5, threshold = 0.8),
+    Some(s"""WITH docs AS (SELECT doc_id, ${charShinglesSql(5)} AS sh FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardSql("a.sh", "b.sh")} AS jaccard
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  // q25 — language ID (marker-stopword heuristic) scored against the
+  // labeled lang column. Single projection + groupBy.
+  private val q25 = Q(
+    "q25_lang_id",
+    (s, dir) => tbl(s, dir, "documents")
+      .withColumn("pred_lang", TextFns.langId(col("text")))
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("cnt"),
+        sum((col("pred_lang") === col("lang")).cast("long")).as("n_correct"))
+      .orderBy("pred_lang"),
+    Some {
+      val scores = TextFns.LangMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => s"CASE WHEN contains(' ' || lower(text) || ' ', '$w') THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+      }
+      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val nBest = scores.map { case (_, e) => s"CASE WHEN $e = best THEN 1 ELSE 0 END" }
+        .mkString(" + ")
+      val winner = scores.map { case (l, e) => s"WHEN $e = best THEN '$l'" }.mkString(" ")
+      s"""WITH scored AS (SELECT lang, $best AS best,
+          CASE WHEN $best = 0 THEN 'unknown'
+               WHEN ($nBest) > 1 THEN 'unknown'
+               $winner END AS pred_lang
+        FROM documents)
+      SELECT pred_lang, COUNT(*) AS cnt,
+        SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct
+      FROM scored GROUP BY pred_lang ORDER BY pred_lang""" })
+
+  // q26 — quality scoring per (lang, source): deterministic closed-form
+  // score in [0,1]; exact decimal sums for the aggregate.
+  private val q26 = Q(
+    "q26_quality",
+    (s, dir) => tbl(s, dir, "documents")
+      .withColumn("q", TextFns.qualityScore(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"),
+        Det.roundAt(Det.dsum(col("q"), 6) / count(lit(1)), 4).as("avg_quality"),
+        sum((col("q") >= lit(0.8)).cast("long")).as("n_high"))
+      .orderBy("lang"),
+    Some {
+      val nTok = s"CAST(len($toks) AS DOUBLE)"
+      val nCh  = "CAST(length(text) AS DOUBLE)"
+      val safe = s"CASE WHEN $nCh = 0 THEN 1.0 ELSE $nCh END"
+      val mwl  = s"($nCh / greatest($nTok, 1.0))"
+      val alpha = s"(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / $safe)"
+      val lenScore = s"least($nTok / 20.0, 1.0)"
+      val shape = s"CASE WHEN $mwl >= 2.5 AND $mwl <= 12.0 THEN 1.0 ELSE 0.5 END"
+      val q = Det.roundAtSql(s"$lenScore * $shape * $alpha", 6)
+      s"""WITH scored AS (SELECT lang, $q AS q FROM documents)
+      SELECT lang, COUNT(*) AS cnt,
+        ${Det.roundAtSql("CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS avg_quality,
+        SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS n_high
+      FROM scored GROUP BY lang ORDER BY lang""" })
+
+  // q27 — token counting: whitespace tokens + BPE-ish subword units per
+  // lang. Pure integer aggregates — fully deterministic.
+  private val q27 = Q(
+    "q27_token_count",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("lang"),
+        TextFns.tokenCount(col("text")).cast("long").as("nt"),
+        TextFns.subwordCount(col("text")).cast("long").as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"),
+        sum("nt").as("sum_tokens"),
+        sum("ns").as("sum_subwords"),
+        max("nt").as("max_tokens"),
+        Det.roundAt(sum("nt") / count(lit(1)).cast("double"), 4).as("avg_tokens"))
+      .orderBy("lang"),
+    Some(s"""SELECT lang, COUNT(*) AS cnt,
+      CAST(SUM(len($toks)) AS BIGINT) AS sum_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_subwords,
+      CAST(MAX(len($toks)) AS BIGINT) AS max_tokens,
+      ${Det.roundAtSql(s"CAST(SUM(len($toks)) AS DOUBLE) / COUNT(*)", 4)} AS avg_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27)
 }

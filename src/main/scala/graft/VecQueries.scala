@@ -1,6 +1,85 @@
 package graft
 
-/** Embedding / similarity-search workload over the embeddings table. */
+import graft.functions.Det
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Embedding / similarity-search workload over the `embeddings` table
+  * (`vec_id bigint, embedding array<float>, label int`): brute-force
+  * cosine top-k (the exact baseline), IVF-bucketed top-k (the scale
+  * path), and embedding-cosine near-dedup.
+  *
+  * Cosines use [[graft.functions.VectorFns.cosineQ]] — elementwise
+  * products quantized to integer 1e-12 units then summed exactly — so the
+  * DuckDB oracle reproduces every similarity bit-for-bit.
+  */
 object VecQueries {
-  val all: Seq[Q] = Seq()
+  import Queries.tbl
+
+  /** DuckDB mirror of VectorFns.dotQ: Σ round(aᵢ·bᵢ·1e12) as BIGINT. */
+  private def dotQSql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+        i -> CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT))) AS BIGINT)"""
+  private def cosQSql(a: String, b: String) = {
+    val (na, nb, ab) = (dotQSql(a, a), dotQSql(b, b), dotQSql(a, b))
+    s"""CASE WHEN $na = 0 OR $nb = 0 THEN 0.0
+        ELSE CAST($ab AS DOUBLE) / sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE)) END"""
+  }
+  private def cos6(a: String, b: String) = Det.roundAtSql(cosQSql(a, b), 6)
+
+  /** Query set: every 100th vector — scales with the corpus (5 queries at
+    * sf0.01, 50 at sf0.1). */
+  private val isQuery = "vec_id % 100 = 0"
+
+  // q28 — brute-force cosine top-10 per query vector: broadcast the query
+  // set, one scan of the corpus, rank-limited window. The exact-ANN
+  // baseline; headline vector op.
+  private val q28 = Q(
+    "q28_ann_brute",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.bruteTopK(emb, emb.filter(expr(isQuery)), 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE $isQuery),
+      scored AS (SELECT query_id, e.vec_id, ${cos6("e.embedding", "q_emb")} AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+      r AS (SELECT query_id, vec_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
+      ORDER BY query_id, rank"""),
+    headline = true)
+
+  // q29 — IVF-bucketed top-k: the label column stands in for a coarse
+  // k-means assignment; search prunes to the query's bucket. At 100 TB
+  // this is the partition-pruned ANN path.
+  private val q29 = Q(
+    "q29_ann_ivf",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(expr(isQuery)), "label", 10)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE $isQuery),
+      scored AS (SELECT query_id, e.vec_id, ${cos6("e.embedding", "q_emb")} AS cos
+        FROM embeddings e JOIN q ON e.label = q_label AND e.vec_id <> query_id),
+      r AS (SELECT query_id, vec_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
+  // q30 — embedding-cosine near-duplicate pairs ≥ 0.4 (the corpus carries
+  // no near-identical vectors, so the threshold sits at the top of the
+  // actual similarity distribution). Brute force at verify scale.
+  private val q30 = Q(
+    "q30_embed_neardup",
+    (s, dir) => Similarity.nearDupPairs(tbl(s, dir, "embeddings"), 0.4),
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${cos6("a.embedding", "b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ${cos6("a.embedding", "b.embedding")} >= 0.4
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30)
 }

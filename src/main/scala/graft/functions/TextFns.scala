@@ -125,6 +125,6 @@ object TextFns {
     val wordLen  = s("mean_word_len")
     val shapeOk  = when(wordLen >= 2.5 && wordLen <= 12.0, 1.0).otherwise(0.5)
     val alpha    = s("alpha_ratio")
-    round(lenScore * shapeOk * alpha, 6)
+    Det.roundAt(lenScore * shapeOk * alpha, 6)
   }
 }

