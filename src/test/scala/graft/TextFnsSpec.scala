@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, v: String): T =
+    Seq(v).toDF("c").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  // Cross-engine anchor: DuckDB CAST(('0x'||substr(md5('0|a'),1,15)) AS BIGINT)
+  test("portableHash matches the DuckDB-derived anchor value") {
+    assert(one[Long](TextFns.portableHash(col("c")), "0|a") == 348003567260221709L)
+  }
+
+  test("normText collapses whitespace and lowercases") {
+    assert(one[String](TextFns.normText(col("c")), "  A  b\t c ") == "a b c")
+  }
+
+  test("tokenCount: empty text is zero tokens") {
+    assert(one[Int](TextFns.tokenCount(col("c")), "") == 0)
+    assert(one[Int](TextFns.tokenCount(col("c")), "one two three") == 3)
+  }
+
+  test("subwordCount: letter runs, single digits, single punct") {
+    // "ab12, c" → [ab][1][2][,][c] = 5
+    assert(one[Int](TextFns.subwordCount(col("c")), "ab12, c") == 5)
+  }
+
+  test("wordShingles: distinct n-grams; short docs collapse to one shingle") {
+    assert(one[scala.collection.Seq[String]](TextFns.wordShingles(col("c"), 3), "a b c d").toSet
+      == Set("a b c", "b c d"))
+    assert(one[scala.collection.Seq[String]](TextFns.wordShingles(col("c"), 3), "a b")
+      == Seq("a b"))
+    // repeated shingles dedup
+    assert(one[scala.collection.Seq[String]](TextFns.wordShingles(col("c"), 2), "x y x y").toSet
+      == Set("x y", "y x"))
+  }
+
+  test("charShingles windows over normalized text") {
+    assert(one[scala.collection.Seq[String]](TextFns.charShingles(col("c"), 3), "abcd").toSet
+      == Set("abc", "bcd"))
+    assert(one[scala.collection.Seq[String]](TextFns.charShingles(col("c"), 5), "ab") == Seq("ab"))
+  }
+
+  test("langId picks marker-majority language, unknown on ties/zero") {
+    assert(one[String](TextFns.langId(col("c")), "the cat and the dog is here with us") == "en")
+    assert(one[String](TextFns.langId(col("c")), "el perro y la casa de que los gatos") == "es")
+    assert(one[String](TextFns.langId(col("c")), "xyz qrs") == "unknown")
+    // one en marker + one es marker → tie → unknown
+    assert(one[String](TextFns.langId(col("c")), "word the word el word") == "unknown")
+  }
+
+  test("qualityScore is in [0,1] and rewards word-shaped text") {
+    val good = one[Double](TextFns.qualityScore(col("c")),
+      "This is a reasonably long sentence made of ordinary words that flows well together okay")
+    val bad = one[Double](TextFns.qualityScore(col("c")), "@@ ## $$ 11 22")
+    assert(good > 0.6 && good <= 1.0)
+    assert(bad >= 0.0 && bad < 0.3)
+  }
+}
