@@ -53,13 +53,16 @@ object TextQueries {
     (s, dir) => Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
       numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5),
     Some {
-      val sigHash = hSql("CAST(i AS VARCHAR) || '|' || x")
+      val p = Dedup.MinhashP
+      val sigList = Dedup.minhashSeeds(32).map { case (a, b) =>
+        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
       val bandHash = hSql(
         "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
       s"""WITH docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
-        signed AS (SELECT doc_id, sh,
-          list_transform(range(0, 32), i ->
-            list_min(list_transform(sh, x -> $sigHash))) AS sig FROM docs),
+        hashed AS (SELECT doc_id, sh,
+          list_transform(sh, x -> ${hSql("x")} % $p) AS hb FROM docs),
+        signed AS (SELECT doc_id, sh, $sigList AS sig FROM hashed),
         keyed AS (SELECT doc_id, sh,
           list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
         banded AS (SELECT doc_id, sh, bb.range AS band, keys[bb.range + 1] AS key

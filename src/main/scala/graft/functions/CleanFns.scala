@@ -106,12 +106,12 @@ object CleanFns {
     * so each occurrence counts −2. Pure substring match, per-entry (not
     * per-occurrence). */
   def sentiment(c: Column, positive: Seq[String] = DefaultPositive,
-                negative: Seq[String] = DefaultNegative): Column = {
-    val t = lower(c.cast(StringType))
-    def hits(words: Seq[String]): Column =
-      size(filter(lit(words.map(_.toLowerCase).toArray), w => contains(t, w)))
-    hits(positive) - hits(negative)
-  }
+                negative: Seq[String] = DefaultNegative): Column =
+    TextFns.bindOnce(lower(c.cast(StringType))) { t =>
+      def hits(words: Seq[String]): Column =
+        size(filter(lit(words.map(_.toLowerCase).toArray), w => contains(t, w)))
+      hits(positive) - hits(negative)
+    }
   /** transformacion.py:356-357 */
   val DefaultPositive: Seq[String] = Seq(
     "good", "great", "excellent", "amazing", "perfect", "wonderful",

@@ -13,6 +13,15 @@ import org.apache.spark.sql.types._
   */
 object TextFns {
 
+  /** Let-binding for expression trees: evaluate `c` ONCE and reference it
+    * as a lambda variable inside `f`. Higher-order functions are
+    * interpreted (CodegenFallback, no common-subexpression elimination),
+    * so an expression referenced per array element — e.g. the token array
+    * inside a shingle `transform` — would otherwise be re-evaluated for
+    * every element (measured 20× slowdowns on the dedup path). */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   // ── portable 60-bit hash ─────────────────────────────────────────────
   /** First 15 hex chars of md5 as a non-negative bigint (60 bits). Exactly
     * reproducible in any engine with md5 (DuckDB:
@@ -57,21 +66,21 @@ object TextFns {
   /** Word n-gram shingles (array<string>), distinct, from normalized
     * text. Documents shorter than n words yield their full text as the
     * single shingle. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    val nsh  = size(toks) - (n - 1)
-    val grams = transform(
-      sequence(lit(0), greatest(nsh - 1, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    when(size(toks) <= n, array(concat_ws(" ", toks))).otherwise(array_distinct(grams))
-  }
+  def wordShingles(c: Column, n: Int): Column =
+    bindOnce(tokens(c)) { toks =>
+      val nsh = size(toks) - (n - 1)
+      val grams = transform(
+        sequence(lit(0), greatest(nsh - 1, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      when(size(toks) <= n, array(concat_ws(" ", toks))).otherwise(array_distinct(grams))
+    }
 
   /** Character n-gram shingles, distinct. */
-  def charShingles(c: Column, n: Int): Column = {
-    val t   = normText(c)
-    val cnt = greatest(length(t) - (n - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), cnt), i => substring(t, i, lit(n))))
-  }
+  def charShingles(c: Column, n: Int): Column =
+    bindOnce(normText(c)) { t =>
+      val cnt = greatest(length(t) - (n - 1), lit(1))
+      array_distinct(transform(sequence(lit(1), cnt), i => substring(t, i, lit(n))))
+    }
 
   // ── language ID (n-gram / marker-word heuristic) ─────────────────────
   /** Marker stopwords per language; deterministic and cheap — a real
@@ -84,8 +93,8 @@ object TextFns {
 
   /** Predicted language = argmax marker hits; ties and zero hits →
     * 'unknown' unless a single language leads strictly. */
-  def langId(c: Column): Column = {
-    val padded = concat(lit(" "), lower(c.cast(StringType)), lit(" "))
+  def langId(c: Column): Column = bindOnce(
+    concat(lit(" "), lower(c.cast(StringType)), lit(" "))) { padded =>
     def score(words: Seq[String]): Column =
       words.map(w => when(contains(padded, lit(w)), 1).otherwise(0))
         .reduce(_ + _)

@@ -36,14 +36,31 @@ object Dedup {
         sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_groups"))
   }
 
-  /** MinHash signature: array<long> of `numHashes` minima of seeded
-    * portable hashes over the doc's distinct word `shingleN`-shingles. */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
-    val sh = TextFns.wordShingles(text, shingleN)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, x => TextFns.portableHash(concat(lit(s"$i|"), x))))
-    }: _*)
-  }
+  /** MinHash prime modulus (2³¹−1): keeps aᵢ·h′+bᵢ < 2⁶² — no ANSI
+    * overflow — and the family portable to any engine's 64-bit ints. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic universal-hash seeds (aᵢ odd, bᵢ arbitrary, both < p):
+    * one md5 base hash per shingle, then numHashes cheap affine maps —
+    * 32× fewer md5 evaluations than seeded string hashing. */
+  def minhashSeeds(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = ((i + 1) * 2654435761L % MinhashP) | 1L
+      val b = ((i + 1) * 1099511628211L) % MinhashP
+      (a, b)
+    }
+
+  /** MinHash signature: array<long> of `numHashes` minima of
+    * (aᵢ·(h(x) mod p) + bᵢ) mod p over the doc's distinct word
+    * `shingleN`-shingles, h = the portable md5 hash. */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
+    TextFns.bindOnce(
+      transform(TextFns.wordShingles(text, shingleN),
+        x => TextFns.portableHash(x) % MinhashP)) { hb =>
+      array(minhashSeeds(numHashes).map { case (a, b) =>
+        array_min(transform(hb, h => (h * a + b) % MinhashP))
+      }: _*)
+    }
 
   /** One band key per (doc, band): bands of `rowsPerBand` signature slots,
     * keyed by the portable hash of the joined slice. */
@@ -67,21 +84,30 @@ object Dedup {
     val docs = df.select(
       col(idCol).as("id"),
       TextFns.wordShingles(col(textCol), shingleN).as("sh"))
-    // signature from precomputed shingles (avoid re-shingling 32×):
-    val signed = docs.withColumn("sig",
-      array((0 until numHashes).map { i =>
-        array_min(transform(col("sh"), x => TextFns.portableHash(concat(lit(s"$i|"), x))))
-      }: _*))
-    val banded = signed
-      .select(col("id"), col("sh"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-    val lhs = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val rhs = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = lhs.join(rhs, Seq("band", "key"))
+    // Signature from precomputed shingles (avoid re-shingling 32×). The
+    // banded relation is slim — (id, band, key) only, no shingle arrays —
+    // and lineage-truncated before the self-join: otherwise BOTH join
+    // sides re-derive the full 32-hash signature pipeline (measured 30×
+    // slower at sf0.1). At cluster scale the same holds: materialize the
+    // bands×docs relation (persist/exchange), never recompute signatures
+    // per join side.
+    val banded = docs.select(col("id"),
+        TextFns.bindOnce(
+          transform(col("sh"), x => TextFns.portableHash(x) % MinhashP)) { hb =>
+          array(minhashSeeds(numHashes).map { case (a, b) =>
+            array_min(transform(hb, h => (h * a + b) % MinhashP))
+          }: _*)
+        }.as("sig"))
+      .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+      .localCheckpoint(false)
+    val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", Det.roundAt(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -92,15 +118,15 @@ object Dedup {
 
   /** 32-bit SimHash over distinct word `shingleN`-shingles: bit i is set
     * when at least half the shingle hashes have bit i set (2·ones ≥ n). */
-  def simhash(text: Column, shingleN: Int = 3, bits: Int = 32): Column = {
-    val hs = transform(TextFns.wordShingles(text, shingleN),
-      x => TextFns.portableHash(x))
-    val n = size(hs)
-    (0 until bits).map { i =>
-      val ones = size(filter(hs, h => h.bitwiseAND(lit(1L << i)) =!= 0L))
-      when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash(text: Column, shingleN: Int = 3, bits: Int = 32): Column =
+    TextFns.bindOnce(
+      transform(TextFns.wordShingles(text, shingleN), x => TextFns.portableHash(x))) { hs =>
+      val n = size(hs)
+      (0 until bits).map { i =>
+        val ones = size(filter(hs, h => h.bitwiseAND(lit(1L << i)) =!= 0L))
+        when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
 
   /** SimHash near-duplicate pairs: band the 32-bit sketch into 4 bytes;
     * pairs sharing any byte at the same position are candidates (guarantees
@@ -108,8 +134,12 @@ object Dedup {
     * `maxHamming`. Same LSH shuffle shape as [[minhashLshPairs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    // Lineage-truncated for the same self-join-recompute reason as
+    // [[minhashLshPairs]] — the 32-bit sketch costs 32 filters over the
+    // shingle hashes and must not be derived once per join side.
     val docs = df.select(col(idCol).as("id"),
       simhash(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(false)
     val banded = docs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), 8 * b).bitwiseAND(255L)): _*)).as(Seq("band", "key")))

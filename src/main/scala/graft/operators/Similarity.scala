@@ -17,11 +17,27 @@ import org.apache.spark.sql.types.DoubleType
   * embedding-cosine near-dedup, brute-force within the verify scale and
   * bucketable by the same coarse key at scale.
   *
-  * Cosines are computed in double with a fixed left-to-right fold
-  * ([[VectorFns]]) and rounded to 6 decimals before ranking, with id
-  * tie-breaks, so rankings are reproducible across engines.
+  * Cosines use the quantized-integer dot products of [[VectorFns.dotQ]]
+  * (order-independent, bit-reproducible across engines), rounded to 6
+  * decimals before ranking with id tie-breaks. Self-norms are computed
+  * ONCE PER ROW on each join side — never per candidate pair: at n
+  * queries that saves n redundant norm passes over the corpus.
   */
 object Similarity {
+
+  /** (id, emb, norm) projection: the per-row quantized self-norm. */
+  private def normed(df: DataFrame, prefix: String): DataFrame =
+    df.select(
+      col("vec_id").as(s"${prefix}id"),
+      col("embedding").as(s"${prefix}emb"),
+      VectorFns.dotQ(col("embedding"), col("embedding")).as(s"${prefix}norm"))
+
+  /** Pairwise cosine from one fresh dot + two precomputed norms. */
+  private def pairCos(aEmb: Column, aNorm: Column, bEmb: Column, bNorm: Column): Column =
+    Det.roundAt(
+      when(aNorm === 0L || bNorm === 0L, 0.0)
+        .otherwise(VectorFns.dotQ(aEmb, bEmb).cast(DoubleType) /
+          sqrt(aNorm.cast(DoubleType) * bNorm.cast(DoubleType))), 6)
 
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -37,10 +53,11 @@ object Similarity {
   /** Exact cosine top-k: broadcast the query rows, score every corpus row,
     * keep k per query. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", Det.roundAt(VectorFns.cosineQ(col("embedding"), col("q_emb")), 6))
-      .select("query_id", "vec_id", "cos")
+    val c = normed(corpus, "")
+    val q = normed(queries, "q_").withColumnRenamed("q_id", "query_id")
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos", pairCos(col("emb"), col("norm"), col("q_emb"), col("q_norm")))
+      .select(col("query_id"), col("id").as("vec_id"), col("cos"))
     ranked(scored, k)
   }
 
@@ -48,13 +65,16 @@ object Similarity {
     * the query's (partition pruning — the ANN trade: recall bounded by the
     * coarse quantizer, cost cut by the bucket fan-out). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, bucketCol: String, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), col(bucketCol).as("q_bucket"))
-    val scored = corpus
-      .join(broadcast(q),
-        col(bucketCol) === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos", Det.roundAt(VectorFns.cosineQ(col("embedding"), col("q_emb")), 6))
-      .select("query_id", "vec_id", "cos")
+    val c = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
+      VectorFns.dotQ(col("embedding"), col("embedding")).as("norm"),
+      col(bucketCol).as("bucket"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFns.dotQ(col("embedding"), col("embedding")).as("q_norm"),
+      col(bucketCol).as("q_bucket"))
+    val scored = c
+      .join(broadcast(q), col("bucket") === col("q_bucket") && col("id") =!= col("query_id"))
+      .withColumn("cos", pairCos(col("emb"), col("norm"), col("q_emb"), col("q_norm")))
+      .select(col("query_id"), col("id").as("vec_id"), col("cos"))
     ranked(scored, k)
   }
 
@@ -62,12 +82,12 @@ object Similarity {
     * Brute force at verify scale; at 100 TB bucket by a coarse quantizer
     * first (same shape as [[Dedup.minhashLshPairs]]). */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Det.roundAt(VectorFns.cosineQ(col("emb_a"), col("emb_b")), 6))
+    val a = normed(corpus, "a_")
+    val b = normed(corpus, "b_")
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", pairCos(col("a_emb"), col("a_norm"), col("b_emb"), col("b_norm")))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
 }
