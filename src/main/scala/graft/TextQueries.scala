@@ -185,5 +185,28 @@ object TextQueries {
       ${Det.roundAtSql(s"CAST(SUM(len($toks)) AS DOUBLE) / COUNT(*)", 4)} AS avg_tokens
       FROM documents GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27)
+  // q31 — multimodal byte plumbing over synthesized media (documents text
+  // as opaque binary payloads): per-kind size totals + payload
+  // fingerprint cardinality. Pure column ops on BinaryType.
+  private val q31 = Q(
+    "q31_multimodal_bytes",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      Multimodal.byteStats(
+        Multimodal.synthesizeMedia(tbl(s, dir, "documents"), "doc_id", "text"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_bytes")).as("total_bytes"),
+          max(col("n_bytes")).as("max_bytes"),
+          countDistinct(col("fingerprint")).as("n_distinct_payloads"))
+        .orderBy("kind")
+    },
+    Some("""SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+      COUNT(*) AS cnt,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+      COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+      FROM documents GROUP BY 1 ORDER BY kind"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31)
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming semantics under watermarks, driven through
+  * MemoryStream micro-batches (the standard streaming test harness). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts finalizes windows as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.windowedCounts(in.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(3), 1, "click", 2.0),
+        Ev(3, ts(7), 2, "view", 1.0))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark at 10:07 - 10m < window ends)
+      assert(spark.table("wc").count() == 0)
+      in.addData(Ev(4, ts(26), 1, "click", 1.0)) // watermark → 10:16
+      q.processAllAvailable()
+      val rows = spark.table("wc").orderBy("win_start", "event_type").collect()
+      assert(rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"))).toSeq
+        == Seq(("click", 2L), ("view", 1L)))
+      // late event behind the watermark is dropped, not re-emitted
+      in.addData(Ev(5, ts(2), 9, "click", 9.0))
+      in.addData(Ev(6, ts(40), 1, "click", 1.0)) // advance watermark past 10:10
+      q.processAllAvailable()
+      val clicks = spark.table("wc").filter($"event_type" === "click" &&
+        $"win_start" === ts(0)).collect()
+      assert(clicks.length == 1 && clicks(0).getAs[Long]("cnt") == 2L)
+    } finally q.stop()
+  }
+
+  test("sessionize merges gapped events per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionize(in.toDF(), "5 minutes", "1 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: events at 10:01,10:03 (one session), then 10:30 (new session)
+      in.addData(Ev(1, ts(1), 1, "c", 1.0), Ev(2, ts(3), 1, "c", 1.0), Ev(3, ts(30), 1, "c", 1.0))
+      in.addData(Ev(4, ts(55), 2, "c", 1.0)) // push watermark way forward
+      q.processAllAvailable()
+      val sess = spark.table("sess").filter($"user_id" === 1).orderBy("session_start").collect()
+      assert(sess.length == 2)
+      assert(sess(0).getAs[Long]("n_events") == 2)
+      assert(sess(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("dedup drops in-watermark duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.dedup(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), 1, "c", 1.0), Ev(1, ts(1), 1, "c", 1.0), Ev(2, ts(2), 1, "c", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(3), 1, "c", 1.0)) // duplicate again, still in watermark
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("enrich stream-static broadcast join and file-stream source") {
+    // drive the parquet events table AS a stream (file source, one batch)
+    val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "category")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = Seq(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 2, "view", 2.0)).toDF()
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streams.enrich(stream, dim, "event_type")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enr").orderBy("event_id").collect()
+      assert(rows.map(_.getAs[String]("category")).toSeq == Seq("interactive", "passive"))
+    } finally q.stop()
+  }
+}
