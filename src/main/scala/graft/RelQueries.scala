@@ -348,6 +348,25 @@ object RelQueries {
             SELECT o_orderkey, 'only_big' AS src FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent))
       SELECT src, COUNT(*) AS cnt FROM u GROUP BY src ORDER BY src"""))
 
+  // q32 — D7 duplicate profile: single pass, distinct over row struct + key.
+  private val q32 = Q(
+    "q32_dup_profile",
+    (s, dir) => Profile.dupProfile(tbl(s, dir, "orders"), "o_orderkey"),
+    Some("""SELECT COUNT(*) AS n_rows,
+      COUNT(*) - COUNT(DISTINCT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)) AS n_dup_rows,
+      COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_keys
+      FROM orders"""))
+
+  // q33 — A6 quantile-trim: keep ≤ p99, aggregate the kept set.
+  private val q33 = Q(
+    "q33_quantile_trim",
+    (s, dir) => Profile.quantileTrim(tbl(s, dir, "orders"), "o_totalprice", 0.99),
+    Some("""WITH p AS (SELECT quantile_cont(o_totalprice, 0.99) AS q FROM orders)
+      SELECT COUNT(*) AS n_kept,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_kept,
+        MAX(o_totalprice) AS max_kept
+      FROM orders CROSS JOIN p WHERE o_totalprice <= q"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33)
 }

@@ -208,5 +208,29 @@ object TextQueries {
       COUNT(DISTINCT md5(text)) AS n_distinct_payloads
       FROM documents GROUP BY 1 ORDER BY kind"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31)
+  // q34 — A9/D5: lexicon sentiment partition counts over documents text,
+  // with the reference's duplicate-entry lexicon (terrible/horrible × 2).
+  private val q34 = Q(
+    "q34_sentiment",
+    (s, dir) => tbl(s, dir, "documents")
+      .withColumn("sent", graft.functions.CleanFns.sentiment(col("text")))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("sent").cast("long")).as("sum_sent"),
+        sum((col("sent") > 0).cast("long")).as("n_pos"),
+        sum((col("sent") < 0).cast("long")).as("n_neg"),
+        sum((col("sent") === 0).cast("long")).as("n_neu")),
+    Some {
+      def hits(words: Seq[String]) = words
+        .map(w => s"CASE WHEN contains(lower(text), '${w.toLowerCase}') THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      val sent = s"${hits(graft.functions.CleanFns.DefaultPositive)} - ${hits(graft.functions.CleanFns.DefaultNegative)}"
+      s"""WITH s AS (SELECT $sent AS sent FROM documents)
+      SELECT COUNT(*) AS cnt, CAST(SUM(sent) AS BIGINT) AS sum_sent,
+        SUM(CASE WHEN sent > 0 THEN 1 ELSE 0 END) AS n_pos,
+        SUM(CASE WHEN sent < 0 THEN 1 ELSE 0 END) AS n_neg,
+        SUM(CASE WHEN sent = 0 THEN 1 ELSE 0 END) AS n_neu
+      FROM s""" })
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34)
 }

@@ -29,15 +29,26 @@ object Profile {
         Det.roundAt((col("__n") - col("n_null")) * 100.0 / col("__n"), 2).as("completeness_pct"))
   }
 
-  /** D7: whole-row and key duplicate profile. */
+  /** D7: whole-row and key duplicate profile — one lazy aggregation pass
+    * (distinct counts over the row struct and the key), no driver loop. */
   def dupProfile(df: DataFrame, key: String): DataFrame = {
-    val n     = df.count()
-    val nDist = df.distinct().count()
-    val nKey  = df.select(key).distinct().count()
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((n, n - nDist, n - nKey))
-      .toDF("n_rows", "n_dup_rows", "n_dup_keys")
+    val allCols = struct(df.columns.map(col).toSeq: _*)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(allCols)).as("n_dup_rows"),
+      (count(lit(1)) - countDistinct(col(key))).as("n_dup_keys"))
+  }
+
+  /** A6: quantile-trim — keep rows with `c` ≤ the q-quantile; the scalar
+    * quantile row broadcast-joins into the filter pass (two scans, no
+    * collect). */
+  def quantileTrim(df: DataFrame, c: String, q: Double): DataFrame = {
+    val qr = df.agg(percentile(col(c), lit(q)).as("__q"))
+    df.join(broadcast(qr)).filter(col(c) <= col("__q"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        Det.dsum(col(c)).as("sum_kept"),
+        max(col(c)).as("max_kept"))
   }
 
   /** A2: value_counts top-k with share % and deterministic tie-break. */

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{CleanFns, TextFns}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants over generated inputs (SURVEY §5): one
+  * generated batch per property, evaluated in a single Spark pass. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val priceGen: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(0, 999999).map(n => f"$$$n%,d.00"),
+    Gen.chooseNum(0.0, 99999.9).map(d => f"$d%.2f"),
+    Gen.alphaStr,
+    Gen.const(null: String))
+
+  test("cleanPrice is total: any string → non-null finite double") {
+    val df = sample(priceGen).toDF("c")
+      .select(CleanFns.cleanPrice(col("c")).as("p"))
+    assert(df.filter(col("p").isNull || isnan(col("p"))).count() == 0)
+  }
+
+  test("priceCategory is total: every value falls in exactly one bucket") {
+    val cats = Set("Económico", "Medio", "Medio-Alto", "Alto", "Premium", "No especificado")
+    val df = sample(Gen.oneOf(Gen.chooseNum(-1e6, 1e6), Gen.const(Double.NaN)))
+      .toDF("v").select(CleanFns.priceCategory(col("v")).as("c"))
+    val seen = df.select("c").distinct().collect().map(_.getString(0)).toSet
+    assert(seen.subsetOf(cats))
+    assert(df.filter(col("c").isNull).count() == 0)
+  }
+
+  test("sentiment is bounded by the lexicon sizes") {
+    val txt = Gen.listOfN(8, Gen.oneOf(
+      CleanFns.DefaultPositive ++ CleanFns.DefaultNegative ++ Seq("meh", "spark", "data")))
+      .map(_.mkString(" "))
+    val df = sample(txt).toDF("t").select(CleanFns.sentiment(col("t")).as("s"))
+    val mm = df.agg(min("s"), max("s")).collect()(0)
+    assert(mm.getInt(0) >= -CleanFns.DefaultNegative.size)
+    assert(mm.getInt(1) <= CleanFns.DefaultPositive.size)
+  }
+
+  test("boolBin emits only 0/1; normDate emits null or ISO dates") {
+    val df = sample(Gen.oneOf(Gen.alphaStr, Gen.oneOf("t", "f", "1", "si", "TRUE", "")))
+      .toDF("c").select(CleanFns.boolBin(col("c")).as("b"))
+    assert(df.filter(!col("b").isin(0, 1)).count() == 0)
+    val dates = sample(Gen.oneOf(
+      Gen.chooseNum(1, 28).map(d => f"2024-03-$d%02d"),
+      Gen.chooseNum(1, 28).map(d => f"$d%02d/03/2024"),
+      Gen.alphaStr))
+    val dd = dates.toDF("c").select(CleanFns.normDate(col("c")).as("d"))
+    assert(dd.filter(col("d").isNotNull && !col("d").rlike("^\\d{4}-\\d{2}-\\d{2}$")).count() == 0)
+  }
+
+  test("titleCase is idempotent") {
+    val df = sample(Gen.asciiPrintableStr).toDF("c")
+      .select(CleanFns.titleCase(col("c")).as("t1"))
+      .select(col("t1"), CleanFns.titleCase(col("t1")).as("t2"))
+    assert(df.filter(col("t1") =!= col("t2")).count() == 0)
+  }
+
+  test("portableHash stays in [0, 2^60); shingle arrays are distinct and non-empty") {
+    val df = sample(Gen.asciiPrintableStr).toDF("c")
+    val h = df.select(TextFns.portableHash(col("c")).as("h"))
+    assert(h.filter(col("h") < 0 || col("h") >= (1L << 60)).count() == 0)
+    val sh = df.select(TextFns.wordShingles(col("c"), 3).as("s"))
+      .select(size(col("s")).as("n"), size(array_distinct(col("s"))).as("nd"))
+    assert(sh.filter(col("n") =!= col("nd")).count() == 0)
+    assert(sh.filter(col("n") < 1).count() == 0)
+  }
+
+  test("cleaning is idempotent: textClean∘textClean = textClean") {
+    val df = sample(Gen.oneOf(Gen.asciiPrintableStr.map(s => s"  $s "), Gen.const(null: String)))
+      .toDF("c").select(CleanFns.textClean(col("c")).as("t1"))
+      .select(col("t1"), CleanFns.textClean(col("t1")).as("t2"))
+    assert(df.filter(col("t1") =!= col("t2")).count() == 0)
+  }
+}
