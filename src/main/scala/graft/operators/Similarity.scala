@@ -30,13 +30,13 @@ object Similarity {
     df.select(
       col("vec_id").as(s"${prefix}id"),
       col("embedding").as(s"${prefix}emb"),
-      VectorFns.dotQ(col("embedding"), col("embedding")).as(s"${prefix}norm"))
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as(s"${prefix}norm"))
 
   /** Pairwise cosine from one fresh dot + two precomputed norms. */
   private def pairCos(aEmb: Column, aNorm: Column, bEmb: Column, bNorm: Column): Column =
     Det.roundAt(
       when(aNorm === 0L || bNorm === 0L, 0.0)
-        .otherwise(VectorFns.dotQ(aEmb, bEmb).cast(DoubleType) /
+        .otherwise(graft.plans.DotQExpr(aEmb, bEmb).cast(DoubleType) /
           sqrt(aNorm.cast(DoubleType) * bNorm.cast(DoubleType))), 6)
 
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
@@ -66,10 +66,10 @@ object Similarity {
     * coarse quantizer, cost cut by the bucket fan-out). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, bucketCol: String, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
-      VectorFns.dotQ(col("embedding"), col("embedding")).as("norm"),
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as("norm"),
       col(bucketCol).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      VectorFns.dotQ(col("embedding"), col("embedding")).as("q_norm"),
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as("q_norm"),
       col(bucketCol).as("q_bucket"))
     val scored = c
       .join(broadcast(q), col("bucket") === col("q_bucket") && col("id") =!= col("query_id"))

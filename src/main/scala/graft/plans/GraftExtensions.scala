@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for the engine's native expressions, usable
+  * two ways:
+  *
+  *  - cluster-wide: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`) — functions exist in
+  *    every session's SQL namespace;
+  *  - per-session: `GraftExtensions.register(spark)` for an already-built
+  *    session (notebooks, tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotQExpr].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dotq"),
+      info("graft_dotq",
+        "graft_dotq(a, b) - quantized dot product of two float arrays: sum of round(a_i*b_i*1e12) as bigint."),
+      (args: Seq[Expression]) => DotQExpr(args(0), args(1))))
+
+  /** Register into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}
