@@ -26,9 +26,11 @@ object TextFns {
   /** First 15 hex chars of md5 as a non-negative bigint (60 bits). Exactly
     * reproducible in any engine with md5 (DuckDB:
     * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`). Used instead of
-    * xxhash64 wherever the oracle must re-derive the value. */
+    * xxhash64 wherever the oracle must re-derive the value. Computed by
+    * the native [[graft.plans.PortableHash60]] (digest bytes → long, no
+    * hex-string round trip). */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    graft.plans.PortableHash60(c.cast(StringType))
 
   /** SQL fragment producing the same value in DuckDB. */
   def portableHashSql(expr: String): String =

@@ -26,7 +26,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dotq"),
       info("graft_dotq",
         "graft_dotq(a, b) - quantized dot product of two float arrays: sum of round(a_i*b_i*1e12) as bigint."),
-      (args: Seq[Expression]) => DotQExpr(args(0), args(1))))
+      (args: Seq[Expression]) => DotQExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_hash60"),
+      info("graft_hash60",
+        "graft_hash60(s) - portable 60-bit content hash: value of the first 15 hex chars of md5(s) as bigint."),
+      (args: Seq[Expression]) => PortableHash60(args(0))))
 
   /** Register into an existing session. */
   def register(spark: SparkSession): Unit =
