@@ -117,4 +117,28 @@ object Profile {
     df.agg(
       date_format(min(col(ts)), "yyyy-MM-dd HH:mm:ss").as("ts_min"),
       date_format(max(col(ts)), "yyyy-MM-dd HH:mm:ss").as("ts_max"))
+
+  /** D8: shape/dtype info (nb cell 5). The pandas original reports RAM;
+    * the distributed analogue is partition count + scan-size estimate. */
+  def tableInfo(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dtypeCounts = df.schema.fields.groupBy(_.dataType.simpleString)
+      .map { case (t, fs) => s"$t:${fs.length}" }.toSeq.sorted.mkString(",")
+    Seq((df.count(), df.columns.length.toLong, dtypeCounts,
+      df.rdd.getNumPartitions.toLong,
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong))
+      .toDF("n_rows", "n_cols", "dtype_counts", "n_partitions", "est_bytes")
+  }
+
+  /** A12: worst-null columns — completeness profile filtered to columns
+    * with > `minNullPct` nulls, sorted worst-first, top k. Column-count-
+    * sized data; stays a lazy plan over [[nullProfile]]. */
+  def worstNulls(df: DataFrame, cols: Seq[String], minNullPct: Double, k: Int): DataFrame =
+    nullProfile(df, cols)
+      .withColumn("null_pct", Det.roundAt(lit(100.0) - col("completeness_pct"), 2))
+      .filter(col("null_pct") > minNullPct)
+      .orderBy(desc("null_pct"), asc("column"))
+      .limit(k)
+      .select("column", "n_null", "null_pct")
 }

@@ -59,10 +59,25 @@ object Sinks {
   }
 
   /** CSV sink (replaces the reference's Excel sink — declared divergence,
-    * SURVEY §7.4(5)); writes data + a 3-line JSON 'Resumen' aside. */
+    * SURVEY §7.4(5)). Complex columns (arrays/structs) are JSON-stringified
+    * — the CSV writer rejects them raw, and the reference stringifies
+    * every object column at its sink anyway. Writes a JSON 'Resumen'
+    * aside (rows, cols, timestamp — carga.py:75-83's summary sheet). */
   def csv(df: DataFrame, outDir: String, name: String): String = {
     val path = s"$outDir/csv_$name"
-    sinkForm(df).write.mode("overwrite").option("header", "true").csv(path)
+    val flat = sinkForm(df).schema.fields.foldLeft(sinkForm(df)) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+    flat.write.mode("overwrite").option("header", "true").csv(path)
+    val resumen =
+      s"""{"registros":${df.count()},"columnas":${df.columns.length},"generado":"${java.time.Instant.now()}"}"""
+    Files.writeString(Paths.get(s"$outDir/csv_${name}_resumen.json"), resumen)
     path
   }
 
@@ -92,9 +107,39 @@ object Pipeline {
 
   val TableNames: Seq[String] = Seq("listings", "reviews", "calendar")
 
+  /** S9 config (main.py:266-341's --config/--limite): key=value file
+    * and/or CLI overrides (declared divergence from the reference's JSON
+    * config — no JSON dep warranted for four keys). */
+  final case class Config(inDir: String, outDir: String,
+                          limit: Option[Int] = None,
+                          tables: Seq[String] = TableNames)
+  object Config {
+    def fromArgs(args: Seq[String]): Config = {
+      val kv = args.flatMap {
+        case a if a.startsWith("--") && a.contains('=') =>
+          val Array(k, v) = a.drop(2).split("=", 2); Some(k -> v)
+        case _ => None
+      }.toMap
+      val fileKv = kv.get("config").map { p =>
+        Files.readAllLines(Paths.get(p)).toArray.map(_.toString.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+          .map { l => val Array(k, v) = l.split("=", 2); k.trim -> v.trim }.toMap
+      }.getOrElse(Map.empty)
+      val merged = fileKv ++ kv // CLI wins
+      Config(
+        inDir  = merged.getOrElse("in", "."),
+        outDir = merged.getOrElse("out", "./out"),
+        limit  = merged.get("limite").map(_.toInt),
+        tables = merged.get("tables").map(_.split(",").toSeq).getOrElse(TableNames))
+    }
+  }
+
   def run(spark: SparkSession, source: ParquetSource, outDir: String,
-          names: Seq[String] = TableNames): Report = {
-    val extracted   = source.loadAll(spark, names).filter(_._2.columns.nonEmpty)
+          names: Seq[String] = TableNames,
+          limit: Option[Int] = None): Report = {
+    val extracted = source.loadAll(spark, names).filter(_._2.columns.nonEmpty)
+      // S1's find().limit(n): Spark pushes the limit into the scan
+      .map { case (n, df) => n -> limit.map(df.limit).getOrElse(df) }
     val transformed = Transforms.all(extracted)
     val counts = transformed.map { case (n, df) =>
       Sinks.parquet(df, outDir, n)
@@ -105,5 +150,21 @@ object Pipeline {
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/reporte_etl.json"), report.toJson)
     report
+  }
+
+  /** CLI entry (E1, main.py:308-341): `--in=<dir> --out=<dir>
+    * [--limite=N] [--config=<file>] [--tables=a,b]`. */
+  def main(args: Array[String]): Unit = {
+    val cfg = Config.fromArgs(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val report = run(spark, new ParquetSource(cfg.inDir), cfg.outDir, cfg.tables, cfg.limit)
+    println(report.toJson)
+    spark.stop()
   }
 }
