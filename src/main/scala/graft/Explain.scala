@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Dev tool: print formatted physical plans for named queries. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -52,15 +52,14 @@ object Dedup {
 
   /** MinHash signature: array<long> of `numHashes` minima of
     * (aᵢ·(h(x) mod p) + bᵢ) mod p over the doc's distinct word
-    * `shingleN`-shingles, h = the portable md5 hash. */
+    * `shingleN`-shingles, h = the portable md5 hash. All minima come from
+    * ONE native pass over the base hashes ([[graft.plans.MinhashSigExpr]])
+    * instead of numHashes interpreted transform+array_min evaluations. */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
-    TextFns.bindOnce(
+    graft.plans.MinhashSigExpr(
       transform(TextFns.wordShingles(text, shingleN),
-        x => TextFns.portableHash(x) % MinhashP)) { hb =>
-      array(minhashSeeds(numHashes).map { case (a, b) =>
-        array_min(transform(hb, h => (h * a + b) % MinhashP))
-      }: _*)
-    }
+        x => TextFns.portableHash(x) % MinhashP),
+      numHashes)
 
   /** One band key per (doc, band): bands of `rowsPerBand` signature slots,
     * keyed by the portable hash of the joined slice. */
@@ -92,12 +91,9 @@ object Dedup {
     // bands×docs relation (persist/exchange), never recompute signatures
     // per join side.
     val banded = docs.select(col("id"),
-        TextFns.bindOnce(
-          transform(col("sh"), x => TextFns.portableHash(x) % MinhashP)) { hb =>
-          array(minhashSeeds(numHashes).map { case (a, b) =>
-            array_min(transform(hb, h => (h * a + b) % MinhashP))
-          }: _*)
-        }.as("sig"))
+        graft.plans.MinhashSigExpr(
+          transform(col("sh"), x => TextFns.portableHash(x) % MinhashP),
+          numHashes).as("sig"))
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
       .localCheckpoint(false)
     val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
