@@ -81,5 +81,33 @@ object VecQueries {
       WHERE ${cos6("a.embedding", "b.embedding")} >= 0.4
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30)
+  // q35 — bucket-pruned near-dup: same scoring as q30 restricted to pairs
+  // sharing the coarse bucket (label = stand-in quantizer). At 100 TB the
+  // cross join shrinks from n² to Σ bucketᵢ² — the production dedup shape.
+  private val q35 = Q(
+    "q35_embed_neardup_ivf",
+    (s, dir) => Similarity.bucketedNearDupPairs(tbl(s, dir, "embeddings"), "label", 0.3),
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${cos6("a.embedding", "b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${cos6("a.embedding", "b.embedding")} >= 0.3
+      ORDER BY id_a, id_b"""))
+
+  // q36 — the 100 TB sketch path: approx_percentile (t-digest-style, no
+  // per-group value collection) and HLL distinct counts. Approximate by
+  // design → no SQL oracle (driver records a rows-only check); the exact
+  // counterparts q07/q08 remain the correctness anchors.
+  private val q36 = Q(
+    "q36_approx_sketches",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36)
 }

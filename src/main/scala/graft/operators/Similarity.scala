@@ -90,4 +90,20 @@ object Similarity {
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Bucket-pruned near-dup: pairs restricted to the same coarse bucket —
+    * the n² cross join becomes Σ bucketᵢ², the production dedup shape at
+    * 100 TB (bucket = quantizer/LSH cell). */
+  def bucketedNearDupPairs(corpus: DataFrame, bucketCol: String, threshold: Double): DataFrame = {
+    def side(p: String) = corpus.select(
+      col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}emb"),
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as(s"${p}norm"),
+      col(bucketCol).as(s"${p}bucket"))
+    side("a_").join(side("b_"),
+        col("a_bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("cos", pairCos(col("a_emb"), col("a_norm"), col("b_emb"), col("b_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.functions.Det
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Skew mitigation for hot aggregation keys.
+  *
+  * A groupBy on a key where one value holds 30% of 100 TB sends 30 TB to
+  * one reducer. Salting splits each key into `salts` subkeys for the
+  * partial aggregation, then combines the (tiny) per-salt partials in a
+  * second, uniformly-distributed aggregation. Only algebraic aggregates
+  * decompose this way — exposed here for count / decimal-exact sum /
+  * min / max, which also keeps results bit-identical to the unsalted
+  * plan (decimal addition is associative; double addition is not).
+  *
+  * AQE's skew-join splitting handles JOIN skew automatically; aggregation
+  * skew still needs this explicit two-stage shape.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts): hashes the row's value column so
+    * retries re-salt identically (rand() would break exactly-once). */
+  private def salt(c: Column, salts: Int): Column =
+    pmod(xxhash64(c), lit(salts.toLong))
+
+  /** Salted count + exact-decimal sum per key — bit-identical to the
+    * direct `groupBy(key).agg(count, dsum)` result. */
+  def saltedCountSum(df: DataFrame, key: String, value: String,
+                     salts: Int = 16, scale: Int = 2): DataFrame =
+    df.withColumn("__salt", salt(col(value), salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col(value).cast(DecimalType(28, scale))).as("__sum"))
+      .groupBy(col(key))
+      .agg(sum(col("__cnt")).as("cnt"),
+        Det.roundAt(sum(col("__sum")).cast("double"), 6).as("total"))
+}
