@@ -367,6 +367,54 @@ object RelQueries {
         MAX(o_totalprice) AS max_kept
       FROM orders CROSS JOIN p WHERE o_totalprice <= q"""))
 
+  // q37 — batch sessionization: session_window (the same operator the
+  // streaming path uses) checked against the lag+cumsum SQL formulation.
+  // One shuffle on user_id; per-user in-memory session merge.
+  private val q37 = Q(
+    "q37_sessionize",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("total"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("total"))
+      .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (
+        SELECT user_id, ts, value, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts, value,
+          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id FROM e)
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM s GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start"""))
+
+  // q38 — deterministic train/val/test split: portable hash of the key
+  // mod 100 → 90/5/5. Hash-based splits are reproducible, join-free, and
+  // stable under re-partitioning — the only split that works at 100 TB.
+  private val q38 = Q(
+    "q38_train_split",
+    (s, dir) => {
+      val bucket = pmod(graft.functions.TextFns.portableHash(col("o_orderkey").cast("string")), lit(100L))
+      tbl(s, dir, "orders")
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), Det.dsum(col("o_totalprice")).as("total"))
+        .orderBy("split")
+    },
+    Some(s"""WITH b AS (SELECT o_totalprice,
+        ${graft.functions.TextFns.portableHashSql("CAST(o_orderkey AS VARCHAR)")} % 100 AS bucket
+        FROM orders)
+      SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS cnt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM b GROUP BY 1 ORDER BY split"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38)
 }

@@ -39,8 +39,21 @@ object CleanFns {
       try_to_timestamp(s, lit("yyyy/MM/dd")),
       try_to_timestamp(s, lit("dd/MM/yyyy")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),
-      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSS"))
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSX"))
     ).cast(DateType)
+  }
+
+  /** P7 Mongo extended-JSON date (transformacion.py:31-32): unwrap
+    * `{"$date": <iso-string | epoch-millis>}` carried either as a raw
+    * JSON string or already-extracted scalar, then parse permissively. */
+  def mongoDate(c: Column): Column = {
+    val s      = trim(c.cast(StringType))
+    val inner  = coalesce(get_json_object(s, "$['$date']"), s)
+    val millis = inner.try_cast(LongType)
+    when(millis.isNotNull, timestamp_millis(millis).cast(DateType))
+      .otherwise(parseDate(inner))
   }
 
   /** P7 sink form: 'yyyy-MM-dd' string, null on unparseable. */

@@ -18,6 +18,20 @@ object Transforms {
 
   private def has(df: DataFrame, c: String): Boolean = df.columns.contains(c)
 
+  /** Mongo extended-JSON landing shape: schema inference turns
+    * `{"$date": ...}` into a one-field struct — unwrap those to scalars
+    * so the date pipeline sees plain values (extraccion.py lands exactly
+    * this shape; transformacion.py:31-32 unwraps per-row). */
+  def unwrapMongo(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case st: org.apache.spark.sql.types.StructType
+            if st.fieldNames.sameElements(Array("$date")) =>
+          d.withColumn(f.name, col(s"`${f.name}`.`$$date`"))
+        case _ => d
+      }
+    }
+
   /** P4 with the reference's keep-first semantics (pandas drop_duplicates
     * keeps first in input order). Distributed input has no "input order",
     * so the survivor is chosen by `orderCol` when given (deterministic
@@ -35,7 +49,8 @@ object Transforms {
     cols.filter(has(df, _)).foldLeft(df)((d, c) => d.withColumn(s"$c$suffix", f(col(c))))
 
   /** transformar_listings (transformacion.py:185-329): 10 steps. */
-  def listings(df0: DataFrame, dedupOrder: Option[String] = None): DataFrame = {
+  def listings(df0raw: DataFrame, dedupOrder: Option[String] = None): DataFrame = {
+    val df0 = unwrapMongo(df0raw)
     // 1-2: critical-null filter + key dedup
     var df = df0.na.drop(Seq("id", "latitude", "longitude").filter(has(df0, _)))
     df = dedupByKey(df, "id", dedupOrder)
@@ -70,7 +85,8 @@ object Transforms {
   }
 
   /** transformar_reviews (transformacion.py:331-374): 5 steps. */
-  def reviews(df0: DataFrame, dedupOrder: Option[String] = None): DataFrame = {
+  def reviews(df0raw: DataFrame, dedupOrder: Option[String] = None): DataFrame = {
+    val df0 = unwrapMongo(df0raw)
     var df = df0.na.drop(Seq("id", "listing_id").filter(has(df0, _)))
     df = dedupByKey(df, "id", dedupOrder)
     if (has(df, "date")) {
@@ -91,7 +107,8 @@ object Transforms {
   }
 
   /** transformar_calendar (transformacion.py:376-402): 4 steps. */
-  def calendar(df0: DataFrame): DataFrame = {
+  def calendar(df0raw: DataFrame): DataFrame = {
+    val df0 = unwrapMongo(df0raw)
     var df = df0.na.drop(Seq("listing_id", "date").filter(has(df0, _)))
     if (has(df, "date")) {
       df = df.withColumn("date_clean", CleanFns.normDate(col("date")))
