@@ -415,6 +415,26 @@ object RelQueries {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
       FROM b GROUP BY 1 ORDER BY split"""))
 
+  // q40 — rollup (grouping sets): subtotals + grand total in one pass
+  // (Catalyst expands to a single Expand+Aggregate — no re-scan per
+  // level). Subtotal nulls coalesced to '(all)' for deterministic order.
+  private val q40 = Q(
+    "q40_rollup",
+    (s, dir) => tbl(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("cnt"), col("qty"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS rf,
+      COALESCE(l_linestatus, '(all)') AS ls,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38, q40)
 }

@@ -232,5 +232,53 @@ object TextQueries {
         SUM(CASE WHEN sent = 0 THEN 1 ELSE 0 END) AS n_neu
       FROM s""" })
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34)
+  // q39 — dedup clusters: q22's LSH pairs → connected components → the
+  // per-cluster size profile plus corpus reduction. Oracle rebuilds the
+  // identical pairs, then closes them with a recursive CTE.
+  private val q39 = Q(
+    "q39_dedup_clusters",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val cl = Dedup.clusters(pairs)
+      val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      sizes.agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_clustered_docs"),
+        max(col("sz")).as("max_cluster"),
+        (lit(docs.count()) - sum(col("sz")) + count(lit(1))).as("n_after_dedup"))
+    },
+    Some {
+      val p = Dedup.MinhashP
+      val sigList = Dedup.minhashSeeds(32).map { case (a, b) =>
+        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
+      val bandHash = hSql(
+        "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
+      s"""WITH docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
+        hashed AS (SELECT doc_id, sh, list_transform(sh, x -> ${hSql("x")} % $p) AS hb FROM docs),
+        signed AS (SELECT doc_id, sh, $sigList AS sig FROM hashed),
+        keyed AS (SELECT doc_id, sh, list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
+        banded AS (SELECT doc_id, sh, bb.range AS band, keys[bb.range + 1] AS key
+          FROM keyed CROSS JOIN range(0, 8) AS bb),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
+          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        cc AS (WITH RECURSIVE r(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM r JOIN edges e ON r.id = e.src)
+          SELECT id, MIN(comp) AS cluster FROM r GROUP BY id),
+        sizes AS (SELECT cluster, COUNT(*) AS sz FROM cc GROUP BY cluster)
+      SELECT COUNT(*) AS n_clusters,
+        CAST(SUM(sz) AS BIGINT) AS n_clustered_docs,
+        CAST(MAX(sz) AS BIGINT) AS max_cluster,
+        CAST((SELECT COUNT(*) FROM documents) - SUM(sz) + COUNT(*) AS BIGINT) AS n_after_dedup
+      FROM sizes""" })
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39)
 }

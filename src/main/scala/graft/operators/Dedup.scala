@@ -150,6 +150,44 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair list: each doc labeled
+    * with the minimum doc id reachable through pairs (its cluster
+    * representative). Iterative min-label propagation — per round one
+    * join + one min-aggregate, converging in O(log diameter) rounds
+    * (near-dup clusters are clique-like: 1-3 rounds in practice). The
+    * standard shuffle-based connected-components shape; no driver-side
+    * graph, only a scalar convergence check per round.
+    *
+    * Input columns (id_a, id_b); output (id, cluster). */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(false)
+      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dedup: keep one representative per cluster (the
+    * minimum id — deterministic), pass through docs with no near-dup. */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = clusters(pairs).filter(col("id") =!= col("cluster")).select("id")
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
   /** Brute-force char n-gram Jaccard pairs ≥ `threshold` — the exact
     * baseline the LSH path approximates. O(n²) cross join: correct at
     * verification scale; at 100 TB use [[minhashLshPairs]] (this operator

@@ -1,0 +1,26 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusters propagates min labels across chains, dedup keeps representatives") {
+    // chain 1-2-3, pair 10-11, singleton 99 (no pairs → untouched)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L))
+  }
+
+  test("clusters converges on a long chain (diameter > 1 round)") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+    assert(cl.forall(_.getLong(1) == 1L))
+    assert(cl.length == 20)
+  }
+}
