@@ -435,6 +435,64 @@ object RelQueries {
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))
 
+  // q41 — TPC-H Q5 shape: region-filtered local-supplier revenue. Five
+  // joins; region/nation/supplier broadcast, lineitem⋈orders shuffles
+  // once on orderkey. The region filter prunes before any join.
+  private val q41 = Q(
+    "q41_region_revenue",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o  = tbl(s, dir, "orders")
+      val c  = tbl(s, dir, "customer")
+      val su = tbl(s, dir, "supplier")
+      val n  = tbl(s, dir, "nation")
+      val r  = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""))
+
+  // q42 — part/brand margin (TPC-H Q9 shape): fact⋈part with a LIKE
+  // filter pushed to the part scan, grouped two-level.
+  private val q42 = Q(
+    "q42_part_margin",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val p  = tbl(s, dir, "part").filter(col("p_type").like("%ECO%"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          Det.dsum(col("p_retailprice") * col("l_quantity"), 4).as("retail_value"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      CAST(SUM(CAST(p_retailprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS retail_value,
+      COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type LIKE '%ECO%'
+      GROUP BY p_brand ORDER BY p_brand"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38, q40)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
+    q40, q41, q42)
 }
