@@ -492,7 +492,25 @@ object RelQueries {
       WHERE p_type LIKE '%ECO%'
       GROUP BY p_brand ORDER BY p_brand"""))
 
+  // q43 — pivot: status × priority count matrix. Spark pivots with an
+  // explicit value list (no extra distinct pass); one aggregation.
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val q43 = Q(
+    "q43_pivot",
+    (s, dir) => tbl(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderstatus") +: priorities.map(p =>
+        col(s"`$p`").as(s"p${p.charAt(0)}")): _*)
+      .orderBy("o_orderstatus"),
+    Some("SELECT o_orderstatus, " + priorities.map(p =>
+      s"SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS p${p.charAt(0)}")
+      .mkString(", ") +
+      " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42)
+    q40, q41, q42, q43)
 }

@@ -280,5 +280,19 @@ object TextQueries {
         CAST((SELECT COUNT(*) FROM documents) - SUM(sz) + COUNT(*) AS BIGINT) AS n_after_dedup
       FROM sizes""" })
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39)
+  // q44 — generator/UDTF shape (SURVEY §2.7's explode-style unpivot):
+  // explode word tokens, count, top-20. The explode is a narrow op;
+  // the count is one shuffle on token.
+  private val q44 = Q(
+    "q44_token_topk",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+      .limit(20),
+    Some(s"""SELECT u.token AS token, COUNT(*) AS cnt
+      FROM documents, unnest($toks) AS u(token)
+      GROUP BY u.token ORDER BY cnt DESC, token ASC LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44)
 }
