@@ -391,7 +391,8 @@ object RelQueries {
         COUNT(*) AS n_events,
         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
       FROM s GROUP BY user_id, sess_id
-      ORDER BY user_id, session_start"""))
+      ORDER BY user_id, session_start"""),
+    headline = true)
 
   // q38 — deterministic train/val/test split: portable hash of the key
   // mod 100 → 90/5/5. Hash-based splits are reproducible, join-free, and
@@ -467,7 +468,8 @@ object RelQueries {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
-      GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""))
+      GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""),
+    headline = true)
 
   // q42 — part/brand margin (TPC-H Q9 shape): fact⋈part with a LIKE
   // filter pushed to the part scan, grouped two-level.

@@ -278,7 +278,8 @@ object TextQueries {
         CAST(SUM(sz) AS BIGINT) AS n_clustered_docs,
         CAST(MAX(sz) AS BIGINT) AS max_cluster,
         CAST((SELECT COUNT(*) FROM documents) - SUM(sz) + COUNT(*) AS BIGINT) AS n_after_dedup
-      FROM sizes""" })
+      FROM sizes""" },
+    headline = true)
 
   // q44 — generator/UDTF shape (SURVEY §2.7's explode-style unpivot):
   // explode word tokens, count, top-20. The explode is a narrow op;
