@@ -295,5 +295,26 @@ object TextQueries {
       FROM documents, unnest($toks) AS u(token)
       GROUP BY u.token ORDER BY cnt DESC, token ASC LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44)
+  // q45 — group-level SimHash via the custom typed Aggregator: one
+  // mergeable sketch per source (33-long buffer per group regardless of
+  // group size). Oracle recomputes the per-bit majority vote in SQL.
+  private val q45 = Q(
+    "q45_group_simhash",
+    (s, dir) => tbl(s, dir, "documents")
+      .withColumn("h", TextFns.fingerprint(col("text")))
+      .groupBy("source")
+      .agg(graft.functions.SimhashAgg.column(col("h")).as("sketch"),
+        count(lit(1)).as("cnt"))
+      .orderBy("source"),
+    Some(s"""WITH h AS (SELECT source, ${hSql(norm)} AS h FROM documents),
+      votes AS (SELECT source, b.range AS bit,
+          SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+          COUNT(*) AS n
+        FROM h CROSS JOIN range(0, 32) AS b GROUP BY source, b.range)
+      SELECT source,
+        CAST(SUM(CASE WHEN 2 * ones >= n THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sketch,
+        CAST(MAX(n) AS BIGINT) AS cnt
+      FROM votes GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44, q45)
 }
