@@ -512,7 +512,29 @@ object RelQueries {
       .mkString(", ") +
       " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
 
+  // q46 — unpivot/melt: wide numeric lineitem columns → long (metric,
+  // value) form with per-metric stats. One Expand pass, no join.
+  private val q46 = Q(
+    "q46_unpivot",
+    (s, dir) => tbl(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("total"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .orderBy("metric"),
+    Some("""WITH u AS (
+        SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      SELECT metric, COUNT(*) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total,
+        MIN(value) AS vmin, MAX(value) AS vmax
+      FROM u GROUP BY metric ORDER BY metric"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43)
+    q40, q41, q42, q43, q46)
 }
