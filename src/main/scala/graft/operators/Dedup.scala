@@ -165,17 +165,23 @@ object Dedup {
       .localCheckpoint(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+    // Labels only ever decrease (min-propagation), so an unchanged label
+    // checksum proves a fixpoint — one scalar aggregate per round instead
+    // of a change-detection join.
+    def checksum(df: DataFrame): Long =
+      df.agg(sum("cluster")).collect()(0).getLong(0)
+    var prev = checksum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.union(msgs)
+      labels = labels.union(msgs)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint(false)
-      converged = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels = next
+      val cur = checksum(labels)
+      converged = cur == prev
+      prev = cur
       rounds += 1
     }
     labels
