@@ -109,5 +109,27 @@ object VecQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36)
+  // q47 — sign-LSH near-dup: deterministic ±1 hyperplane sketches bucket
+  // the corpus; exact-cosine verify only on sketch collisions. The oracle
+  // receives the identical plane literals, so candidate sets match.
+  private val q47 = Q(
+    "q47_embed_lsh",
+    (s, dir) => Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"), 0.2, nPlanes = 16),
+    Some {
+      val planes = Similarity.signPlanes(16, 64)
+      // compact plane literal: one DOUBLE[] per plane
+      def planeLit(p: Array[Float]) = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      def sketch(e: String) = planes.zipWithIndex.map { case (p, i) =>
+        s"""CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(floor(CAST($e[i] AS DOUBLE) * (${planeLit(p)})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT) >= 0
+            THEN ${1L << i} ELSE 0 END""" }
+        .mkString("(", " + ", ")")
+      s"""WITH sk AS (SELECT vec_id, embedding, ${sketch("embedding")} AS sk FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${cos6("a.embedding", "b.embedding")} AS cos
+      FROM sk a JOIN sk b ON a.sk = b.sk AND a.vec_id < b.vec_id
+      WHERE ${cos6("a.embedding", "b.embedding")} >= 0.2
+      ORDER BY id_a, id_b""" })
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47)
 }

@@ -91,6 +91,45 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic ±1 random-hyperplane matrix for sign-LSH: plane i,
+    * component j = ±1.0f from a fixed LCG — identical literals are emitted
+    * into the DuckDB oracle, so sketches match across engines. */
+  def signPlanes(planes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(planes, dim) { (i, j) =>
+      var x = i.toLong * 1_000_003L + j * 7919L + 12345L
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17 // xorshift
+      if ((x & 1L) == 0L) 1.0f else -1.0f
+    }
+
+  /** Sign-LSH sketch: bit i = [v·rᵢ ≥ 0] over `planes` hyperplanes —
+    * cosine-similar vectors collide with probability 1 − θ/π per bit.
+    * Uses the quantized dot so the sketch is engine-reproducible. */
+  def signSketch(emb: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(graft.plans.DotQExpr(emb, lit(p)) >= 0L, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Sign-LSH near-dup: candidates share the full sketch (all `planes`
+    * bits), verified by exact cosine ≥ `threshold`. The scale path when no
+    * precomputed coarse bucket exists: one narrow sketch projection, one
+    * self-join on a 16-bit key, exact verify only on collisions. Recall
+    * follows the sign-LSH collision bound; measure against
+    * [[nearDupPairs]] at verify scale. */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+                      nPlanes: Int = 16): DataFrame = {
+    val planes = signPlanes(nPlanes, 64)
+    def side(p: String) = corpus.select(
+      col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}emb"),
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as(s"${p}norm"),
+      signSketch(col("embedding"), planes).as(s"${p}sk"))
+    side("a_").join(side("b_"),
+        col("a_sk") === col("b_sk") && col("a_id") < col("b_id"))
+      .withColumn("cos", pairCos(col("a_emb"), col("a_norm"), col("b_emb"), col("b_norm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Bucket-pruned near-dup: pairs restricted to the same coarse bucket —
     * the n² cross join becomes Σ bucketᵢ², the production dedup shape at
     * 100 TB (bucket = quantizer/LSH cell). */
