@@ -534,7 +534,35 @@ object RelQueries {
         MIN(value) AS vmin, MAX(value) AS vmax
       FROM u GROUP BY metric ORDER BY metric"""))
 
+  // q48 — frame windows + lag: daily totals with running total
+  // (unbounded-preceding frame) and day-over-day delta. The window runs
+  // over the agg result (day-count-sized), not the fact table.
+  private val q48 = Q(
+    "q48_running_totals",
+    (s, dir) => {
+      val monthly = tbl(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("mes"))
+        .agg(Det.dsum(col("value")).as("total"))
+      val w = Window.orderBy("mes")
+      monthly
+        .withColumn("running_total",
+          Det.roundAt(sum("total").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .withColumn("mom_delta", Det.roundAt(
+          coalesce(col("total") - lag("total", 1).over(w), lit(0.0)), 4))
+        .select(col("mes"), Det.roundAt(col("total"), 4).as("total"),
+          col("running_total"), col("mom_delta"))
+        .orderBy("mes")
+    },
+    Some {
+      val total = "CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)"
+      s"""WITH m AS (SELECT strftime(ts, '%Y-%m-%d') AS mes, $total AS total
+        FROM events GROUP BY 1)
+      SELECT mes, ${Det.roundAtSql("total", 4)} AS total,
+        ${Det.roundAtSql("SUM(total) OVER (ORDER BY mes ROWS UNBOUNDED PRECEDING)", 4)} AS running_total,
+        ${Det.roundAtSql("COALESCE(total - lag(total, 1) OVER (ORDER BY mes), 0.0)", 4)} AS mom_delta
+      FROM m ORDER BY mes""" })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46)
+    q40, q41, q42, q43, q46, q48)
 }
