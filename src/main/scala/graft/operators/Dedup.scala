@@ -160,8 +160,11 @@ object Dedup {
     *
     * Input columns (id_a, id_b); output (id, cluster). */
   def clusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize pairs BEFORE the union — otherwise both union branches
+    // re-derive the (expensive) pair pipeline independently
+    val p = pairs.localCheckpoint(false)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
