@@ -19,12 +19,21 @@ object Bench {
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    headline.foreach(time) // warm-up pass: JIT + parquet footer cache
-    val results = headline.map(q => q.name -> time(q))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cold = headline.map(q => q.name -> time(q)) // first pass: JIT + parquet footer cache cold
+    val warm = headline.map(q => q.name -> time(q))
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = warm.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(warm)},"cold_total":$coldTotal,"cold_queries":${toJson(cold)},"sf":"$sfDir"}"""
+    // The driver parses stdout, but sbt interleaves [info]/log noise — also
+    // write the line to a file so the result is machine-readable either way.
+    val outPath = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

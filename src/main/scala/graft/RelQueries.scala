@@ -168,7 +168,7 @@ object RelQueries {
                o_totalprice > q3 + (q3 - q1) * 1.5) AS is_out
             FROM orders CROSS JOIN q)
       SELECT COUNT(*) AS n_rows,
-        SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS n_outliers,
+        CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         floor(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) * 100.0 / COUNT(*) * 10000 + 0.5) / 10000 AS outlier_pct,
         MIN(CASE WHEN is_out THEN o_totalprice END) AS out_min,
         MAX(CASE WHEN is_out THEN o_totalprice END) AS out_max
@@ -222,7 +222,7 @@ object RelQueries {
     (s, dir) => Profile.nullProfile(tbl(s, dir, "orders"), orderCols)
       .orderBy("column"),
     Some("SELECT * FROM (" + orderCols.map(c =>
-      s"""SELECT '$c' AS "column", SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+      s"""SELECT '$c' AS "column", CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
           floor((COUNT(*) - SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)) * 100.0 / COUNT(*) * 100 + 0.5) / 100 AS completeness_pct
           FROM orders""").mkString(" UNION ALL ") + """) ORDER BY "column""""))
 
@@ -274,12 +274,12 @@ object RelQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
         sum(CleanFns.boolBin(col("k")).cast("long")).as("n_one"),
-        sum(col("k").cast("long")).as("sum_k"))
+        sum(col("k").try_cast("long")).as("sum_k"))
       .orderBy("event_type"),
     Some("""SELECT event_type, COUNT(*) AS cnt,
-      SUM(CASE WHEN lower(trim(json_extract_string(props, '$.k'))) IN ('t','true','1','yes','si')
-               THEN 1 ELSE 0 END) AS n_one,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      CAST(SUM(CASE WHEN lower(trim(json_extract_string(props, '$.k'))) IN ('t','true','1','yes','si')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_one,
+      CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   // q17 — P11/P14 text cleanup + length profile over customer names.
@@ -305,7 +305,7 @@ object RelQueries {
     },
     Some("""SELECT COUNT(*) AS cnt,
       CAST(SUM(CAST(COALESCE(CAST(regexp_replace(printf('$%.2f', o_totalprice), '[$,]', '', 'g') AS DOUBLE), 0.0) AS DECIMAL(28,2))) AS DOUBLE) AS sum_parsed,
-      SUM(CASE WHEN COALESCE(CAST(regexp_replace(printf('$%.2f', o_totalprice), '[$,]', '', 'g') AS DOUBLE), 0.0) <> o_totalprice THEN 1 ELSE 0 END) AS n_mismatch
+      CAST(SUM(CASE WHEN COALESCE(CAST(regexp_replace(printf('$%.2f', o_totalprice), '[$,]', '', 'g') AS DOUBLE), 0.0) <> o_totalprice THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
       FROM orders"""))
 
   // q19 — P7 permissive date parsing round-trip over formatted o_orderdate.
@@ -323,7 +323,7 @@ object RelQueries {
     Some("""SELECT CAST(year(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS BIGINT) AS año,
       COUNT(*) AS cnt,
       MIN(strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y-%m-%d')) AS first_day,
-      SUM(CASE WHEN strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS n_unparsed
+      CAST(SUM(CASE WHEN strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
       FROM orders GROUP BY 1 ORDER BY año"""))
 
   // q20 — union + except set ops: order keys seen in lineitem but not in
@@ -508,7 +508,7 @@ object RelQueries {
         col(s"`$p`").as(s"p${p.charAt(0)}")): _*)
       .orderBy("o_orderstatus"),
     Some("SELECT o_orderstatus, " + priorities.map(p =>
-      s"SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS p${p.charAt(0)}")
+      s"CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS p${p.charAt(0)}")
       .mkString(", ") +
       " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
 

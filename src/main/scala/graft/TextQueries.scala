@@ -134,7 +134,7 @@ object TextQueries {
                $winner END AS pred_lang
         FROM documents)
       SELECT pred_lang, COUNT(*) AS cnt,
-        SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct
+        CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
       FROM scored GROUP BY pred_lang ORDER BY pred_lang""" })
 
   // q26 — quality scoring per (lang, source): deterministic closed-form
@@ -160,7 +160,7 @@ object TextQueries {
       s"""WITH scored AS (SELECT lang, $q AS q FROM documents)
       SELECT lang, COUNT(*) AS cnt,
         ${Det.roundAtSql("CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS avg_quality,
-        SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS n_high
+        CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM scored GROUP BY lang ORDER BY lang""" })
 
   // q27 — token counting: whitespace tokens + BPE-ish subword units per
@@ -227,9 +227,9 @@ object TextQueries {
       val sent = s"${hits(graft.functions.CleanFns.DefaultPositive)} - ${hits(graft.functions.CleanFns.DefaultNegative)}"
       s"""WITH s AS (SELECT $sent AS sent FROM documents)
       SELECT COUNT(*) AS cnt, CAST(SUM(sent) AS BIGINT) AS sum_sent,
-        SUM(CASE WHEN sent > 0 THEN 1 ELSE 0 END) AS n_pos,
-        SUM(CASE WHEN sent < 0 THEN 1 ELSE 0 END) AS n_neg,
-        SUM(CASE WHEN sent = 0 THEN 1 ELSE 0 END) AS n_neu
+        CAST(SUM(CASE WHEN sent > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(SUM(CASE WHEN sent < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        CAST(SUM(CASE WHEN sent = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neu
       FROM s""" })
 
   // q39 — dedup clusters: q22's LSH pairs → connected components → the

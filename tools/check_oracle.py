@@ -7,7 +7,8 @@ runs the SQL in DuckDB against the sfDir tables, sorts columns by name, and
 compares shapes and values (exact; floats bitwise + tolerance fallback report).
 NOT part of the Scala library — used only to validate oracle parity locally.
 """
-import json, sys, glob, os
+import json, sys, glob, os, warnings
+warnings.filterwarnings("ignore", category=FutureWarning)
 import duckdb
 import pandas as pd
 import numpy as np
@@ -29,7 +30,17 @@ for qname, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"FAIL {qname}: read spark output: {e}"); fail += 1; continue
     try:
-        duck_df = con.sql(sql).df()
+        rel = con.sql(sql)
+        # Guard: DuckDB types bare SUM(int) as HUGEINT (int128), which the
+        # driver's hash serializes differently from Spark's BIGINT even when
+        # values are identical — the round-1 failure class. Authored oracles
+        # must CAST such outputs to BIGINT.
+        huge = [c for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()]
+        if huge:
+            print(f"FAIL {qname}: oracle emits HUGEINT column(s) {huge} — wrap in CAST(... AS BIGINT)")
+            fail += 1; continue
+        duck_df = rel.df()
     except Exception as e:
         print(f"FAIL {qname}: duckdb error: {e}"); fail += 1; continue
     a = spark_df.reindex(sorted(spark_df.columns), axis=1).reset_index(drop=True)
@@ -38,6 +49,9 @@ for qname, sql in sorted(oracle.items()):
         print(f"FAIL {qname}: columns {list(a.columns)} vs {list(b.columns)}"); fail += 1; continue
     if a.shape != b.shape:
         print(f"FAIL {qname}: shape {a.shape} vs {b.shape}"); fail += 1; continue
+    for c in a.columns:
+        if a[c].dtype.kind != b[c].dtype.kind:
+            print(f"WARN {qname}: col {c} dtype spark={a[c].dtype} vs duckdb={b[c].dtype}")
     ok = True
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
