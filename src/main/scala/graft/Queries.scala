@@ -30,7 +30,7 @@ object Queries {
   }
 
   lazy val all: Seq[Q] =
-    RelQueries.all ++ TextQueries.all ++ VecQueries.all
+    RelQueries.all ++ TextQueries.all ++ VecQueries.all ++ CleanQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
