@@ -27,9 +27,10 @@ object VecQueries {
   }
   private def cos6(a: String, b: String) = Det.roundAtSql(cosQSql(a, b), 6)
 
-  /** Query set: every 100th vector — scales with the corpus (5 queries at
-    * sf0.01, 50 at sf0.1). */
-  private val isQuery = "vec_id % 100 = 0"
+  /** Query set: every 100th vector, capped at vec_id < 5000 — a CONSTANT
+    * ≤50 queries at any scale (5 at sf0.01, 50 at sf0.1 and beyond), so
+    * the broadcast query side never grows with the corpus. */
+  private val isQuery = "vec_id % 100 = 0 AND vec_id < 5000"
 
   // q28 — brute-force cosine top-10 per query vector: broadcast the query
   // set, one scan of the corpus, rank-limited window. The exact-ANN
@@ -110,11 +111,13 @@ object VecQueries {
     None)
 
   // q47 — sign-LSH near-dup: deterministic ±1 hyperplane sketches bucket
-  // the corpus; exact-cosine verify only on sketch collisions. The oracle
-  // receives the identical plane literals, so candidate sets match.
+  // the corpus in 4×4-bit bands (any-band match → candidate, OR-amplified
+  // recall); exact-cosine verify only on collisions. The oracle receives
+  // the identical plane literals and band slicing, so candidate sets
+  // match.
   private val q47 = Q(
     "q47_embed_lsh",
-    (s, dir) => Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"), 0.2, nPlanes = 16),
+    (s, dir) => Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"), 0.2, nPlanes = 16, bands = 4),
     Some {
       val planes = Similarity.signPlanes(16, 64)
       // compact plane literal: one DOUBLE[] per plane
@@ -124,11 +127,17 @@ object VecQueries {
             i -> CAST(floor(CAST($e[i] AS DOUBLE) * (${planeLit(p)})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT) >= 0
             THEN ${1L << i} ELSE 0 END""" }
         .mkString("(", " + ", ")")
-      s"""WITH sk AS (SELECT vec_id, embedding, ${sketch("embedding")} AS sk FROM embeddings)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        ${cos6("a.embedding", "b.embedding")} AS cos
-      FROM sk a JOIN sk b ON a.sk = b.sk AND a.vec_id < b.vec_id
-      WHERE ${cos6("a.embedding", "b.embedding")} >= 0.2
+      s"""WITH sk AS (SELECT vec_id, ${sketch("embedding")} AS sk FROM embeddings),
+      bands AS (SELECT vec_id, bb.b AS band, (sk >> (4 * bb.b)) & 15 AS key
+        FROM sk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b, ${cos6("ea.embedding", "eb.embedding")} AS cos
+      FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE ${cos6("ea.embedding", "eb.embedding")} >= 0.2
       ORDER BY id_a, id_b""" })
 
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47)

@@ -109,24 +109,43 @@ object Similarity {
       when(graft.plans.DotQExpr(emb, lit(p)) >= 0L, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Sign-LSH near-dup: candidates share the full sketch (all `planes`
-    * bits), verified by exact cosine ≥ `threshold`. The scale path when no
-    * precomputed coarse bucket exists: one narrow sketch projection, one
-    * self-join on a 16-bit key, exact verify only on collisions. Recall
-    * follows the sign-LSH collision bound; measure against
-    * [[nearDupPairs]] at verify scale. */
+  /** Sign-LSH near-dup: the `nPlanes`-bit sketch is split into `bands`
+    * equal slices; candidates share ANY slice at the same position,
+    * verified by exact cosine ≥ `threshold`. Banding is what makes this a
+    * scale path: a full-sketch match collides with p_bit^16 ≈ 1e-4 at
+    * cosine 0.2 (recall collapses, and near-zero vectors pile into few
+    * sketches), while 4×4-bit bands give 1−(1−p_bit⁴)⁴ — OR-amplified
+    * recall with candidate volume still Σ bucketᵢ² per band, never O(n²).
+    * Same shuffle shape as [[graft.operators.Dedup.minhashLshPairs]]: the
+    * banded relation is slim (id, band, key) and lineage-truncated so the
+    * self-join does not re-derive the sketch per side. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
-                      nPlanes: Int = 16): DataFrame = {
+                      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    require(nPlanes % bands == 0, "bands must divide nPlanes")
+    val bits = nPlanes / bands
+    val mask = (1L << bits) - 1
     val planes = signPlanes(nPlanes, 64)
-    def side(p: String) = corpus.select(
-      col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}emb"),
-      graft.plans.DotQExpr(col("embedding"), col("embedding")).as(s"${p}norm"),
-      signSketch(col("embedding"), planes).as(s"${p}sk"))
-    side("a_").join(side("b_"),
-        col("a_sk") === col("b_sk") && col("a_id") < col("b_id"))
+    val base = corpus.select(
+      col("vec_id"), col("embedding"),
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as("norm"),
+      signSketch(col("embedding"), planes).as("sk"))
+    val banded = base.select(col("vec_id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sk"), b * bits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "key")))
+      .localCheckpoint(false)
+    val cand = banded.select(col("band"), col("key"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("vec_id").as("id_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    def side(p: String) = base.select(
+      col("vec_id").as(s"id_$p"), col("embedding").as(s"${p}_emb"),
+      col("norm").as(s"${p}_norm"))
+    cand.join(side("a"), "id_a").join(side("b"), "id_b")
       .withColumn("cos", pairCos(col("a_emb"), col("a_norm"), col("b_emb"), col("b_norm")))
       .filter(col("cos") >= threshold)
-      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
 
