@@ -37,6 +37,19 @@ final class JsonSource(dir: String) extends Source {
   }
 }
 
+/** JDBC source — S4's SQL read-back of the sink (carga.py:103-104, nb
+  * cell 3): `spark.read.jdbc` against any JDBC URL, partitionable via the
+  * standard partitionColumn options for parallel reads at scale. Absent
+  * table → empty frame, matching the absent-collection rule. Tests use
+  * the embedded Derby driver (this environment's stand-in for the
+  * reference's SQLite file DB — same embedded-database shape). */
+final class JdbcSource(url: String, props: java.util.Properties = new java.util.Properties)
+    extends Source {
+  def load(spark: SparkSession, name: String): DataFrame =
+    try spark.read.jdbc(url, name, props)
+    catch { case _: Exception => spark.emptyDataFrame }
+}
+
 object Sinks {
   /** S5 sink rule (carga.py:34-47): drop Mongo `_id`, stringify every
     * string column with nulls becoming the literal 'nan' (the pandas
@@ -80,6 +93,14 @@ object Sinks {
     Files.writeString(Paths.get(s"$outDir/csv_${name}_resumen.json"), resumen)
     path
   }
+
+  /** S5 over real JDBC (carga.py:34-58): sink-form rules applied, then a
+    * distributed `write.jdbc` (each partition opens its own connection —
+    * no driver-side collect). Overwrite drops and recreates the table,
+    * the reference's if_exists='replace'. */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties): Unit =
+    sinkForm(df).write.mode("overwrite").jdbc(url, table, props)
 
   /** S7 verification (carga.py:95-121): read every sink back, count. */
   def verify(spark: SparkSession, outDir: String, names: Seq[String]): Map[String, Long] =
