@@ -22,6 +22,26 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
+    registerCapMetricsLogger(spark)
     spark
   }
+
+  /** WARN-log any LSH mega-bucket drops surfaced through the operators'
+    * `observe` metrics (`<tag>_cap` — see `Dedup.capBuckets`): capping is
+    * deterministic but must never be silent. */
+  private def registerCapMetricsLogger(spark: SparkSession): Unit =
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private val log = org.slf4j.LoggerFactory.getLogger("graft.lsh.cap")
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.endsWith("_cap") && row.getAs[Long]("rows_in_dropped_buckets") > 0L)
+            log.warn(s"$name: dropped ${row.getAs[Long]("rows_in_dropped_buckets")} rows " +
+              s"in over-cap buckets (largest bucket ${row.getAs[Long]("max_bucket")})")
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
 }

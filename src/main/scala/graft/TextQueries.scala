@@ -33,6 +33,29 @@ object TextQueries {
   private def jaccardSql(a: String, b: String) =
     Det.roundAtSql(s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct(list_concat($a, $b)))", 6)
 
+  /** Shared CTE chain mirroring Dedup.minhashLshPairs(32, 8, 3): word
+    * 3-shingles → 32-hash signature → 8 band keys → banded self-join →
+    * `cand` (id_a, sh_a, id_b, sh_b). Used by q22 / q39 / q53 so all
+    * three oracles derive the IDENTICAL candidate set. */
+  private def minhashCtes: String = {
+    val p = Dedup.MinhashP
+    val sigList = Dedup.minhashSeeds(32).map { case (a, b) =>
+      s"list_min(list_transform(hb, h -> (h * $a + $b) % $p))"
+    }.mkString("[", ", ", "]")
+    val bandHash = hSql(
+      "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
+    s"""docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
+        hashed AS (SELECT doc_id, sh,
+          list_transform(sh, x -> ${hSql("x")} % $p) AS hb FROM docs),
+        signed AS (SELECT doc_id, sh, $sigList AS sig FROM hashed),
+        keyed AS (SELECT doc_id, sh,
+          list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
+        banded AS (SELECT doc_id, sh, bb.range AS band, keys[bb.range + 1] AS key
+          FROM keyed CROSS JOIN range(0, 8) AS bb),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
+          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)"""
+  }
+
   // q21 — exact dedup via content fingerprint: one groupBy on a 60-bit
   // hash; the whole-corpus exact-dedup shape (never full-text compares).
   private val q21 = Q(
@@ -52,26 +75,10 @@ object TextQueries {
     "q22_minhash_lsh",
     (s, dir) => Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
       numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5),
-    Some {
-      val p = Dedup.MinhashP
-      val sigList = Dedup.minhashSeeds(32).map { case (a, b) =>
-        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p))"
-      }.mkString("[", ", ", "]")
-      val bandHash = hSql(
-        "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
-      s"""WITH docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
-        hashed AS (SELECT doc_id, sh,
-          list_transform(sh, x -> ${hSql("x")} % $p) AS hb FROM docs),
-        signed AS (SELECT doc_id, sh, $sigList AS sig FROM hashed),
-        keyed AS (SELECT doc_id, sh,
-          list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
-        banded AS (SELECT doc_id, sh, bb.range AS band, keys[bb.range + 1] AS key
-          FROM keyed CROSS JOIN range(0, 8) AS bb),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
-          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+    Some(s"""WITH $minhashCtes
         SELECT id_a, id_b, ${jaccardSql("sh_a", "sh_b")} AS jaccard
         FROM cand WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5
-        ORDER BY id_a, id_b""" },
+        ORDER BY id_a, id_b"""),
     headline = true)
 
   // q23 — SimHash near-dup pairs: 32-bit sketch over word 3-shingles,
@@ -243,27 +250,20 @@ object TextQueries {
         numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
       val cl = Dedup.clusters(pairs)
       val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      // corpus size joins in as a broadcast scalar — plan construction
+      // stays side-effect-free (no eager count) and the count's scan
+      // fuses into the lazy plan
+      val total = docs.agg(count(lit(1)).as("__total"))
       sizes.agg(
-        count(lit(1)).as("n_clusters"),
-        sum(col("sz")).as("n_clustered_docs"),
-        max(col("sz")).as("max_cluster"),
-        (lit(docs.count()) - sum(col("sz")) + count(lit(1))).as("n_after_dedup"))
+          count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_clustered_docs"),
+          max(col("sz")).as("max_cluster"))
+        .crossJoin(broadcast(total))
+        .select(col("n_clusters"), col("n_clustered_docs"), col("max_cluster"),
+          (col("__total") - col("n_clustered_docs") + col("n_clusters")).as("n_after_dedup"))
     },
     Some {
-      val p = Dedup.MinhashP
-      val sigList = Dedup.minhashSeeds(32).map { case (a, b) =>
-        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p))"
-      }.mkString("[", ", ", "]")
-      val bandHash = hSql(
-        "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
-      s"""WITH docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
-        hashed AS (SELECT doc_id, sh, list_transform(sh, x -> ${hSql("x")} % $p) AS hb FROM docs),
-        signed AS (SELECT doc_id, sh, $sigList AS sig FROM hashed),
-        keyed AS (SELECT doc_id, sh, list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
-        banded AS (SELECT doc_id, sh, bb.range AS band, keys[bb.range + 1] AS key
-          FROM keyed CROSS JOIN range(0, 8) AS bb),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
-          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id),
+      s"""WITH $minhashCtes,
         pairs AS (SELECT id_a, id_b FROM cand
           WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -316,5 +316,45 @@ object TextQueries {
         CAST(MAX(n) AS BIGINT) AS cnt
       FROM votes GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44, q45)
+  // q53 — LSH recall, driver-checked: brute-force word-3-shingle Jaccard
+  // ≥ 0.5 (ground truth, O(n²) — verify scale only) vs the banded LSH
+  // pipeline of q22, joined pair-for-pair. Both sides are deterministic,
+  // so "the LSH approximates well" is a CORRECTNESS row, not a spec-only
+  // claim. LSH verification applies the same Jaccard predicate, so
+  // n_common should equal n_lsh (candidates are a subset) — the join
+  // computes it honestly rather than assuming the subset property.
+  private val q53 = Q(
+    "q53_lsh_recall",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val brute = Dedup.wordJaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        .select(col("id_a").as("l_a"), col("id_b").as("l_b"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      brute.join(lsh, col("id_a") === col("l_a") && col("id_b") === col("l_b"), "left")
+        .agg(
+          count(lit(1)).as("n_brute"),
+          sum(col("l_a").isNotNull.cast("long")).as("n_common"))
+        .crossJoin(broadcast(nLsh))
+        .select(col("n_brute"), col("n_lsh"), col("n_common"),
+          Det.roundAt(col("n_common").cast("double") / col("n_brute"), 6).as("recall"))
+    },
+    Some(s"""WITH $minhashCtes,
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        brute AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+          WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5),
+        counts AS (SELECT
+          (SELECT COUNT(*) FROM brute) AS n_brute,
+          (SELECT COUNT(*) FROM pairs) AS n_lsh,
+          (SELECT COUNT(*) FROM brute t JOIN pairs p
+             ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_common)
+      SELECT n_brute, n_lsh, n_common,
+        ${Det.roundAtSql("n_common * 1.0 / n_brute", 6)} AS recall
+      FROM counts"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44, q45, q53)
 }

@@ -3,6 +3,7 @@ package graft
 import graft.functions.Det
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Embedding / similarity-search workload over the `embeddings` table
   * (`vec_id bigint, embedding array<float>, label int`): brute-force
@@ -96,19 +97,39 @@ object VecQueries {
       ORDER BY id_a, id_b"""))
 
   // q36 — the 100 TB sketch path: approx_percentile (t-digest-style, no
-  // per-group value collection) and HLL distinct counts. Approximate by
-  // design → no SQL oracle (driver records a rows-only check); the exact
-  // counterparts q07/q08 remain the correctness anchors.
+  // per-group value collection) and HLL distinct counts. The sketches are
+  // approximate by design, so the oracle checks BOUNDS, not values: the
+  // query emits the exact anchors plus booleans asserting each sketch
+  // lands inside its band (HLL within ±2% of the exact distinct count at
+  // rsd 0.01; approx_percentile, whose rank error is ≤ n/1000, inside the
+  // exact p45–p55 / p98.5–p99.5 rank bands). DuckDB recomputes the exact
+  // anchors and expects every bound flag TRUE — a sketch drifting out of
+  // band flips a boolean and fails the hash compare.
   private val q36 = Q(
     "q36_approx_sketches",
     (s, dir) => {
       val li = tbl(s, dir, "lineitem")
       li.agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-        approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99"))
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("__hll"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+            .cast(DoubleType).as("__amed"),
+          approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
+            .cast(DoubleType).as("__ap99"),
+          percentile(col("l_extendedprice"), lit(0.45)).as("__p45"),
+          percentile(col("l_extendedprice"), lit(0.55)).as("__p55"),
+          percentile(col("l_extendedprice"), lit(0.985)).as("__p985"),
+          percentile(col("l_extendedprice"), lit(0.995)).as("__p995"))
+        .select(
+          col("exact_orders"),
+          (abs(col("__hll") - col("exact_orders")).cast(DoubleType) /
+            col("exact_orders") <= 0.02).as("orders_ok"),
+          (col("__amed") >= col("__p45") && col("__amed") <= col("__p55")).as("median_ok"),
+          (col("__ap99") >= col("__p985") && col("__ap99") <= col("__p995")).as("p99_ok"))
     },
-    None)
+    Some("""SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      TRUE AS orders_ok, TRUE AS median_ok, TRUE AS p99_ok
+      FROM lineitem"""))
 
   // q47 — sign-LSH near-dup: deterministic ±1 hyperplane sketches bucket
   // the corpus in 4×4-bit bands (any-band match → candidate, OR-amplified

@@ -176,20 +176,40 @@ object CleanFns {
     "Other"       -> "Otro")
 
   // ── P13: title case (transformacion.py:367-368) ──────────────────────
-  /** pandas str.title() parity: uppercase every alpha that follows a
-    * non-alpha (or start), lowercase the rest — `initcap` only splits on
-    * whitespace so "o'neil" would differ. The one genuine UDF in the
-    * library; keep it off hot paths. */
+  /** pandas str.title() parity: titlecase every character that follows a
+    * non-CASED character (or start), lowercase the rest — `initcap` only
+    * splits on whitespace so "o'neil" would differ. Word boundaries use
+    * Python's cased test (Lu/Ll/Lt + Other_Lower/Uppercase — so "漢a" →
+    * "漢A": a letter that isn't cased doesn't end a word), and the
+    * word-start mapping is the FULL titlecase mapping ("ß" → "Ss",
+    * "ﬁne" → "Fine"), which Java's char-level Character.toTitleCase
+    * can't expand — detect expansion via the string uppercase mapping.
+    * The one genuine UDF in the library; keep it off hot paths. */
   val titleCase: Column => Column = {
     val f = udf { s: String =>
       if (s == null) null
       else {
         val sb = new java.lang.StringBuilder(s.length)
-        var prevAlpha = false
-        s.foreach { ch =>
-          val isAlpha = ch.isLetter
-          sb.append(if (isAlpha && !prevAlpha) ch.toUpper else ch.toLower)
-          prevAlpha = isAlpha
+        var prevCased = false
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          val cased = Character.isLowerCase(cp) || Character.isUpperCase(cp) ||
+            Character.isTitleCase(cp)
+          if (prevCased) {
+            // full lowercase mapping (e.g. "İ" → "i" + combining dot)
+            sb.append(new String(Character.toChars(cp)).toLowerCase(java.util.Locale.ROOT))
+          } else {
+            val up = new String(Character.toChars(cp)).toUpperCase(java.util.Locale.ROOT)
+            if (up.codePointCount(0, up.length) > 1) {
+              // multi-char expansion: titlecase = first upper + rest lower
+              val first = up.offsetByCodePoints(0, 1)
+              sb.append(up, 0, first)
+              sb.append(up.substring(first).toLowerCase(java.util.Locale.ROOT))
+            } else sb.appendCodePoint(Character.toTitleCase(cp))
+          }
+          prevCased = cased
+          i += Character.charCount(cp)
         }
         sb.toString
       }

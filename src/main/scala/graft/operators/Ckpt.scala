@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lifecycle registry for `localCheckpoint` intermediates.
+  *
+  * `Dataset.localCheckpoint(eager = false)` registers its backing RDD with
+  * the block manager immediately but nothing ever unpersists it — repeated
+  * operator invocations in one session accumulate checkpoint blocks until
+  * eviction churn (the `Block rdd_N already exists` warnings seen
+  * mid-bench). Every checkpoint in the library goes through [[local]] /
+  * [[localScoped]], which record the persisted RDD ids; entry points call
+  * [[release]] after the consuming action completes, and iterative
+  * operators ([[Dedup.clusters]]) release each round's blocks via
+  * [[releaseIds]] as soon as the next round's checkpoint is materialized.
+  *
+  * Unpersisting a locally-checkpointed RDD deletes its blocks and makes it
+  * unrecomputable (lineage is truncated) — release ONLY after the last
+  * action over frames derived from it.
+  */
+object Ckpt {
+  private val tracked = scala.collection.mutable.LinkedHashSet[Int]()
+
+  /** Lazy local checkpoint, tracked for session-level [[release]]. */
+  def local(df: DataFrame): DataFrame = localScoped(df)._1
+
+  /** Lazy local checkpoint returning the persisted RDD ids it registered,
+    * for scoped early release inside iterative operators. */
+  def localScoped(df: DataFrame): (DataFrame, Set[Int]) = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(eager = false)
+    val added = sc.getPersistentRDDs.keySet.toSet -- before
+    tracked ++= added
+    (out, added)
+  }
+
+  /** Unpersist a specific checkpoint's blocks (safe once every consumer of
+    * that checkpoint has run or been checkpointed itself). */
+  def releaseIds(spark: SparkSession, ids: Set[Int]): Unit = synchronized {
+    val persistent = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
+    tracked --= ids
+  }
+
+  /** Unpersist every tracked checkpoint — call after a query's terminal
+    * action (Verify writes, Bench passes, test assertions). */
+  def release(spark: SparkSession): Unit = synchronized {
+    releaseIds(spark, tracked.toSet)
+  }
+}

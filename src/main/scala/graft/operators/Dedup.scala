@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{Det, TextFns}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,6 +23,34 @@ import org.apache.spark.sql.types._
   * ever collects to the driver, and no O(n²) stage exists in the LSH path.
   */
 object Dedup {
+
+  /** Mega-bucket guard shared by the LSH pair generators. Boilerplate text
+    * (license headers, templated pages) lands thousands of docs on one
+    * (band, key) — locally O(b²) candidate explosion at corpus scale. The
+    * per-bucket size is a window count over the banding shuffle's own key
+    * (no extra join); rows in buckets over `maxBucket` are DROPPED, not
+    * salted — salting would split a bucket and silently change the
+    * candidate set per run, dropping is deterministic and auditable. The
+    * drop is never silent: `lhs` carries an `observe` metric
+    * (`<tag>_cap`: rows_in_dropped_buckets, max_bucket) that
+    * [[graft.GraftSession]]'s listener WARN-logs on any direct action.
+    * Returns (observed lhs, plain rhs) — the metric sits on one join side
+    * only so the self-join never duplicates the CollectMetrics name. */
+  private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
+                                    tag: String): (DataFrame, DataFrame) = {
+    // The window count rides the banding shuffle's own (band, key)
+    // partitioning; checkpointing AFTER it materializes sizes once and
+    // preserves the partitioning (LogicalRDD keeps outputPartitioning), so
+    // the downstream self-join re-reads co-located blocks, shuffle-free.
+    val counted = Ckpt.local(banded.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy("band", "key"))))
+    val keep = col("__bn") <= maxBucket
+    val lhs = counted.observe(s"${tag}_cap",
+        sum(when(!keep, 1L).otherwise(0L)).as("rows_in_dropped_buckets"),
+        max(col("__bn")).as("max_bucket"))
+      .filter(keep).drop("__bn")
+    (lhs, counted.filter(keep).drop("__bn"))
+  }
 
   /** Exact-duplicate profile via content fingerprints: one groupBy on a
     * 60-bit fingerprint — the scale path for whole-corpus exact dedup
@@ -75,29 +104,33 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, Jaccard rounded to 6.
     * Deterministic end-to-end: both candidate generation (identical band
-    * keys) and verification (integer set sizes) are engine-portable. */
+    * keys) and verification (integer set sizes) are engine-portable.
+    * Buckets over `maxBucket` rows are dropped (see [[capBuckets]]) —
+    * sized so the cap never fires at verify scale and only sheds
+    * boilerplate mega-buckets at corpus scale. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8,
-                      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+                      shingleN: Int = 3, threshold: Double = 0.5,
+                      maxBucket: Int = 100000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val docs = df.select(
       col(idCol).as("id"),
       TextFns.wordShingles(col(textCol), shingleN).as("sh"))
     // Signature from precomputed shingles (avoid re-shingling 32×). The
     // banded relation is slim — (id, band, key) only, no shingle arrays —
-    // and lineage-truncated before the self-join: otherwise BOTH join
-    // sides re-derive the full 32-hash signature pipeline (measured 30×
-    // slower at sf0.1). At cluster scale the same holds: materialize the
-    // bands×docs relation (persist/exchange), never recompute signatures
-    // per join side.
+    // and lineage-truncated (inside capBuckets) before the self-join:
+    // otherwise BOTH join sides re-derive the full 32-hash signature
+    // pipeline (measured 30× slower at sf0.1). At cluster scale the same
+    // holds: materialize the bands×docs relation (persist/exchange),
+    // never recompute signatures per join side.
     val banded = docs.select(col("id"),
         graft.plans.MinhashSigExpr(
           transform(col("sh"), x => TextFns.portableHash(x) % MinhashP),
           numHashes).as("sig"))
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-      .localCheckpoint(false)
-    val cand = banded.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
+    val (lhs, rhs) = capBuckets(banded, maxBucket, "minhash_lsh")
+    val cand = lhs.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(rhs.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -129,18 +162,20 @@ object Dedup {
     * recall for hamming ≤ 3 by pigeonhole); verify bit_count(xor) ≤
     * `maxHamming`. Same LSH shuffle shape as [[minhashLshPairs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
-    // Lineage-truncated for the same self-join-recompute reason as
+                   shingleN: Int = 3, maxHamming: Int = 3,
+                   maxBucket: Int = 100000): DataFrame = {
+    // The banded relation (id, 64-bit sketch, band, key) is checkpointed
+    // inside capBuckets for the same self-join-recompute reason as
     // [[minhashLshPairs]] — the 32-bit sketch costs 32 filters over the
     // shingle hashes and must not be derived once per join side.
-    val docs = df.select(col(idCol).as("id"),
-      simhash(col(textCol), shingleN).as("sh"))
-      .localCheckpoint(false)
-    val banded = docs.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), 8 * b).bitwiseAND(255L)): _*)).as(Seq("band", "key")))
-    val lhs = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val rhs = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val banded = df.select(col(idCol).as("id"),
+        simhash(col(textCol), shingleN).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), 8 * b).bitwiseAND(255L)): _*)).as(Seq("band", "key")))
+    val (l, r) = capBuckets(banded, maxBucket, "simhash")
+    val lhs = l.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val rhs = r.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     lhs.join(rhs, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -160,12 +195,13 @@ object Dedup {
     *
     * Input columns (id_a, id_b); output (id, cluster). */
   def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     // materialize pairs BEFORE the union — otherwise both union branches
     // re-derive the (expensive) pair pipeline independently
-    val p = pairs.localCheckpoint(false)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(false)
+    val (p, pIds) = Ckpt.localScoped(pairs)
+    val (edges, edgeIds) = Ckpt.localScoped(
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     // Labels only ever decrease (min-propagation), so an unchanged label
@@ -174,19 +210,27 @@ object Dedup {
     def checksum(df: DataFrame): Long =
       df.agg(sum("cluster")).collect()(0).getLong(0)
     var prev = checksum(labels)
+    var prevIds = Set.empty[Int]
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
-      labels = labels.union(msgs)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(false)
-      val cur = checksum(labels)
+      val (next, nextIds) = Ckpt.localScoped(
+        labels.union(msgs).groupBy("id").agg(min("cluster").as("cluster")))
+      labels = next
+      val cur = checksum(labels) // materializes this round's checkpoint …
+      Ckpt.releaseIds(spark, prevIds) // … so last round's blocks can go
+      prevIds = nextIds
       converged = cur == prev
       prev = cur
       rounds += 1
     }
+    // The final labels are materialized, so the pair/edge checkpoints are
+    // no longer reachable from any future action — free them now. The
+    // final round's blocks stay until the caller's terminal action, then
+    // fall to the session-level Ckpt.release.
+    Ckpt.releaseIds(spark, pIds ++ edgeIds)
     labels
   }
 
@@ -202,9 +246,19 @@ object Dedup {
     * verification scale; at 100 TB use [[minhashLshPairs]] (this operator
     * exists precisely to measure its recall). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, threshold: Double = 0.8): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      TextFns.charShingles(col(textCol), n).as("sh"))
+                        n: Int = 5, threshold: Double = 0.8): DataFrame =
+    bruteJaccard(df.select(col(idCol).as("id"),
+      TextFns.charShingles(col(textCol), n).as("sh")), threshold)
+
+  /** Brute-force WORD n-shingle Jaccard pairs ≥ `threshold` — the exact
+    * ground truth for [[minhashLshPairs]]' recall: same shingling, same
+    * verify predicate, no banding. O(n²); verify-scale only. */
+  def wordJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    bruteJaccard(df.select(col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("sh")), threshold)
+
+  private def bruteJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

@@ -51,13 +51,21 @@ object Profile {
         max(col(c)).as("max_kept"))
   }
 
-  /** A2: value_counts top-k with share % and deterministic tie-break. */
-  def topK(df: DataFrame, c: String, k: Int): DataFrame =
-    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-      .withColumn("share_pct",
-        Det.roundAt(col("cnt") * 100.0 / sum(col("cnt")).over(), 4))
+  /** A2: value_counts top-k with share % and deterministic tie-break.
+    * The share denominator is a broadcast scalar, NOT an unpartitioned
+    * window — `sum().over()` funnels every group through one partition,
+    * which dies on a high-cardinality column at scale. The two groupBy
+    * branches are identical subplans, so the exchange is computed once
+    * and reused. */
+  def topK(df: DataFrame, c: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_pct", Det.roundAt(col("cnt") * 100.0 / col("__total"), 4))
+      .drop("__total")
       .orderBy(col("cnt").desc, col(c).asc)
       .limit(k)
+  }
 
   /** A5: exact percentiles (pandas linear interpolation ⇔ Spark
     * `percentile` ⇔ DuckDB `quantile_cont`). */

@@ -120,7 +120,8 @@ object Similarity {
     * banded relation is slim (id, band, key) and lineage-truncated so the
     * self-join does not re-derive the sketch per side. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
-                      nPlanes: Int = 16, bands: Int = 4): DataFrame = {
+                      nPlanes: Int = 16, bands: Int = 4,
+                      maxBucket: Int = 100000): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val bits = nPlanes / bands
     val mask = (1L << bits) - 1
@@ -130,12 +131,12 @@ object Similarity {
       graft.plans.DotQExpr(col("embedding"), col("embedding")).as("norm"),
       signSketch(col("embedding"), planes).as("sk"))
     val banded = base.select(col("vec_id"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("sk"), b * bits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "key")))
-      .localCheckpoint(false)
-    val cand = banded.select(col("band"), col("key"), col("vec_id").as("id_a"))
-      .join(banded.select(col("band"), col("key"), col("vec_id").as("id_b")), Seq("band", "key"))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sk"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    val (lhs, rhs) = Dedup.capBuckets(banded, maxBucket, "embed_lsh")
+    val cand = lhs.select(col("band"), col("key"), col("vec_id").as("id_a"))
+      .join(rhs.select(col("band"), col("key"), col("vec_id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{Ckpt, Dedup, Similarity}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** The two 100 TB safety rails added in round 4: the LSH mega-bucket cap
+  * (bounded candidate volume under boilerplate skew, observable drops) and
+  * the localCheckpoint unpersist lifecycle (no storage accumulation across
+  * repeated operator invocations in one session). */
+class CkptCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 200 identical boilerplate docs (one (band,key) bucket per band holds
+    * all of them) plus two genuine near-dups outside the mega-bucket. */
+  private def megaDocs = {
+    val boiler = (1 to 200).map(i =>
+      (i.toLong, "all rights reserved standard license boilerplate header text for every page"))
+    val real = Seq(
+      (1001L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1002L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    (boiler ++ real).toDF("doc_id", "text")
+  }
+
+  test("minhash maxBucket drops the mega-bucket, keeps pairs outside it") {
+    val capped = Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((1001L, 1002L)),
+      s"expected only the out-of-bucket near-dup pair, got ${capped.length} pairs")
+    Ckpt.release(spark)
+  }
+
+  test("without the cap the mega-bucket floods the pair list") {
+    val n = Dedup.minhashLshPairs(megaDocs, "doc_id", "text").count()
+    assert(n == 200L * 199 / 2 + 1) // all boilerplate pairs + the near-dup
+    Ckpt.release(spark)
+  }
+
+  test("simhash maxBucket bounds candidates the same way") {
+    val capped = Dedup.simhashPairs(megaDocs, "doc_id", "text", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists(p => p._1 <= 200L || p._2 <= 200L))
+    Ckpt.release(spark)
+  }
+
+  test("cap drops are observable, never silent") {
+    @volatile var dropped = -1L
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("minhash_lsh_cap").foreach { row =>
+          dropped = row.getAs[Long]("rows_in_dropped_buckets")
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10).count()
+      // the listener bus is async — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (dropped < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(dropped == 200L * 8, s"expected 200 rows x 8 bands in dropped buckets, saw $dropped")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      Ckpt.release(spark)
+    }
+  }
+
+  test("Ckpt.release unpersists every checkpoint a query registered") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Dedup.minhashLshPairs(megaDocs, "doc_id", "text").count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.toSet != before,
+      "the LSH path should have registered checkpoint blocks")
+    Ckpt.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.toSet == before)
+  }
+
+  test("clusters + release leave no persistent RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val pairs = Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10)
+    val labels = Dedup.clusters(pairs)
+    assert(labels.collect().nonEmpty)
+    Ckpt.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.toSet == before)
+  }
+
+  test("embedding sign-LSH honors maxBucket") {
+    val vecs = (1 to 100).map(i => (i.toLong, Array.fill(64)(1.0f), 0)) ++
+      Seq((1001L, Array.tabulate(64)(j => if (j % 2 == 0) 1.0f else -1.0f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val n = Similarity.lshNearDupPairs(df, 0.99, maxBucket = 10).count()
+    assert(n == 0, s"identical-vector mega-bucket must be dropped, got $n pairs")
+    Ckpt.release(spark)
+  }
+}

@@ -116,6 +116,17 @@ class CleanFnsSpec extends SparkSpec {
     assert(t("2nd floor") == "2Nd Floor") // pandas quirk: alpha after digit
   }
 
+  // P13 non-ASCII parity: word boundaries are CASED characters and the
+  // word-start mapping is the full Unicode titlecase (Python semantics)
+  test("titleCase unicode parity with pandas str.title") {
+    def t(v: String) = one[String](CleanFns.titleCase(col("c")), "s" -> v)
+    assert(t("josé ángel") == "José Ángel")
+    assert(t("straße") == "Straße")    // ß mid-word stays ß
+    assert(t("ßeta") == "Sseta")       // ß at word start expands to Ss
+    assert(t("ǳur") == "ǲur")          // digraph gets TITLEcase ǲ, not Ǳ
+    assert(t("漢a字b") == "漢A字B")     // uncased letters don't end a word
+  }
+
   // P14/§1.3(5) — null comment → 'nan' string of length 3
   test("commentClean null becomes literal nan") {
     assert(one[String](CleanFns.commentClean(col("c")), "ns" -> null) == "nan")
