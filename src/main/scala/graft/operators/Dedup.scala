@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.{Det, TextFns}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,18 +37,29 @@ object Dedup {
     * only so the self-join never duplicates the CollectMetrics name. */
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
                                     tag: String): (DataFrame, DataFrame) = {
-    // The window count rides the banding shuffle's own (band, key)
-    // partitioning; checkpointing AFTER it materializes sizes once and
-    // preserves the partitioning (LogicalRDD keeps outputPartitioning), so
-    // the downstream self-join re-reads co-located blocks, shuffle-free.
-    val counted = Ckpt.local(banded.withColumn("__bn",
-      count(lit(1)).over(Window.partitionBy("band", "key"))))
-    val keep = col("__bn") <= maxBucket
-    val lhs = counted.observe(s"${tag}_cap",
-        sum(when(!keep, 1L).otherwise(0L)).as("rows_in_dropped_buckets"),
-        max(col("__bn")).as("max_bucket"))
-      .filter(keep).drop("__bn")
-    (lhs, counted.filter(keep).drop("__bn"))
+    // The slim banded relation is checkpointed once (the self-join must
+    // never re-derive signatures per side). Bucket sizes come from a
+    // groupBy — partial map-side aggregation, unlike a window count which
+    // would shuffle every banded row — and only the OVER-CAP keys (at
+    // most n_rows/maxBucket of them; in practice a handful of boilerplate
+    // buckets) are broadcast into a left-anti join, so the banded rows
+    // themselves reach the candidate self-join without an extra shuffle.
+    // The observe metric rides the lhs copy only: a duplicated
+    // CollectMetrics name inside the self-join would fail analysis.
+    val ck = Ckpt.local(banded)
+    def overCap(observed: Boolean) = {
+      val o = ck.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > maxBucket)
+      if (observed)
+        o.observe(s"${tag}_cap",
+          coalesce(sum(col("__bn")), lit(0L)).as("rows_in_dropped_buckets"),
+          coalesce(max(col("__bn")), lit(0L)).as("max_bucket"))
+      else o
+    }
+    def kept(observed: Boolean) =
+      ck.join(broadcast(overCap(observed).select("band", "key")),
+        Seq("band", "key"), "left_anti")
+    (kept(observed = true), kept(observed = false))
   }
 
   /** Exact-duplicate profile via content fingerprints: one groupBy on a
