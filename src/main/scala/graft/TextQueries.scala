@@ -356,5 +356,78 @@ object TextQueries {
         ${Det.roundAtSql("n_common * 1.0 / n_brute", 6)} AS recall
       FROM counts"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44, q45, q53)
+  // q54 — winnowing (rolling-hash) fingerprint near-dup: positional char
+  // 5-gram hashes → min per 4-window → distinct prints → inverted-index
+  // self-join → overlap ≥ 0.8 (0.5 drowns in template-shared prints on
+  // this corpus: 6k pairs vs 25-34 true near-dups). The oracle re-derives
+  // the identical fingerprint sets, so the pairs match exactly.
+  private val q54 = Q(
+    "q54_winnow_neardup",
+    (s, dir) => Dedup.winnowingPairs(tbl(s, dir, "documents"), "doc_id", "text",
+      k = 5, w = 4, threshold = 0.8),
+    Some {
+      val grams = s"list_transform(range(1, greatest(length($norm) - 4, 1) + 1), i -> substr($norm, i, 5))"
+      s"""WITH hs AS (SELECT doc_id,
+          list_transform($grams, g -> ${hSql("g")}) AS hs FROM documents),
+        f AS (SELECT doc_id,
+          CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+               ELSE list_distinct(list_transform(range(1, len(hs) - 3 + 1), i -> list_min(hs[i:i+3]))) END AS fps
+          FROM hs),
+        c AS (SELECT doc_id, len(fps) AS nfp FROM f),
+        inv AS (SELECT doc_id, u.fp AS fp FROM f, unnest(fps) AS u(fp)),
+        shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+          FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        sc AS (SELECT id_a, id_b,
+          ${Det.roundAtSql("n_shared * 1.0 / least(ca.nfp, cb.nfp)", 6)} AS overlap
+          FROM shared
+          JOIN c ca ON ca.doc_id = id_a
+          JOIN c cb ON cb.doc_id = id_b)
+      SELECT id_a, id_b, overlap FROM sc WHERE overlap >= 0.8
+      ORDER BY id_a, id_b""" })
+
+  // q55 — TF-IDF top terms per source (keyword extraction): explode
+  // tokens, per-(source, token) tf, per-token document frequency, score
+  // tf·(n/df). The idf is LINEAR (n/df), not log — ln() is not
+  // bit-identical across libm implementations, while integer-ratio
+  // division is IEEE-exact in both engines; ranking for fixed tf is
+  // monotone in df either way, and a production pipeline can swap a log
+  // idf in where cross-engine hashes are not required. One explode + two
+  // aggregates + a per-source WindowGroupLimit top-5 — no O(n²), no
+  // driver loop.
+  private val q55 = Q(
+    "q55_tfidf_topk",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val t = docs.select(col("doc_id"), col("source"),
+        explode(TextFns.tokens(col("text"))).as("token"))
+      val tf = t.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = t.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("tfidf"), asc("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", Det.roundAt(
+          col("tf").cast("double") * (col("__n").cast("double") / col("df").cast("double")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("source", "token", "tf", "df", "tfidf", "rank")
+        .orderBy("source", "rank")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, u.token AS token
+          FROM documents, unnest($toks) AS u(token)),
+        tf AS (SELECT source, token, COUNT(*) AS tf FROM t GROUP BY source, token),
+        dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (SELECT source, token, tf, df,
+          ${Det.roundAtSql("CAST(tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE))", 6)} AS tfidf
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        r AS (SELECT source, token, tf, df, tfidf,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, token ASC) AS rank
+          FROM scored)
+      SELECT source, token, tf, df, tfidf, rank FROM r WHERE rank <= 5
+      ORDER BY source, rank"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44, q45, q53, q54, q55)
 }

@@ -64,6 +64,28 @@ object TextFns {
     * compare.) */
   def fingerprint(c: Column): Column = portableHash(normText(c))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash every
+    * POSITIONAL char `k`-gram of the normalized text (a rolling k-gram
+    * window — unlike [[charShingles]] these keep position and duplicates),
+    * then keep the minimum hash of each window of `w` consecutive gram
+    * hashes, distinct. Guarantees every shared substring of length
+    * ≥ k + w − 1 contributes at least one shared fingerprint, with ~1/w
+    * of the grams retained — the document-fingerprinting scale path:
+    * near-dup detection joins on fingerprints (inverted index), never
+    * compares texts. Texts shorter than k + w − 1 chars yield the single
+    * minimum. Engine-portable: md5 gram hashes, min/distinct set ops. */
+  def winnowingFingerprints(c: Column, k: Int = 5, w: Int = 4): Column =
+    bindOnce(bindOnce(normText(c)) { t =>
+      transform(
+        sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+        i => portableHash(substring(t, i, lit(k))))
+    }) { hs =>
+      val nWin = size(hs) - (w - 1)
+      when(nWin <= lit(0), array(array_min(hs)))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), nWin), i => array_min(slice(hs, i, lit(w))))))
+    }
+
   // ── shingles ─────────────────────────────────────────────────────────
   /** Word n-gram shingles (array<string>), distinct, from normalized
     * text. Documents shorter than n words yield their full text as the

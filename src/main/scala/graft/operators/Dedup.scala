@@ -268,6 +268,41 @@ object Dedup {
     bruteJaccard(df.select(col(idCol).as("id"),
       TextFns.wordShingles(col(textCol), shingleN).as("sh")), threshold)
 
+  /** Winnowing near-duplicate pairs: rolling-hash fingerprints
+    * ([[TextFns.winnowingFingerprints]]) joined through an inverted index
+    * — explode (fingerprint, id), self-join on the fingerprint, count
+    * shared prints per pair, keep pairs whose overlap
+    * `n_shared / min(|fp_a|, |fp_b|)` ≥ `threshold`.
+    *
+    * The scale shape is the same as [[minhashLshPairs]]: candidate volume
+    * is Σ bucketᵢ² over fingerprint buckets (never O(n²)), mega-buckets
+    * (a fingerprint shared by half the corpus — boilerplate) are bounded
+    * by the same `maxBucket` guard, and texts are never compared — only
+    * 60-bit hashes travel through the shuffle. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, w: Int = 4, threshold: Double = 0.5,
+                     maxBucket: Int = 100000): DataFrame = {
+    // fingerprints computed once into a checkpoint: the explode, the
+    // per-doc counts, and both join sides all read it back
+    val docs = Ckpt.local(df.select(col(idCol).as("id"),
+      TextFns.winnowingFingerprints(col(textCol), k, w).as("fps")))
+    val counts = docs.select(col("id"), size(col("fps")).as("nfp"))
+    val inv = docs.select(col("id"), explode(col("fps")).as("key"), lit(0).as("band"))
+    val (lhs, rhs) = capBuckets(inv, maxBucket, "winnow")
+    val shared = lhs.select(col("key"), col("id").as("id_a"))
+      .join(rhs.select(col("key"), col("id").as("id_b")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col("id").as("id_a"), col("nfp").as("nfp_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("nfp").as("nfp_b")), "id_b")
+      .withColumn("overlap", Det.roundAt(
+        col("n_shared").cast(DoubleType) / least(col("nfp_a"), col("nfp_b")), 6))
+      .filter(col("overlap") >= threshold)
+      .select("id_a", "id_b", "overlap")
+      .orderBy("id_a", "id_b")
+  }
+
   private def bruteJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))

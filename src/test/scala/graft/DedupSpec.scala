@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnowingPairs: exact dup at overlap 1.0, near dup found, unrelated excluded") {
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text", k = 5, w = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0)) // exact dup
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5))  // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))               // unrelated
+    graft.operators.Ckpt.release(spark)
+  }
+
   test("embedding near-dup and brute top-k rank by quantized cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),

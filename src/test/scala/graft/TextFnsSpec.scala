@@ -52,6 +52,21 @@ class TextFnsSpec extends SparkSpec {
     assert(one[String](TextFns.langId(col("c")), "word the word el word") == "unknown")
   }
 
+  test("winnowingFingerprints: deterministic, shared-substring guarantee, short-text floor") {
+    def fps(v: String) =
+      one[scala.collection.Seq[Long]](TextFns.winnowingFingerprints(col("c"), 5, 4), v).toSet
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert(fps(a) == fps(a)) // deterministic
+    // winnowing guarantee: any shared substring of length >= k+w-1 (8)
+    // yields at least one shared fingerprint
+    val b = "completely different prefix text but jumps over the lazy dog too"
+    assert(fps(a).intersect(fps(b)).nonEmpty)
+    // ~1/w of the grams survive as prints
+    assert(fps(a).size < a.length - 4)
+    // below k+w-1 chars: single minimum
+    assert(fps("abc").size == 1 && fps("").size == 1)
+  }
+
   test("qualityScore is in [0,1] and rewards word-shaped text") {
     val good = one[Double](TextFns.qualityScore(col("c")),
       "This is a reasonably long sentence made of ordinary words that flows well together okay")
