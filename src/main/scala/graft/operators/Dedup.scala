@@ -139,14 +139,32 @@ object Dedup {
           numHashes).as("sig"))
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
     val (lhs, rhs) = capBuckets(banded, maxBucket, "minhash_lsh")
-    val cand = lhs.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(rhs.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    // Candidates are checkpointed (slim: two ids/row) so the id-set
+    // extraction and both verify joins read one materialization of the
+    // candidate shuffle instead of re-running it.
+    val cand = Ckpt.local(
+      lhs.select(col("band"), col("key"), col("id").as("id_a"))
+        .join(rhs.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b"))
+    // Exact-Jaccard verify: shingles are recomputed ONLY for candidate
+    // ids — LSH leaves a candidate set orders of magnitude smaller than
+    // the corpus, so shingling post-join against a broadcast id set beats
+    // re-shingling the whole corpus per join side (at 100 TB: two full
+    // text passes saved; the candidate re-scan prunes on id at the
+    // parquet reader).
+    val ids = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    // small enough to recompute per verify side (a pruned scan + broadcast
+    // probe) — a checkpoint barrier here costs more than it saves
+    val candSh =
+      df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(broadcast(ids), "id") // shingle ABOVE the join: matched rows only
+        .select(col("id"), TextFns.wordShingles(col("__text"), shingleN).as("sh"))
     cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", Det.roundAt(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
