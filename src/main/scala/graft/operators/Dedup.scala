@@ -230,13 +230,17 @@ object Dedup {
     val (edges, edgeIds) = Ckpt.localScoped(
       p.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(p.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // Round 1 fused into initialization: label(id) = min(id, neighbors) is
+    // one groupBy over the edge list — no join, no checkpoint round-trip —
+    // and lands exactly where the first propagation round would.
+    var labels = edges.select(col("dst").as("id"), col("src").as("cluster"))
+      .union(edges.select(col("src").as("id"), col("src").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
     // Labels only ever decrease (min-propagation), so an unchanged label
     // checksum proves a fixpoint — one scalar aggregate per round instead
     // of a change-detection join.
     def checksum(df: DataFrame): Long =
-      df.agg(sum("cluster")).collect()(0).getLong(0)
+      df.agg(coalesce(sum("cluster"), lit(0L))).collect()(0).getLong(0)
     var prev = checksum(labels)
     var prevIds = Set.empty[Int]
     var converged = false
