@@ -161,5 +161,17 @@ object VecQueries {
       WHERE ${cos6("ea.embedding", "eb.embedding")} >= 0.2
       ORDER BY id_a, id_b""" })
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47)
+  // q56 — per-label centroids (the IVF coarse-quantizer training step):
+  // dimension-wise quantized-exact means, no vector ever collected.
+  private val q56 = Q(
+    "q56_label_centroids",
+    (s, dir) => Similarity.centroids(tbl(s, dir, "embeddings"), "label"),
+    Some(s"""WITH e AS (SELECT label AS bucket, CAST(r.range - 1 AS INT) AS dim,
+          CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM embeddings CROSS JOIN range(1, 65) AS r)
+      SELECT bucket, dim, COUNT(*) AS n,
+        ${Det.roundAtSql("CAST(SUM(vq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6)", 6)} AS centroid
+      FROM e GROUP BY bucket, dim ORDER BY bucket, dim"""))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56)
 }

@@ -150,6 +150,28 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-bucket centroids — the coarse-quantizer training primitive for
+    * [[ivfTopK]] (and dataset cartography): mean vector per bucket,
+    * computed DIMENSION-WISE (posexplode → groupBy (bucket, dim)) so no
+    * executor ever holds a bucket's vectors and the shuffle carries one
+    * partial sum per (partition, bucket, dim) — the columnar aggregation
+    * shape that survives any corpus size. Components quantize to integer
+    * 1e-6 units before the exact integer sum (double addition is
+    * order-sensitive; integer sums are engine-portable), and the mean is
+    * rounded at 6 decimals. Output: (bucket, dim, n, centroid). */
+  def centroids(corpus: DataFrame, bucketCol: String): DataFrame =
+    corpus.select(col(bucketCol).as("bucket"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("bucket", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("v").cast(DoubleType) * lit(1e6) + lit(0.5))
+          .cast("long")).as("__sum_q"))
+      .select(col("bucket"), col("dim"), col("n"),
+        Det.roundAt(col("__sum_q").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1e6)), 6).as("centroid"))
+      .orderBy("bucket", "dim")
+
   /** Bucket-pruned near-dup: pairs restricted to the same coarse bucket —
     * the n² cross join becomes Σ bucketᵢ², the production dedup shape at
     * 100 TB (bucket = quantizer/LSH cell). */

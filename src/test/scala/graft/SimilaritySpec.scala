@@ -52,4 +52,17 @@ class SimilaritySpec extends SparkSpec {
       assert(brute((a, b)) == c, s"cos mismatch on ($a,$b)")
     }
   }
+
+  test("centroids: dimension-wise quantized-exact means per bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 3.0f), 0),
+      (1L, Array(3.0f, 5.0f), 0),
+      (2L, Array(-2.0f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroids(vecs, "label")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toList == List(
+      (0, 0, 2L, 2.0), (0, 1, 2L, 4.0),   // means of (1,3) and (3,5)
+      (1, 0, 1L, -2.0), (1, 1, 1L, 0.5)))
+  }
 }
