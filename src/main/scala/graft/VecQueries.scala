@@ -173,5 +173,42 @@ object VecQueries {
         ${Det.roundAtSql("CAST(SUM(vq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6)", 6)} AS centroid
       FROM e GROUP BY bucket, dim ORDER BY bucket, dim"""))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56)
+  // q57 — one full k-means (Lloyd) iteration: centroids trained from the
+  // label partition (q56's op) then every vector reassigned to its
+  // nearest centroid; reports per-bucket population and how many vectors
+  // moved off their seed label. Quantized-exact distances + min-bucket
+  // tie-break make the iteration bit-deterministic in both engines.
+  private val q57 = Q(
+    "q57_kmeans_step",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.assignToNearest(emb, Similarity.centroids(emb, "label"), 64)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum((col("bucket") =!= col("label")).cast("long")).as("n_moved"))
+        .orderBy("bucket")
+    },
+    Some {
+      s"""WITH e AS (SELECT label AS bucket, CAST(r.range - 1 AS INT) AS dim,
+          CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM embeddings CROSS JOIN range(1, 65) AS r),
+      cent AS (SELECT bucket, dim,
+          ${Det.roundAtSql("CAST(SUM(vq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6)", 6)} AS centroid
+        FROM e GROUP BY bucket, dim),
+      carr AS (SELECT bucket, array_agg(centroid ORDER BY dim) AS c
+        FROM cent GROUP BY bucket),
+      scored AS (SELECT v.vec_id, v.label, cc.bucket,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(floor((CAST(v.embedding[i] AS DOUBLE) - cc.c[i]) *
+                            (CAST(v.embedding[i] AS DOUBLE) - cc.c[i]) * 1e12 + 0.5) AS BIGINT)))
+            AS BIGINT) AS d
+        FROM embeddings v CROSS JOIN carr cc),
+      a AS (SELECT vec_id, label, bucket,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, bucket) AS rn
+        FROM scored)
+      SELECT bucket, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN bucket <> label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      FROM a WHERE rn = 1 GROUP BY bucket ORDER BY bucket""" })
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57)
 }

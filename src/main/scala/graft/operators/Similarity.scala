@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.{Det, VectorFns}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Similarity search over an `array<float>` embedding column.
   *
@@ -171,6 +171,36 @@ object Similarity {
         Det.roundAt(col("__sum_q").cast(DoubleType) /
           (col("n").cast(DoubleType) * lit(1e6)), 6).as("centroid"))
       .orderBy("bucket", "dim")
+
+  /** Lloyd assignment step over trained [[centroids]]: every corpus row is
+    * assigned to its nearest centroid in ONE shuffle-free pass — the
+    * long-form centroid table pivots back to k dense arrays (k·dims
+    * doubles — tiny by construction), collapses to a single broadcast row,
+    * and each row's argmin is an `array_min` over per-centroid
+    * (distance, bucket) structs: lexicographic struct ordering gives the
+    * deterministic min-bucket tie-break for free. Distances are quantized
+    * to integer 1e-12 units (engine-exact, like [[VectorFns.dotQ]]).
+    * Together with [[centroids]] this is one k-means iteration — iterate
+    * the pair for Lloyd's; output = corpus columns + `bucket`. */
+  def assignToNearest(corpus: DataFrame, centroids: DataFrame, dims: Int): DataFrame = {
+    val cArr = centroids.groupBy("bucket")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("centroid")))).as("m"))
+      .select(struct(col("bucket"),
+        transform(sequence(lit(0), lit(dims - 1)), d => element_at(col("m"), d)).as("c")).as("bc"))
+      .agg(collect_list(col("bc")).as("cs")) // one row; argmin is order-independent
+    val scored = transform(col("cs"), cb => {
+      val d = aggregate(
+        zip_with(col("embedding"), cb.getField("c"), (x, y) => {
+          val diff = x.cast(DoubleType) - y
+          floor(diff * diff * lit(1e12) + lit(0.5)).cast(LongType)
+        }),
+        lit(0L), (acc, v) => acc + v)
+      struct(d.as("d"), cb.getField("bucket").as("b"))
+    })
+    corpus.crossJoin(broadcast(cArr))
+      .withColumn("bucket", array_min(scored).getField("b"))
+      .drop("cs")
+  }
 
   /** Bucket-pruned near-dup: pairs restricted to the same coarse bucket —
     * the n² cross join becomes Σ bucketᵢ², the production dedup shape at

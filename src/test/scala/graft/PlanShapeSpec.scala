@@ -1,0 +1,36 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties SCALE.md claims are
+  * asserted against the actual physical plans, so a future edit that
+  * silently degrades a dedup path to a cartesian product (or loses a
+  * rank-limit pushdown / an explicit dim broadcast) fails the suite, not
+  * a 100 TB run. Uses the sf0.001 testdata tables. */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    Queries.byName(name).run(spark, sf).queryExecution.executedPlan.toString()
+
+  test("LSH/banded dedup paths never cartesian-product the corpus") {
+    for (q <- Seq("q22_minhash_lsh", "q23_simhash", "q47_embed_lsh",
+                  "q54_winnow_neardup", "q35_embed_neardup_ivf")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian product")
+      graft.operators.Ckpt.release(spark)
+    }
+  }
+
+  test("rank-limited windows push the limit into WindowGroupLimit") {
+    for (q <- Seq("q06_window_topn", "q55_tfidf_topk"))
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost the rank-limit pushdown")
+  }
+
+  test("dimension joins stay broadcast") {
+    for (q <- Seq("q03_join_revenue", "q41_region_revenue"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its dim broadcast")
+  }
+
+  test("ANN brute/IVF broadcast the query side, never shuffle the corpus on it") {
+    for (q <- Seq("q28_ann_brute", "q29_ann_ivf"))
+      assert(plan(q).contains("BroadcastHashJoin") || plan(q).contains("BroadcastNestedLoopJoin"),
+        s"$q does not broadcast the query side")
+  }
+}

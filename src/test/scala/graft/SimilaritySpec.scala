@@ -65,4 +65,17 @@ class SimilaritySpec extends SparkSpec {
       (0, 0, 2L, 2.0), (0, 1, 2L, 4.0),   // means of (1,3) and (3,5)
       (1, 0, 1L, -2.0), (1, 1, 1L, 0.5)))
   }
+
+  test("assignToNearest picks the closest centroid, min bucket on ties") {
+    val cents = Seq((0, 0, 1.0), (0, 1, 0.0), (1, 0, 0.0), (1, 1, 1.0))
+      .toDF("bucket", "dim", "centroid")
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.1f), 9), // near centroid 0 (label deliberately wrong)
+      (1L, Array(0.1f, 0.9f), 9), // near centroid 1
+      (2L, Array(0.5f, 0.5f), 9)  // equidistant → bucket 0 wins
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.assignToNearest(vecs, cents, 2)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(r == Map(0L -> 0, 1L -> 1, 2L -> 0))
+  }
 }
