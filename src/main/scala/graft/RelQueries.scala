@@ -562,7 +562,51 @@ object RelQueries {
         ${Det.roundAtSql("COALESCE(total - lag(total, 1) OVER (ORDER BY mes), 0.0)", 4)} AS mom_delta
       FROM m ORDER BY mes""" })
 
+  // q58 — per-user running z-score anomalies: the BATCH twin of
+  // Streams.anomalies (same quantized prefix statistics, so the streaming
+  // operator's state math is oracle-checked here). Prefix frame over
+  // (ts, event_id); all moments from exact integer sums of 1e-4-quantized
+  // values — bit-identical across engines and across batch/streaming.
+  private val q58 = Q(
+    "q58_user_anomalies",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tbl(s, dir, "events")
+        .withColumn("vq", floor(col("value") * 1e4 + 0.5).cast("long"))
+        .withColumn("n_prior", count(lit(1)).over(w))
+        .withColumn("sumq", sum(col("vq")).over(w))
+        .withColumn("sumsqq", sum(col("vq") * col("vq")).over(w))
+        .filter(col("n_prior") >= 3)
+        .withColumn("mean", col("sumq").cast("double") / col("n_prior") / 1e4)
+        .withColumn("std", sqrt(greatest(
+          col("sumsqq").cast("double") / col("n_prior") / 1e8 - col("mean") * col("mean"),
+          lit(0.0))))
+        .filter(col("std") > 0 && abs(col("value") - col("mean")) > col("std") * 3)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("value"),
+          Det.roundAt(abs(col("value") - col("mean")) / col("std"), 4).as("zscore"))
+        .orderBy("user_id", "ts_s", "event_id")
+    },
+    Some {
+      val mean = "(CAST(sumq AS DOUBLE) / n_prior / 1e4)"
+      val std = s"sqrt(greatest(CAST(sumsqq AS DOUBLE) / n_prior / 1e8 - $mean * $mean, 0.0))"
+      s"""WITH v AS (SELECT event_id, user_id, ts, value,
+          CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq FROM events),
+        p AS (SELECT event_id, user_id, ts, value,
+          COUNT(*) OVER w AS n_prior,
+          SUM(vq) OVER w AS sumq,
+          SUM(vq * vq) OVER w AS sumsqq
+        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+        ${Det.roundAtSql(s"abs(value - $mean) / $std", 4)} AS zscore
+      FROM p
+      WHERE n_prior >= 3 AND $std > 0 AND abs(value - $mean) > $std * 3
+      ORDER BY user_id, ts_s, event_id""" })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48)
+    q40, q41, q42, q43, q46, q48, q58)
 }

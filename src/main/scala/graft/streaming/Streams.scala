@@ -64,4 +64,71 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user streaming anomaly detection via `flatMapGroupsWithState` —
+    * the custom-state slice no builtin windowed aggregate expresses: each
+    * user's state is their full-history running statistics (count + sums
+    * of 1e-4-quantized values — exact integers, so streaming and batch
+    * replays agree bit-for-bit), and an event is flagged when it sits
+    * more than `z` standard deviations from the user's PRIOR history
+    * (≥ `minPrior` events). Within a micro-batch events process in
+    * (ts, event_id) order; across batches arrival order IS event order
+    * under the watermark. State is O(3 longs) per user and evicted on an
+    * event-time timeout after `idleDays` of user inactivity — bounded
+    * state at any stream length. Batch twin: q58 (prefix-window SQL).
+    */
+  def anomalies(events: DataFrame, z: Double = 3.0, minPrior: Long = 3L,
+                watermark: String = "10 minutes", idleDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_id").cast("long").as("event_id"), col("ts"),
+        col("user_id").cast("long").as("user_id"), col("value").cast("double").as("value"))
+      .as[AnomEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[AnomEvent], state: GroupState[AnomState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+            val out = Seq.newBuilder[Anomaly]
+            val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            batch.foreach { e =>
+              if (st.n >= minPrior) {
+                val mean = st.sumQ.toDouble / st.n / 1e4
+                val variance = math.max(st.sumSqQ.toDouble / st.n / 1e8 - mean * mean, 0.0)
+                val std = math.sqrt(variance)
+                if (std > 0 && math.abs(e.value - mean) > z * std)
+                  out += Anomaly(e.event_id, e.ts, user, e.value,
+                    math.floor(math.abs(e.value - mean) / std * 1e4 + 0.5) / 1e4)
+              }
+              val vq = math.floor(e.value * 1e4 + 0.5).toLong
+              st = AnomState(st.n + 1, st.sumQ + vq, st.sumSqQ + vq * vq)
+            }
+            state.update(st)
+            // anchor the idle timeout to the batch's own event time, not
+            // the watermark alone — in the first batch the watermark is
+            // still epoch 0 and a watermark-relative timeout would expire
+            // the state on the very next batch
+            val anchor = math.max(state.getCurrentWatermarkMs,
+              batch.lastOption.map(_.ts.getTime).getOrElse(0L))
+            state.setTimeoutTimestamp(anchor + idleDays.toLong * 24 * 3600 * 1000)
+            out.result().iterator
+          }
+        })
+      .toDF()
+  }
 }
+
+/** Running per-user statistics: count + exact integer sums of quantized
+  * values (mean/variance derive in closed form — no doubles in state). */
+case class AnomState(n: Long, sumQ: Long, sumSqQ: Long)
+
+/** Input slice of the event stream for [[Streams.anomalies]]. */
+case class AnomEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+/** A flagged event: more than z·σ from the user's prior running mean. */
+case class Anomaly(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   value: Double, zscore: Double)

@@ -72,6 +72,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalies: custom state flags z-outliers against prior history across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.anomalies(in.toDF(), z = 2.0, minPrior = 3)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), 1, "c", 10.0), Ev(2, ts(2), 1, "c", 11.0), Ev(3, ts(3), 1, "c", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("anom").count() == 0) // fewer than minPrior priors
+      // state carries across batches: spike vs prior mean 10, std sqrt(2/3)
+      in.addData(Ev(4, ts(4), 1, "c", 50.0), Ev(5, ts(5), 1, "c", 10.5))
+      q.processAllAvailable()
+      val rows = spark.table("anom").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(4L))
+      // zscore = 40 / sqrt(2/3), quantized state, rounded at 4
+      assert(rows(0).getAs[Double]("zscore") == 48.9898)
+      // event 5 was judged against the post-spike history (std ~17), not flagged
+    } finally q.stop()
+  }
+
   test("enrich stream-static broadcast join and file-stream source") {
     // drive the parquet events table AS a stream (file source, one batch)
     val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "category")
