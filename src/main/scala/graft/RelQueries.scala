@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CleanFns, Det}
-import graft.operators.Profile
+import graft.operators.{Profile, Skew}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -606,7 +606,21 @@ object RelQueries {
       WHERE n_prior >= 3 AND $std > 0 AND abs(value - $mean) > $std * 3
       ORDER BY user_id, ts_s, event_id""" })
 
+  // q59 — skew-salted aggregation, driver-checked: the two-stage salted
+  // count/decimal-sum is bit-identical to the direct groupBy (algebraic
+  // aggregates decompose; decimal addition is associative), so the plain
+  // GROUP BY is its oracle. The hot-key split itself is asserted in
+  // SkewSpec; this row pins the equivalence.
+  private val q59 = Q(
+    "q59_salted_agg",
+    (s, dir) => Skew.saltedCountSum(tbl(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", salts = 16)
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, COUNT(*) AS cnt,
+      ${Det.roundAtSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)", 6)} AS total
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48, q58)
+    q40, q41, q42, q43, q46, q48, q58, q59)
 }
