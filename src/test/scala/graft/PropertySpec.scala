@@ -79,4 +79,33 @@ class PropertySpec extends SparkSpec {
       .select(col("t1"), CleanFns.textClean(col("t1")).as("t2"))
     assert(df.filter(col("t1") =!= col("t2")).count() == 0)
   }
+
+  test("winnowing guarantee: docs sharing a >= k+w-1 substring share a print") {
+    // random word-salads with a fixed 12-char phrase planted in both halves
+    val word = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val salad = Gen.listOfN(8, word).map(_.mkString(" "))
+    val pairs = sample(Gen.zip(salad, salad), 100)
+      .map { case (a, b) => (s"$a shared-phrase $b".take(80), s"$b shared-phrase $a".take(80)) }
+      // keep pairs where truncation left the phrase intact in both
+      .filter { case (a, b) => a.contains("shared-phrase") && b.contains("shared-phrase") }
+    val df = pairs.toDF("a", "b").select(
+      TextFns.winnowingFingerprints(col("a"), 5, 4).as("fa"),
+      TextFns.winnowingFingerprints(col("b"), 5, 4).as("fb"))
+    assert(df.filter(size(array_intersect(col("fa"), col("fb"))) < 1).count() == 0)
+  }
+
+  test("maxBucket above every bucket size is a no-op on LSH pairs") {
+    val docs = sample(Gen.listOfN(10,
+        Gen.oneOf("alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa lambda mu"))
+      .map(_.mkString(" ")), 60)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val capped = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == default && capped.nonEmpty)
+    graft.operators.Ckpt.release(spark)
+  }
 }
