@@ -429,5 +429,60 @@ object TextQueries {
       SELECT source, token, tf, df, tfidf, rank FROM r WHERE rank <= 5
       ORDER BY source, rank"""))
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39, q44, q45, q53, q54, q55)
+  // q60 — deterministic hash sampling (~10%): the same rows are in the
+  // sample on any engine, at any parallelism, on any retry — rand()-based
+  // sampling can guarantee none of that. Narrow filter, no shuffle.
+  private val q60 = Q(
+    "q60_hash_sample",
+    (s, dir) => graft.operators.Sampling.hashSample(tbl(s, dir, "documents"), "doc_id", 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang"),
+    Some(s"""SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents
+      WHERE ${hSql("CAST(doc_id AS VARCHAR)")} % 100 < 10
+      GROUP BY lang ORDER BY lang"""))
+
+  // q61 — repetition profile (Gopher-style duplicate-trigram fraction)
+  // per language: decimal-exact average of a per-row projection.
+  private val q61 = Q(
+    "q61_repetition",
+    (s, dir) => tbl(s, dir, "documents")
+      .withColumn("rep", TextFns.repetitionFrac(col("text"), 3))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"),
+        Det.roundAt(Det.dsum(col("rep"), 6) / count(lit(1)), 4).as("avg_rep"),
+        sum((col("rep") > 0.2).cast("long")).as("n_repetitive"))
+      .orderBy("lang"),
+    Some {
+      val total = s"greatest(len($toks) - 2, 1)"
+      val grams = s"list_transform(range(0, $total), i -> array_to_string(($toks)[i + 1:i + 3], ' '))"
+      val rep = Det.roundAtSql(
+        s"CAST(len($grams) - len(list_distinct($grams)) AS DOUBLE) / len($grams)", 6)
+      s"""WITH r AS (SELECT lang, $rep AS rep FROM documents)
+      SELECT lang, COUNT(*) AS cnt,
+        ${Det.roundAtSql("CAST(SUM(CAST(rep AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS avg_rep,
+        CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      FROM r GROUP BY lang ORDER BY lang""" })
+
+  // q62 — fixed-size stratified sample: ≤ 50 docs per language, membership
+  // decided by hash order (deterministic shuffle-independent "random");
+  // the id_sum pins WHICH rows were chosen, not just how many. Rank limit
+  // compiles to WindowGroupLimit.
+  private val q62 = Q(
+    "q62_stratified_sample",
+    (s, dir) => graft.operators.Sampling
+      .stratifiedSample(tbl(s, dir, "documents"), "lang", "doc_id", 50)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang"),
+    Some(s"""WITH r AS (SELECT lang, doc_id,
+        ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY ${hSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+      FROM documents)
+      SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
+    q44, q45, q53, q54, q55, q60, q61, q62)
 }

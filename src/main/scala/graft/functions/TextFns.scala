@@ -106,6 +106,20 @@ object TextFns {
       array_distinct(transform(sequence(lit(1), cnt), i => substring(t, i, lit(n))))
     }
 
+  /** Duplicate word n-gram fraction (Gopher-style repetition signal):
+    * 1 − distinct/total over POSITIONAL n-grams — boilerplate and looping
+    * generations score high, natural text near 0. Short docs (< n tokens)
+    * have one window and score 0. Pure per-row projection. */
+  def repetitionFrac(c: Column, n: Int = 3): Column =
+    bindOnce(tokens(c)) { toks =>
+      val total = greatest(size(toks) - (n - 1), lit(1))
+      bindOnce(transform(sequence(lit(0), total - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))) { grams =>
+        Det.roundAt(
+          (size(grams) - size(array_distinct(grams))).cast(DoubleType) / size(grams), 6)
+      }
+    }
+
   // ── language ID (n-gram / marker-word heuristic) ─────────────────────
   /** Marker stopwords per language; deterministic and cheap — a real
     * pipeline would swap in fastText, the plumbing stays identical. */
