@@ -28,8 +28,13 @@ object GraftSession {
 
   /** WARN-log any LSH mega-bucket drops surfaced through the operators'
     * `observe` metrics (`<tag>_cap` — see `Dedup.capBuckets`): capping is
-    * deterministic but must never be silent. */
-  private def registerCapMetricsLogger(spark: SparkSession): Unit =
+    * deterministic but must never be silent. Guarded by a session conf
+    * marker — `getOrCreate` can hand back an existing session, and
+    * re-registering would stack duplicate listeners. */
+  private def registerCapMetricsLogger(spark: SparkSession): Unit = {
+    val marker = "spark.graft.capLoggerRegistered"
+    if (spark.conf.getOption(marker).contains("true")) return
+    spark.conf.set(marker, "true")
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       private val log = org.slf4j.LoggerFactory.getLogger("graft.lsh.cap")
       override def onSuccess(funcName: String,
@@ -44,4 +49,5 @@ object GraftSession {
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
     })
+  }
 }

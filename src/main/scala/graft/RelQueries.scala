@@ -567,6 +567,9 @@ object RelQueries {
   // operator's state math is oracle-checked here). Prefix frame over
   // (ts, event_id); all moments from exact integer sums of 1e-4-quantized
   // values — bit-identical across engines and across batch/streaming.
+  // The oracle sorts on CAST(ts AS TIMESTAMP): DuckDB reads the parquet
+  // nanos natively while Spark truncates to micros (Queries.tbl), and the
+  // sort keys must agree at the same precision.
   private val q58 = Q(
     "q58_user_anomalies",
     (s, dir) => {
@@ -598,7 +601,8 @@ object RelQueries {
           COUNT(*) OVER w AS n_prior,
           SUM(vq) OVER w AS sumq,
           SUM(vq * vq) OVER w AS sumsqq
-        FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        FROM v WINDOW w AS (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP), event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
         ${Det.roundAtSql(s"abs(value - $mean) / $std", 4)} AS zscore

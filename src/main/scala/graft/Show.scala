@@ -10,6 +10,7 @@ object Show {
       val t0 = System.nanoTime()
       Queries.byName(name).run(spark, sfDir).show(200, truncate = false)
       println(f"  [${(System.nanoTime() - t0) / 1e9}%.2f s]")
+      graft.operators.Ckpt.release(spark) // same lifecycle as Verify/Bench
     }
     spark.stop()
   }

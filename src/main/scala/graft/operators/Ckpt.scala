@@ -17,6 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Unpersisting a locally-checkpointed RDD deletes its blocks and makes it
   * unrecomputable (lineage is truncated) — release ONLY after the last
   * action over frames derived from it.
+  *
+  * Single-writer assumption: ids are attributed by diffing
+  * `getPersistentRDDs` around the checkpoint call, and the registry is
+  * session-global — plan construction and release must not interleave
+  * with another thread persisting RDDs on the same SparkContext (true for
+  * the driver-contract mains and the sequential test suite; a concurrent
+  * caller would need a registry scoped per pipeline).
   */
 object Ckpt {
   private val tracked = scala.collection.mutable.LinkedHashSet[Int]()
