@@ -92,6 +92,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalies over the real events table equals the q58 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // in event-time order, streaming state replays exactly the batch
+    // prefix windows — same flags, bit-for-bit
+    val events = Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").as[Ev].collect()
+    val in = MemoryStream[Ev]
+    val q = Streams.anomalies(in.toDF(), z = 3.0, minPrior = 3)
+      .writeStream.format("memory").queryName("anom58").outputMode("append").start()
+    try {
+      events.grouped(1500).foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("anom58")
+        .select("event_id", "zscore").as[(Long, Double)].collect().toMap
+      val batch = Queries.byName("q58_user_anomalies")
+        .run(spark, "/root/testdata/sf0.001")
+        .select("event_id", "zscore").as[(Long, Double)].collect().toMap
+      assert(batch.nonEmpty, "expected the sf0.001 events to contain anomalies")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("enrich stream-static broadcast join and file-stream source") {
     // drive the parquet events table AS a stream (file source, one batch)
     val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "category")
