@@ -56,6 +56,20 @@ object TextQueries {
           FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)"""
   }
 
+  /** Verified pairs → bidirectional edges → connected components (min
+    * label via recursive CTE). Appends to [[minhashCtes]]; shared by
+    * q39 / q63 so both oracles close the identical pair set. */
+  private def ccCtes: String =
+    s"""pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        cc AS (WITH RECURSIVE r(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.comp FROM r JOIN edges e ON r.id = e.src)
+          SELECT id, MIN(comp) AS cluster FROM r GROUP BY id)"""
+
   // q21 — exact dedup via content fingerprint: one groupBy on a 60-bit
   // hash; the whole-corpus exact-dedup shape (never full-text compares).
   private val q21 = Q(
@@ -263,16 +277,7 @@ object TextQueries {
           (col("__total") - col("n_clustered_docs") + col("n_clusters")).as("n_after_dedup"))
     },
     Some {
-      s"""WITH $minhashCtes,
-        pairs AS (SELECT id_a, id_b FROM cand
-          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-        cc AS (WITH RECURSIVE r(id, comp) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.dst, r.comp FROM r JOIN edges e ON r.id = e.src)
-          SELECT id, MIN(comp) AS cluster FROM r GROUP BY id),
+      s"""WITH $minhashCtes, $ccCtes,
         sizes AS (SELECT cluster, COUNT(*) AS sz FROM cc GROUP BY cluster)
       SELECT COUNT(*) AS n_clusters,
         CAST(SUM(sz) AS BIGINT) AS n_clustered_docs,
@@ -483,6 +488,28 @@ object TextQueries {
       SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM r WHERE rn <= 50 GROUP BY lang ORDER BY lang"""))
 
+  // q63 — END-TO-END near-dedup: q22's pairs → connected components →
+  // keep one representative per cluster (the min id) plus every
+  // unclustered doc. The per-language id_sum pins exactly which survivors
+  // the engine kept, not just how many — the full production dedup path
+  // (the operator a training pipeline actually calls) as one oracle row.
+  private val q63 = Q(
+    "q63_dedup_apply",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      Dedup.dedupByClusters(docs, "doc_id", pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $minhashCtes, $ccCtes
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
+      GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
-    q44, q45, q53, q54, q55, q60, q61, q62)
+    q44, q45, q53, q54, q55, q60, q61, q62, q63)
 }
