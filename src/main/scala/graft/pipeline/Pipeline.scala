@@ -71,8 +71,9 @@ object Sinks {
     path
   }
 
-  /** CSV sink (replaces the reference's Excel sink — declared divergence,
-    * SURVEY §7.4(5)). Complex columns (arrays/structs) are JSON-stringified
+  /** CSV sink — the DISTRIBUTED sibling of the reference's Excel export
+    * ([[xlsx]] writes the actual .xlsx report; this path scales past its
+    * row limit). Complex columns (arrays/structs) are JSON-stringified
     * — the CSV writer rejects them raw, and the reference stringifies
     * every object column at its sink anyway. Writes a JSON 'Resumen'
     * aside (rows, cols, timestamp — carga.py:75-83's summary sheet). */
@@ -91,6 +92,34 @@ object Sinks {
     val resumen =
       s"""{"registros":${df.count()},"columnas":${df.columns.length},"generado":"${java.time.Instant.now()}"}"""
     Files.writeString(Paths.get(s"$outDir/csv_${name}_resumen.json"), resumen)
+    path
+  }
+
+  /** S6 Excel sink (carga.py:61-88): one .xlsx per table with sheet
+    * 'Datos' (header + rows) and sheet 'Resumen' (Métrica/Valor: total
+    * records, total columns, export date) — written by the dependency-free
+    * [[Xlsx]] OOXML writer. The data sheet holds up to `maxRows` collected
+    * rows (an .xlsx is a driver-side report artifact with a hard
+    * 1,048,576-row format limit — the distributed sinks carry the data);
+    * the Resumen reports the FULL distributed count, so the summary stays
+    * exact even when the sheet is truncated. `exportedAt` is injectable
+    * for deterministic tests. */
+  def xlsx(df: DataFrame, outDir: String, name: String,
+           maxRows: Int = 100000,
+           exportedAt: () => String = () =>
+             java.time.LocalDateTime.now().format(
+               java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))): String = {
+    val path = s"$outDir/${name}_transformado.xlsx"
+    val sf = sinkForm(df)
+    val header = sf.columns.toSeq
+    val rows = sf.limit(maxRows).collect().toSeq
+      .map(_.toSeq.map(v => if (v == null) "" else v.toString))
+    val resumen = Seq(
+      Seq("Métrica", "Valor"),
+      Seq("Total de registros", df.count().toString),
+      Seq("Total de columnas", df.columns.length.toString),
+      Seq("Fecha de exportación", exportedAt()))
+    Xlsx.write(path, Seq("Datos" -> (header +: rows), "Resumen" -> resumen))
     path
   }
 
