@@ -19,7 +19,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("rank-limited windows push the limit into WindowGroupLimit") {
-    for (q <- Seq("q06_window_topn", "q55_tfidf_topk"))
+    // q62 especially: the stratified sample partitions by a 5-value
+    // stratum key, and only the map-side WindowGroupLimit keeps the
+    // per-stratum reduce input bounded at n rows per map task
+    for (q <- Seq("q06_window_topn", "q55_tfidf_topk", "q62_stratified_sample"))
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost the rank-limit pushdown")
   }
 
