@@ -210,5 +210,51 @@ object VecQueries {
         CAST(SUM(CASE WHEN bucket <> label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
       FROM a WHERE rn = 1 GROUP BY bucket ORDER BY bucket""" })
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57)
+  // q64 — full k-means (hash-seeded init + 2 Lloyd rounds), bucket
+  // populations with id sums pinning exact final membership. The oracle
+  // unrolls the identical iterations as generated CTE chains — every
+  // round's centroids and assignments are bit-deterministic (quantized
+  // sums, min-bucket tie-break), so a fixed-point SQL mirror exists.
+  private val q64 = Q(
+    "q64_kmeans",
+    (s, dir) => Similarity.kmeansBuckets(tbl(s, dir, "embeddings"), k = 8, iters = 2, dims = 64)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+      .orderBy("bucket"),
+    Some(kmeansSql(k = 8, iters = 2)))
+
+  /** DuckDB mirror of [[Similarity.kmeansBuckets]]: assignment CTE a0 from
+    * the hash init, then per round i: eᵢ (explode+quantize from aᵢ₋₁),
+    * cᵢ (centroids), rᵢ (dense arrays), sᵢ (scored), aᵢ (argmin). */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val h = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val ctes = Seq.newBuilder[String]
+    ctes += s"a0 AS (SELECT vec_id, CAST($h % $k AS INT) AS bucket FROM embeddings)"
+    for (i <- 1 to iters) {
+      val p = i - 1
+      ctes += s"""e$i AS (SELECT a.bucket, CAST(r.range - 1 AS INT) AS dim,
+          CAST(floor(CAST(v.embedding[r.range] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM a$p a JOIN embeddings v USING (vec_id) CROSS JOIN range(1, 65) AS r)"""
+      ctes += s"""c$i AS (SELECT bucket, dim,
+          ${Det.roundAtSql("CAST(SUM(vq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6)", 6)} AS centroid
+        FROM e$i GROUP BY bucket, dim)"""
+      ctes += s"""r$i AS (SELECT bucket, array_agg(centroid ORDER BY dim) AS c
+        FROM c$i GROUP BY bucket)"""
+      ctes += s"""s$i AS (SELECT v.vec_id, cc.bucket,
+          CAST(list_sum(list_transform(range(1, 65),
+            j -> CAST(floor((CAST(v.embedding[j] AS DOUBLE) - cc.c[j]) *
+                            (CAST(v.embedding[j] AS DOUBLE) - cc.c[j]) * 1e12 + 0.5) AS BIGINT)))
+            AS BIGINT) AS d
+        FROM embeddings v CROSS JOIN r$i cc)"""
+      ctes += s"""a$i AS (SELECT vec_id, bucket FROM (
+          SELECT vec_id, bucket,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, bucket) AS rn
+          FROM s$i) WHERE rn = 1)"""
+    }
+    s"""WITH ${ctes.result().mkString(",\n")}
+      SELECT bucket, COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM a$iters GROUP BY bucket ORDER BY bucket"""
+  }
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64)
 }

@@ -202,6 +202,22 @@ object Similarity {
       .drop("cs")
   }
 
+  /** Full k-means over the embedding column: hash-seeded initial buckets
+    * (portable md5 of the id — deterministic, uniform, no label column
+    * needed), then `iters` Lloyd rounds of [[centroids]] →
+    * [[assignToNearest]]. The whole computation is ONE lazy plan (no
+    * driver loop over data, no eager actions): per round one
+    * dimension-wise centroid shuffle + one shuffle-free broadcast
+    * assignment pass, so a round costs two scans regardless of corpus
+    * size. Returns corpus columns + final `bucket`. */
+  def kmeansBuckets(corpus: DataFrame, k: Int, iters: Int, dims: Int): DataFrame = {
+    var assigned = corpus.withColumn("bucket",
+      pmod(graft.functions.TextFns.portableHash(col("vec_id")), lit(k.toLong)).cast("int"))
+    for (_ <- 1 to iters)
+      assigned = assignToNearest(corpus, centroids(assigned, "bucket"), dims)
+    assigned
+  }
+
   /** Bucket-pruned near-dup: pairs restricted to the same coarse bucket —
     * the n² cross join becomes Σ bucketᵢ², the production dedup shape at
     * 100 TB (bucket = quantizer/LSH cell). */
