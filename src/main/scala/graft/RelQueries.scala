@@ -624,7 +624,26 @@ object RelQueries {
       ${Det.roundAtSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)", 6)} AS total
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // q65 — tumbling-window aggregation: the batch twin of
+  // Streams.windowedCounts (same `window()` operator the streaming path
+  // groups by), checked against DuckDB's time_bucket. One shuffle on
+  // (window, event_type); decimal-exact sums.
+  private val q65 = Q(
+    "q65_tumbling_windows",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("total"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"), col("total"))
+      .orderBy("win_start", "event_type"),
+    Some("""SELECT
+        strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        event_type, COUNT(*) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48, q58, q59)
+    q40, q41, q42, q43, q46, q48, q58, q59, q65)
 }
