@@ -643,7 +643,28 @@ object RelQueries {
         CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
+  // q66 — sliding-window aggregation (10-minute windows, 5-minute slide):
+  // every event lands in windowLen/slide = 2 overlapping windows — the
+  // oracle reproduces Spark's window-start enumeration by bucketing to
+  // the slide then subtracting k slides. Batch twin of
+  // Streams.slidingCounts.
+  private val q66 = Q(
+    "q66_sliding_windows",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"))
+      .orderBy("win_start", "event_type"),
+    Some("""SELECT
+        strftime(time_bucket(INTERVAL 5 MINUTE, ts) - k.range * INTERVAL 5 MINUTE,
+                 '%Y-%m-%d %H:%M:%S') AS win_start,
+        event_type, COUNT(*) AS cnt
+      FROM events CROSS JOIN range(0, 2) AS k
+      GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48, q58, q59, q65)
+    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66)
 }
