@@ -664,7 +664,27 @@ object RelQueries {
       FROM events CROSS JOIN range(0, 2) AS k
       GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
+  // q67 — cube: all 2^k grouping combinations in one Expand+Aggregate
+  // pass (q40's rollup covers the hierarchical subset; cube completes the
+  // grouping-sets family). Same single-shuffle shape.
+  private val q67 = Q(
+    "q67_cube",
+    (s, dir) => tbl(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("cnt"), col("qty"))
+      .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS rf,
+      COALESCE(l_linestatus, '(all)') AS ls,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66)
+    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67)
 }
