@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{Det, TextFns}
 import graft.operators.Dedup
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication workload over the `documents` table
@@ -510,6 +511,46 @@ object TextQueries {
       WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
       GROUP BY lang ORDER BY lang"""))
 
+  // q68 — frequent-items sketch (approx_top_k) under a bounds oracle,
+  // q36's pattern for the heavy-hitters family: the exact top-3 tokens
+  // (anchors both engines compute) must all appear in the sketch's top-5.
+  // The exact side is TakeOrderedAndProject (scale-safe top-k, no
+  // unpartitioned window); the sketch side is one mergeable aggregate.
+  private val q68 = Q(
+    "q68_approx_topk",
+    (s, dir) => {
+      val toksDf = tbl(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+      val counts = toksDf.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cnt"), asc("token")) // over 3 rows post-limit
+      val exact3 = counts.orderBy(desc("cnt"), asc("token")).limit(3)
+        .withColumn("rn", row_number().over(w))
+        .agg(
+          max(when(col("rn") === 1, col("token"))).as("t1"),
+          max(when(col("rn") === 1, col("cnt"))).as("c1"),
+          max(when(col("rn") === 2, col("token"))).as("t2"),
+          max(when(col("rn") === 2, col("cnt"))).as("c2"),
+          max(when(col("rn") === 3, col("token"))).as("t3"),
+          max(when(col("rn") === 3, col("cnt"))).as("c3"))
+      val apx = toksDf.agg(expr("approx_top_k(token, 5)").as("__apx"))
+      def in(t: Column) = exists(col("__apx"), x => x.getField("item") === t)
+      exact3.crossJoin(broadcast(apx))
+        .select(col("t1"), col("c1"), col("t2"), col("c2"), col("t3"), col("c3"),
+          (in(col("t1")) && in(col("t2")) && in(col("t3"))).as("topk_ok"))
+    },
+    Some(s"""WITH c AS (SELECT u.token AS token, COUNT(*) AS cnt
+          FROM documents, unnest($toks) AS u(token) GROUP BY 1),
+        r AS (SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn FROM c)
+      SELECT max(CASE WHEN rn = 1 THEN token END) AS t1,
+        CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS c1,
+        max(CASE WHEN rn = 2 THEN token END) AS t2,
+        CAST(max(CASE WHEN rn = 2 THEN cnt END) AS BIGINT) AS c2,
+        max(CASE WHEN rn = 3 THEN token END) AS t3,
+        CAST(max(CASE WHEN rn = 3 THEN cnt END) AS BIGINT) AS c3,
+        TRUE AS topk_ok
+      FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
-    q44, q45, q53, q54, q55, q60, q61, q62, q63)
+    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68)
 }
