@@ -684,7 +684,25 @@ object RelQueries {
       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       ORDER BY rf, ls"""))
 
+  // q69 — per-GROUP exact percentiles (q07 is global): median/p90 per
+  // return flag. The documented scale bound applies per group (~1e8
+  // values/group before the q36 sketch path takes over); one shuffle,
+  // group-count-sized output.
+  private val q69 = Q(
+    "q69_grouped_percentiles",
+    (s, dir) => tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        Det.roundAt(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        Det.roundAt(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+      .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag, COUNT(*) AS cnt,
+      ${Det.roundAtSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+      ${Det.roundAtSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67)
+    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69)
 }
