@@ -94,6 +94,20 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(size(array_intersect(col("fa"), col("fb"))) < 1).count() == 0)
   }
 
+  test("hashSample keeps roughly pct% and is stable across invocations") {
+    val df = (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "v")
+    val n1 = graft.operators.Sampling.hashSample(df, "id", 10).count()
+    val n2 = graft.operators.Sampling.hashSample(df, "id", 10).count()
+    assert(n1 == n2) // deterministic: identical sample every run
+    assert(n1 > 2000 * 0.05 && n1 < 2000 * 0.15, s"10% sample took $n1 of 2000")
+    // nested rates: a 5% sample is a subset of the 10% sample
+    val ids10 = graft.operators.Sampling.hashSample(df, "id", 10)
+      .select("id").as[Long].collect().toSet
+    val ids5 = graft.operators.Sampling.hashSample(df, "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(ids5.subsetOf(ids10))
+  }
+
   test("maxBucket above every bucket size is a no-op on LSH pairs") {
     val docs = sample(Gen.listOfN(10,
         Gen.oneOf("alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa lambda mu"))

@@ -41,6 +41,22 @@ class XlsxSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("xlsx column refs roll over past Z (27th column is AA)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx3").toString
+    val wide = (1 to 28).map(i => s"c$i")
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq(wide.map(c => s"v_$c"))),
+      org.apache.spark.sql.types.StructType(wide.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    val path = Sinks.xlsx(df, dir, "wide", exportedAt = () => "t")
+    val zf = new ZipFile(path)
+    try {
+      val datos = readEntry(zf, "xl/worksheets/sheet1.xml")
+      assert(datos.contains("<c r=\"AA1\"") && datos.contains("<c r=\"AB1\""))
+      assert(datos.contains("v_c27") && datos.contains("v_c28"))
+    } finally zf.close()
+  }
+
   test("xlsx data sheet truncates at maxRows but Resumen keeps the full count") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xlsx2").toString
     val df = (1 to 50).map(i => (i.toLong, s"row$i")).toDF("id", "v")
