@@ -202,10 +202,23 @@ object CleanFns {
           } else {
             val up = new String(Character.toChars(cp)).toUpperCase(java.util.Locale.ROOT)
             if (up.codePointCount(0, up.length) > 1) {
-              // multi-char expansion: titlecase = first upper + rest lower
-              val first = up.offsetByCodePoints(0, 1)
-              sb.append(up, 0, first)
-              sb.append(up.substring(first).toLowerCase(java.util.Locale.ROOT))
+              // Multi-char expansion: Unicode title mapping = uppercase
+              // expansion with every cased codepoint AFTER the first
+              // cased one lowered (SpecialCasing.txt title forms:
+              // "ß" → "Ss", "ﬁ" → "Fi", and "ŉ" → "ʼN" — the leading
+              // modifier letter ʼ is not cased, so the N stays upper).
+              var j = 0
+              var seenCased = false
+              while (j < up.length) {
+                val ucp = up.codePointAt(j)
+                val uc = Character.isLowerCase(ucp) || Character.isUpperCase(ucp) ||
+                  Character.isTitleCase(ucp)
+                if (uc && seenCased)
+                  sb.append(new String(Character.toChars(ucp)).toLowerCase(java.util.Locale.ROOT))
+                else sb.appendCodePoint(ucp)
+                if (uc) seenCased = true
+                j += Character.charCount(ucp)
+              }
             } else sb.appendCodePoint(Character.toTitleCase(cp))
           }
           prevCased = cased

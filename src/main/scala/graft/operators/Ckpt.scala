@@ -24,9 +24,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with another thread persisting RDDs on the same SparkContext (true for
   * the driver-contract mains and the sequential test suite; a concurrent
   * caller would need a registry scoped per pipeline).
+  *
+  * The registry is keyed by `applicationId`: RDD ids restart from 0 in a
+  * fresh SparkContext, so ids tracked under a stopped context must never
+  * alias (and unpersist) unrelated RDDs in its successor. Stale contexts'
+  * entries are pruned whenever a newer context touches the registry.
   */
 object Ckpt {
-  private val tracked = scala.collection.mutable.LinkedHashSet[Int]()
+  private val tracked =
+    scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.LinkedHashSet[Int]]()
+
+  private[graft] def idsFor(appId: String): scala.collection.mutable.LinkedHashSet[Int] =
+    synchronized {
+      // A new application supersedes any previously tracked one on this
+      // JVM: drop dead contexts' id sets so they can't alias fresh RDD ids.
+      if (!tracked.contains(appId)) {
+        tracked.filterInPlace((app, _) => app == appId)
+        tracked(appId) = scala.collection.mutable.LinkedHashSet[Int]()
+      }
+      tracked(appId)
+    }
+
+  private[graft] def trackedApps: Set[String] = synchronized(tracked.keySet.toSet)
 
   /** Lazy local checkpoint, tracked for session-level [[release]]. */
   def local(df: DataFrame): DataFrame = localScoped(df)._1
@@ -38,7 +57,7 @@ object Ckpt {
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(eager = false)
     val added = sc.getPersistentRDDs.keySet.toSet -- before
-    tracked ++= added
+    idsFor(sc.applicationId) ++= added
     (out, added)
   }
 
@@ -47,12 +66,14 @@ object Ckpt {
   def releaseIds(spark: SparkSession, ids: Set[Int]): Unit = synchronized {
     val persistent = spark.sparkContext.getPersistentRDDs
     ids.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
-    tracked --= ids
+    idsFor(spark.sparkContext.applicationId) --= ids
   }
 
-  /** Unpersist every tracked checkpoint — call after a query's terminal
-    * action (Verify writes, Bench passes, test assertions). */
+  /** Unpersist every checkpoint tracked under this session's context —
+    * call after a query's terminal action (Verify writes, Bench passes,
+    * test assertions). Ids tracked under other (stopped) contexts are
+    * never touched. */
   def release(spark: SparkSession): Unit = synchronized {
-    releaseIds(spark, tracked.toSet)
+    releaseIds(spark, idsFor(spark.sparkContext.applicationId).toSet)
   }
 }

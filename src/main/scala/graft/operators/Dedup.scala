@@ -34,9 +34,15 @@ object Dedup {
     * (`<tag>_cap`: rows_in_dropped_buckets, max_bucket) that
     * [[graft.GraftSession]]'s listener WARN-logs on any direct action.
     * Returns (observed lhs, plain rhs) — the metric sits on one join side
-    * only so the self-join never duplicates the CollectMetrics name. */
+    * only so the self-join never duplicates the CollectMetrics name, and
+    * the name carries a per-invocation sequence number so two capped
+    * operators composed into ONE plan (e.g. a union of two
+    * [[minhashLshPairs]] calls) can't collide either. */
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
                                     tag: String): (DataFrame, DataFrame) = {
+    val obsName = s"${tag}_${capSeq.incrementAndGet()}_cap"
     // The slim banded relation is checkpointed once (the self-join must
     // never re-derive signatures per side). Bucket sizes come from a
     // groupBy — partial map-side aggregation, unlike a window count which
@@ -51,7 +57,7 @@ object Dedup {
       val o = ck.groupBy("band", "key").agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") > maxBucket)
       if (observed)
-        o.observe(s"${tag}_cap",
+        o.observe(obsName,
           coalesce(sum(col("__bn")), lit(0L)).as("rows_in_dropped_buckets"),
           coalesce(max(col("__bn")), lit(0L)).as("max_bucket"))
       else o

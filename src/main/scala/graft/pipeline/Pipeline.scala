@@ -102,25 +102,38 @@ object Sinks {
     * rows (an .xlsx is a driver-side report artifact with a hard
     * 1,048,576-row format limit — the distributed sinks carry the data);
     * the Resumen reports the FULL distributed count, so the summary stays
-    * exact even when the sheet is truncated. `exportedAt` is injectable
-    * for deterministic tests. */
+    * exact even when the sheet is truncated. Row values go to the writer
+    * UNstringified — [[Xlsx]] types cells from the value's class, exactly
+    * openpyxl's rule, so numeric columns become numeric cells and
+    * numeric-looking strings stay strings. Like the reference, the
+    * filename carries a yyyyMMdd_HHmm stamp and an empty frame is skipped
+    * with a warning (returns None). `exportedAt`/`fileStamp` are
+    * injectable for deterministic tests. */
   def xlsx(df: DataFrame, outDir: String, name: String,
            maxRows: Int = 100000,
            exportedAt: () => String = () =>
              java.time.LocalDateTime.now().format(
-               java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))): String = {
-    val path = s"$outDir/${name}_transformado.xlsx"
+               java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")),
+           fileStamp: () => String = () =>
+             java.time.LocalDateTime.now().format(
+               java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmm"))): Option[String] = {
+    val total = df.count()
+    if (total == 0L) {
+      org.slf4j.LoggerFactory.getLogger("graft.pipeline.xlsx")
+        .warn(s"DataFrame '$name' está vacío, saltando exportación")
+      return None
+    }
+    val path = s"$outDir/${name}_transformado_${fileStamp()}.xlsx"
     val sf = sinkForm(df)
-    val header = sf.columns.toSeq
-    val rows = sf.limit(maxRows).collect().toSeq
-      .map(_.toSeq.map(v => if (v == null) "" else v.toString))
+    val header: Seq[Any] = sf.columns.toSeq
+    val rows = sf.limit(maxRows).collect().toSeq.map(_.toSeq)
     val resumen = Seq(
-      Seq("Métrica", "Valor"),
-      Seq("Total de registros", df.count().toString),
-      Seq("Total de columnas", df.columns.length.toString),
-      Seq("Fecha de exportación", exportedAt()))
+      Seq[Any]("Métrica", "Valor"),
+      Seq[Any]("Total de registros", total),
+      Seq[Any]("Total de columnas", df.columns.length),
+      Seq[Any]("Fecha de exportación", exportedAt()))
     Xlsx.write(path, Seq("Datos" -> (header +: rows), "Resumen" -> resumen))
-    path
+    Some(path)
   }
 
   /** S5 over real JDBC (carga.py:34-58): sink-form rules applied, then a

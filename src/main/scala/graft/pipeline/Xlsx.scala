@@ -39,15 +39,28 @@ object Xlsx {
     sb.toString
   }
 
-  private val NumericRe = "-?[0-9]+(\\.[0-9]+)?([eE]-?[0-9]+)?".r
+  /** Cell typed by the VALUE's runtime class — numeric JVM types (what
+    * Spark Rows carry for numeric schema types) become `t="n"`, everything
+    * else an inline string. This is openpyxl's rule, and it means
+    * numeric-LOOKING strings ('007', 16+-digit ids) stay strings instead
+    * of being silently renormalized by Excel. Non-finite doubles have no
+    * numeric-cell representation → stringified. */
+  private def cell(ref: String, v: Any): String = v match {
+    case null =>
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve"></t></is></c>"""
+    case d: Double if d.isNaN || d.isInfinite =>
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(d.toString)}</t></is></c>"""
+    case f: Float if f.isNaN || f.isInfinite =>
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(f.toString)}</t></is></c>"""
+    case n @ (_: java.lang.Number | _: scala.math.BigDecimal | _: scala.math.BigInt) =>
+      s"""<c r="$ref" t="n"><v>$n</v></c>"""
+    case b: Boolean =>
+      s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+    case s =>
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(s.toString)}</t></is></c>"""
+  }
 
-  private def cell(ref: String, v: String): String =
-    if (v != null && NumericRe.matches(v))
-      s"""<c r="$ref" t="n"><v>$v</v></c>"""
-    else
-      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(if (v == null) "" else v)}</t></is></c>"""
-
-  private def sheetXml(rows: Seq[Seq[String]]): String = {
+  private def sheetXml(rows: Seq[Seq[Any]]): String = {
     val body = rows.zipWithIndex.map { case (r, ri) =>
       val cells = r.zipWithIndex.map { case (v, ci) => cell(s"${colRef(ci)}${ri + 1}", v) }
       s"""<row r="${ri + 1}">${cells.mkString}</row>"""
@@ -57,7 +70,7 @@ object Xlsx {
   }
 
   /** Write `sheets` (name → header+rows) as one .xlsx at `path`. */
-  def write(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+  def write(path: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
     val contentTypes =
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">

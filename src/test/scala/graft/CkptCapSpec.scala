@@ -47,7 +47,10 @@ class CkptCapSpec extends SparkSpec {
     @volatile var dropped = -1L
     val listener = new QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
-        qe.observedMetrics.get("minhash_lsh_cap").foreach { row =>
+        qe.observedMetrics.collectFirst {
+          // per-invocation sequence number between tag and _cap suffix
+          case (name, row) if name.startsWith("minhash_lsh_") && name.endsWith("_cap") => row
+        }.foreach { row =>
           dropped = row.getAs[Long]("rows_in_dropped_buckets")
         }
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
@@ -63,6 +66,27 @@ class CkptCapSpec extends SparkSpec {
       spark.listenerManager.unregister(listener)
       Ckpt.release(spark)
     }
+  }
+
+  test("two capped invocations compose into ONE plan — observe names are unique") {
+    // Before the per-invocation sequence suffix, this union failed analysis
+    // with "duplicate observed metrics" (same CollectMetrics name twice).
+    val a = Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10)
+    val b = Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10)
+    assert(a.union(b).count() == 2) // the out-of-bucket near-dup pair, twice
+    Ckpt.release(spark)
+  }
+
+  test("Ckpt registry is keyed by applicationId — stale contexts are pruned") {
+    // Ids tracked under a stopped SparkContext must never be unpersisted in
+    // a successor context where RDD ids restart from 0 and could alias.
+    Ckpt.idsFor("app-from-a-stopped-context") += 999999
+    assert(Ckpt.trackedApps.contains("app-from-a-stopped-context"))
+    val (ck, ids) = Ckpt.localScoped(megaDocs)
+    ck.count()
+    // touching the registry under the live context dropped the stale app
+    assert(Ckpt.trackedApps == Set(spark.sparkContext.applicationId))
+    Ckpt.releaseIds(spark, ids)
   }
 
   test("Ckpt.release unpersists every checkpoint a query registered") {

@@ -124,6 +124,9 @@ class CleanFnsSpec extends SparkSpec {
     assert(t("straße") == "Straße")    // ß mid-word stays ß
     assert(t("ßeta") == "Sseta")       // ß at word start expands to Ss
     assert(t("ǳur") == "ǲur")          // digraph gets TITLEcase ǲ, not Ǳ
+    assert(t("ŉa") == "ʼNa")           // U+0149: first CASED codepoint of
+                                        // the expansion upper, not the first
+                                        // codepoint (Python title = ʼN)
     assert(t("漢a字b") == "漢A字B")     // uncased letters don't end a word
   }
 
