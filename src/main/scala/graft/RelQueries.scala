@@ -702,7 +702,45 @@ object RelQueries {
       ${Det.roundAtSql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // q70 — as-of join (pandas merge_asof / DuckDB ASOF JOIN semantics):
+  // for each error event, the most recent prior purchase by the same
+  // user. The Spark encoding is [[AsOf.backward]]'s tagged union + ONE
+  // running window — a single key shuffle, linear per partition; an
+  // inequality join would plan as a nested loop. The right side is
+  // pre-aggregated per (user, ts) so "most recent" is unambiguous in
+  // both engines (the testdata has no duplicate-µs timestamps, asserted
+  // while authoring; the pre-agg keeps the query total anyway).
+  private val q70 = Q(
+    "q70_asof_join",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("pid"), max(col("value")).as("pval"))
+      graft.operators.AsOf.backward(errors, purchases,
+          "user_id", "user_id", "ts", "ts", Seq("ts", "pid", "pval"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          coalesce(date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("none")).as("purchase_ts"),
+          coalesce(col("asof.pid"), lit(-1L)).as("purchase_id"),
+          coalesce(col("asof.pval"), lit(0.0)).as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS pid, max(value) AS pval
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS purchase_ts,
+        COALESCE(p.pid, -1) AS purchase_id,
+        COALESCE(p.pval, 0.0) AS purchase_value
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+      ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69)
+    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70)
 }
