@@ -256,5 +256,19 @@ object VecQueries {
       FROM a$iters GROUP BY bucket ORDER BY bucket"""
   }
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64)
+  // q71 — CONVERGED k-means (driver-loop Lloyd with literal-relation
+  // centroids and early stop — see Similarity.kmeansConverged). Because
+  // rounds after the fixed point are idempotent, the run at maxIters = 4
+  // is bit-identical to 4 unrolled rounds whether or not it stopped
+  // early — so the same generated CTE-chain oracle applies.
+  private val q71 = Q(
+    "q71_kmeans_converged",
+    (s, dir) => Similarity
+      .kmeansConverged(tbl(s, dir, "embeddings"), k = 8, maxIters = 4, dims = 64)._1
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+      .orderBy("bucket"),
+    Some(kmeansSql(k = 8, iters = 4)))
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71)
 }

@@ -218,6 +218,47 @@ object Similarity {
     assigned
   }
 
+  /** Converged k-means: Lloyd rounds until the quantized centroid table
+    * reaches an exact fixed point (identical between rounds) or
+    * `maxIters`. [[kmeansBuckets]] builds ONE lazy plan whose depth grows
+    * with the round count — fine for 2-3 unrolled rounds, but analysis
+    * and codegen blow up past ~10. Here each round COLLECTS the centroid
+    * table (k·dims rows — hundreds, never data-sized) into a literal
+    * relation, so plan depth is CONSTANT in the round count and the loop
+    * can stop early. This is the 100 TB shape: per round one
+    * dimension-wise centroid shuffle + one broadcast assignment scan of
+    * the corpus; driver traffic is k·dims rows per round. Inherently an
+    * eager multi-job operator (like any Lloyd driver loop) — not for use
+    * inside a single lazy plan.
+    *
+    * Rounds after the fixed point are idempotent (identical centroids →
+    * identical argmin assignment), so `kmeansConverged(maxIters = n)`
+    * always equals `kmeansBuckets(iters = n)` — which is what lets a
+    * fixed-iters unrolled SQL mirror oracle-check a converging run.
+    * Returns (corpus + final `bucket`, rounds actually run). */
+  def kmeansConverged(corpus: DataFrame, k: Int, maxIters: Int, dims: Int): (DataFrame, Int) = {
+    val spark = corpus.sparkSession
+    var assigned = corpus.withColumn("bucket",
+      pmod(graft.functions.TextFns.portableHash(col("vec_id")), lit(k.toLong)).cast("int"))
+    var prev: Map[(Int, Int), Double] = null
+    var rounds = 0
+    var done = false
+    while (rounds < maxIters && !done) {
+      val cents = centroids(assigned, "bucket")
+      val rows = cents.collect()
+      val cur = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      if (cur == prev) done = true
+      else {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), cents.schema)
+        assigned = assignToNearest(corpus, local, dims)
+        prev = cur
+        rounds += 1
+      }
+    }
+    (assigned, rounds)
+  }
+
   /** Bucket-pruned near-dup: pairs restricted to the same coarse bucket —
     * the n² cross join becomes Σ bucketᵢ², the production dedup shape at
     * 100 TB (bucket = quantizer/LSH cell). */

@@ -78,4 +78,27 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
     assert(r == Map(0L -> 0, 1L -> 1, 2L -> 0))
   }
+
+  test("kmeansConverged equals unrolled kmeansBuckets at the same iteration cap") {
+    // rounds past the fixed point are idempotent, so the two agree whether
+    // or not the converged loop stopped early — the q71 oracle's premise
+    val (conv, rounds) = Similarity.kmeansConverged(corpus, k = 4, maxIters = 3, dims = 64)
+    val a = conv.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    val b = Similarity.kmeansBuckets(corpus, k = 4, iters = 3, dims = 64)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(a == b)
+    assert(rounds >= 1 && rounds <= 3)
+  }
+
+  test("kmeansConverged stops early at the fixed point on separable blobs") {
+    val blobA = (0 until 20).map(i => (i.toLong, Array.fill(64)(5.0f + (i % 3) * 0.01f)))
+    val blobB = (0 until 20).map(i => (100L + i, Array.fill(64)(-5.0f - (i % 3) * 0.01f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val (assigned, rounds) = Similarity.kmeansConverged(df, k = 2, maxIters = 10, dims = 64)
+    assert(rounds < 10, s"two far blobs must converge early, ran all $rounds rounds")
+    val groups = assigned.select("vec_id", "bucket").as[(Long, Int)].collect()
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(groups == Set(blobA.map(_._1).toSet, blobB.map(_._1).toSet),
+      "each blob should land wholly in one bucket")
+  }
 }
