@@ -551,6 +551,56 @@ object TextQueries {
         TRUE AS topk_ok
       FROM r WHERE rn <= 3"""))
 
+  // q72 — PII scrubbing (emails / phones / IPv4 → typed tags), a
+  // first-class training-data op. The corpus contains no PII by
+  // construction, so the query DERIVES identical PII-bearing text from
+  // events columns in both engines (same concat → same bytes), then
+  // scrubs and counts. Patterns are ASCII-only so Java regex and RE2
+  // agree; DuckDB regexp_replace needs the 'g' flag to match Spark's
+  // replace-all. Per-row projection work only + one groupBy shuffle.
+  private val q72 = Q(
+    "q72_pii_scrub",
+    (s, dir) => {
+      val contact = concat(lit("contact u"), col("user_id").cast("string"),
+        lit("@mail.example.com"))
+      val raw = concat(
+        when(col("event_type") =!= "click", contact).otherwise(lit("no email on file")),
+        lit(" call +1-555-"),
+        lpad(pmod(col("event_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("user_id"), lit(256L)).cast("string"), lit(".9"))
+      tbl(s, dir, "events")
+        .withColumn("raw", raw)
+        .withColumn("clean", TextFns.scrubPii(col("raw")))
+        .withColumn("pii", TextFns.piiCounts(col("raw")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("pii.emails").cast("long")).as("emails"),
+          sum(col("pii.phones").cast("long")).as("phones"),
+          sum(col("pii.ips").cast("long")).as("ips"),
+          sum((length(col("raw")) - length(col("clean"))).cast("long")).as("chars_delta"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH t AS (SELECT event_type,
+        (CASE WHEN event_type <> 'click'
+              THEN 'contact u' || CAST(user_id AS VARCHAR) || '@mail.example.com'
+              ELSE 'no email on file' END)
+        || ' call +1-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+        || ' from 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.9' AS raw
+      FROM events),
+      c AS (SELECT event_type, raw,
+        regexp_replace(regexp_replace(regexp_replace(raw,
+          '${TextFns.EmailRe}', '<EMAIL>', 'g'),
+          '${TextFns.PhoneRe}', '<PHONE>', 'g'),
+          '${TextFns.Ipv4Re}', '<IP>', 'g') AS clean
+      FROM t)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(len(regexp_extract_all(raw, '${TextFns.EmailRe}'))) AS BIGINT) AS emails,
+        CAST(SUM(len(regexp_extract_all(raw, '${TextFns.PhoneRe}'))) AS BIGINT) AS phones,
+        CAST(SUM(len(regexp_extract_all(raw, '${TextFns.Ipv4Re}'))) AS BIGINT) AS ips,
+        CAST(SUM(len(raw) - len(clean)) AS BIGINT) AS chars_delta
+      FROM c GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
-    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68)
+    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72)
 }

@@ -174,4 +174,31 @@ object TextFns {
     val alpha    = s("alpha_ratio")
     Det.roundAt(lenScore * shapeOk * alpha, 6)
   }
+
+  // ── PII scrubbing ────────────────────────────────────────────────────
+  /** Conservative engine-portable PII patterns: ASCII character classes
+    * and `\b` only, so Java regex (Spark codegen'd regexp_replace) and
+    * RE2 (DuckDB) agree on every match. Deliberately precision-biased —
+    * a training-data scrub that mangles non-PII text is worse than one
+    * that misses an exotic obfuscation. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re: String  = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses with typed tags.
+    * Email first — its local/domain parts could otherwise be nibbled by
+    * the narrower patterns. Pure codegen'd regexp_replace chain: one pass
+    * per pattern, no UDF, scales as a per-row projection. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-document PII hit counts as a struct (emails, phones, ips). */
+  def piiCounts(c: Column): Column = struct(
+    regexp_count(c, lit(EmailRe)).as("emails"),
+    regexp_count(c, lit(PhoneRe)).as("phones"),
+    regexp_count(c, lit(Ipv4Re)).as("ips"))
 }

@@ -74,4 +74,21 @@ class TextFnsSpec extends SparkSpec {
     assert(good > 0.6 && good <= 1.0)
     assert(bad >= 0.0 && bad < 0.3)
   }
+
+  test("scrubPii redacts every email, phone, and IPv4 with typed tags") {
+    def s(v: String) = one[String](TextFns.scrubPii(col("c")), v)
+    assert(s("mail a.b+c@ex-site.org now") == "mail <EMAIL> now")
+    assert(s("call +1-555-0042 or +52-800-1234") == "call <PHONE> or <PHONE>")
+    assert(s("host 10.0.3.9 up") == "host <IP> up")
+    assert(s("v1.2.3 release") == "v1.2.3 release") // 3 octets ≠ an IP
+    assert(s("u10.0.0.1@x.com home") == "<EMAIL> home") // email wins before IP nibbles it
+    assert(s("plain text stays put") == "plain text stays put")
+  }
+
+  test("piiCounts counts per kind") {
+    val r = Seq("a@b.io and c@d.io from 10.1.1.1 call +1-555-9999").toDF("c")
+      .select(TextFns.piiCounts(col("c")).as("p"))
+      .select("p.emails", "p.phones", "p.ips").collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
+  }
 }
