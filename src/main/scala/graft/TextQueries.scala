@@ -601,6 +601,25 @@ object TextQueries {
         CAST(SUM(len(raw) - len(clean)) AS BIGINT) AS chars_delta
       FROM c GROUP BY event_type ORDER BY event_type"""))
 
+  // q73 — streaming-ingest near-dup suppression, batch twin: with
+  // arrival order = ascending doc_id, the first doc claims each LSH band
+  // bucket and any later doc landing in a claimed bucket is suppressed —
+  // the exact first-in-bucket state Streams.lshBandHits keeps (the
+  // streaming ≡ batch equivalence is asserted in StreamsSpec on this
+  // same table). Reuses q22's band CTEs, so the bucket space is
+  // literally identical across q22 / q39 / q73 and the stream.
+  private val q73 = Q(
+    "q73_stream_neardup_twin",
+    (s, dir) => Dedup.seqFirstBucketStats(tbl(s, dir, "documents"), "doc_id", "text"),
+    Some(s"""WITH $minhashCtes,
+        bm AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, key) AS bmin FROM banded),
+        per AS (SELECT doc_id, MIN(bmin) AS first_seen FROM bm GROUP BY doc_id)
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN first_seen < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+        CAST(SUM(CASE WHEN first_seen >= doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN first_seen >= doc_id THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      FROM per"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
-    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72)
+    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73)
 }

@@ -115,6 +115,40 @@ object Dedup {
           .map(r => element_at(sig, b * rowsPerBand + r + 1).cast(StringType)): _*))
     }: _*)
 
+  /** Band keys for ONE document as an array column — the same bucket
+    * space (identical literals) as [[minhashLshPairs]], exposed for
+    * consumers that maintain the bucket index incrementally instead of
+    * self-joining it: the streaming near-dup tagger
+    * ([[graft.streaming.Streams]]) and its batch twin
+    * [[seqFirstBucketStats]]. */
+  def bandKeysCol(text: Column, numHashes: Int, bands: Int, shingleN: Int): Column =
+    bandKeys(minhashSignature(text, numHashes, shingleN), bands, numHashes / bands)
+
+  /** Batch twin of the STREAMING LSH near-dup tagger: with arrival order
+    * = ascending `idCol`, a doc is suppressed iff ANY of its band buckets
+    * already holds an earlier doc — exactly the first-in-bucket state the
+    * streaming operator keeps. Two shuffles (bucket window + per-doc
+    * combine), no self-join, no pair materialization: this is the O(n)
+    * "keep first, drop later near-dups" ingest shape, vs
+    * [[minhashLshPairs]]'s O(candidates) pair enumeration.
+    * Returns one row: n_docs, n_suppressed, n_kept, kept_id_sum (the id
+    * sum pins exact survivor membership for the oracle). */
+  def seqFirstBucketStats(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 32, bands: Int = 8,
+                          shingleN: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    df.select(col(idCol).cast(LongType).as("id"),
+        posexplode(bandKeysCol(col(textCol), numHashes, bands, shingleN))
+          .as(Seq("band", "key")))
+      .withColumn("bmin", min(col("id")).over(w))
+      .groupBy("id").agg(min(col("bmin")).as("first_seen"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("first_seen") < col("id"), 1L).otherwise(0L)).as("n_suppressed"),
+        sum(when(col("first_seen") >= col("id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("first_seen") >= col("id"), col("id")).otherwise(0L)).as("kept_id_sum"))
+  }
+
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
     * self-join → exact-Jaccard verify ≥ `threshold`.
     *

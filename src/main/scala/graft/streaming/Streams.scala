@@ -65,6 +65,80 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** In-stream NEAR-dup suppression at signature grain: docs whose full
+    * 32-hash MinHash signature matches an already-seen doc (exact dups
+    * plus trivially-perturbed near-dups — signature equality ⇒ Jaccard
+    * ≈ 1) are dropped via the builtin watermark-bounded dedup state.
+    * The signature collapses to one 60-bit portable hash key, so state
+    * is one long per distinct doc inside the watermark horizon. */
+  def signatureDedup(docs: DataFrame, numHashes: Int = 32, shingleN: Int = 3,
+                     watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("sig_key", graft.functions.TextFns.portableHash(
+        concat_ws(",", transform(
+          graft.operators.Dedup.minhashSignature(col("text"), numHashes, shingleN),
+          _.cast("string")))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+
+  /** Streaming LSH near-dup tagging: the SAME MinHash band space as the
+    * batch LSH ([[graft.operators.Dedup.bandKeysCol]] — identical
+    * literals, so batch and stream agree on every bucket), maintained as
+    * an INCREMENTAL index instead of a self-join. Each (band, key)
+    * bucket keeps its first-arrived doc id as state; every incoming
+    * (doc, band) row is emitted tagged with that first doc and whether
+    * the bucket already held a DIFFERENT doc. A doc is a near-dup
+    * candidate iff ANY of its `bands` rows is tagged — that per-doc
+    * OR-combine is a trivial downstream aggregation (per micro-batch in
+    * the sink, or a windowed agg), kept out of this operator because
+    * Spark restricts stateful operators chained after
+    * flatMapGroupsWithState.
+    *
+    * Scale shape: state is one long per non-empty bucket inside the idle
+    * horizon (evicted on event-time timeout after `idleDays`); each doc
+    * costs `bands` state lookups via one key shuffle — no pair
+    * explosion, no candidate self-join, which is what makes the
+    * streaming grain viable where the batch pair enumeration would be a
+    * per-batch O(candidates) job. Within a micro-batch, bucket rows
+    * process in full event-time (ts, doc_id) order, so in-order replays
+    * match the batch twin ([[graft.operators.Dedup.seqFirstBucketStats]])
+    * exactly. */
+  def lshBandHits(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+                  shingleN: Int = 3, watermark: String = "10 minutes",
+                  idleDays: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        posexplode(graft.operators.Dedup.bandKeysCol(
+          col("text"), numHashes, bands, shingleN)).as(Seq("band", "key")))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (bucket: (Int, Long), it: Iterator[BandRow], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // same full-precision event-time sort as [[anomalies]]
+            val batch = it.toSeq.sortBy(r =>
+              (r.ts.getTime / 1000, r.ts.getNanos, r.doc_id))
+            var first = state.getOption.map(_.first_doc)
+            val out = batch.map { r =>
+              val hit = first.exists(_ != r.doc_id)
+              if (first.isEmpty) first = Some(r.doc_id)
+              BandHit(r.doc_id, r.ts, r.band, first.get, hit)
+            }
+            state.update(BucketState(first.get))
+            val anchor = math.max(state.getCurrentWatermarkMs,
+              batch.lastOption.map(_.ts.getTime).getOrElse(0L))
+            state.setTimeoutTimestamp(anchor + idleDays.toLong * 24 * 3600 * 1000)
+            out.iterator
+          }
+        })
+      .toDF()
+  }
+
   /** Per-user streaming anomaly detection via `flatMapGroupsWithState` —
     * the custom-state slice no builtin windowed aggregate expresses: each
     * user's state is their full-history running statistics (count + sums
@@ -129,6 +203,17 @@ object Streams {
       .toDF()
   }
 }
+
+/** One exploded (doc, band) row entering the streaming LSH index. */
+case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: Int, key: Long)
+
+/** Per-(band, key) bucket state: the first doc that claimed the bucket. */
+case class BucketState(first_doc: Long)
+
+/** A tagged (doc, band) row: the bucket's first doc and whether the
+  * bucket already held a different doc (OR over bands ⇒ near-dup). */
+case class BandHit(doc_id: Long, ts: java.sql.Timestamp, band: Int,
+                   first_doc: Long, is_dup_band: Boolean)
 
 /** Running per-user statistics: count + exact integer sums of quantized
   * values (mean/variance derive in closed form — no doubles in state). */

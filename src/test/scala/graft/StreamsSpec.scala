@@ -10,6 +10,9 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
+/** Document stream shape for the near-dup operators. */
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -111,6 +114,73 @@ class StreamsSpec extends SparkSpec {
         .select("event_id", "zscore").as[(Long, Double)].collect().toMap
       assert(batch.nonEmpty, "expected the sf0.001 events to contain anomalies")
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("signatureDedup drops same-signature docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streams.signatureDedup(in.toDF())
+      .writeStream.format("memory").queryName("sigdd").outputMode("append").start()
+    try {
+      in.addData(Doc(1, ts(1), "the quick brown fox jumps over the lazy dog"),
+        Doc(2, ts(2), "a completely different document about spark streams"))
+      q.processAllAvailable()
+      // identical text, new id, later batch: same signature → dropped
+      in.addData(Doc(3, ts(3), "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(spark.table("sigdd").select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("lshBandHits tags near-dups against bucket state from earlier batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streams.lshBandHits(in.toDF())
+      .writeStream.format("memory").queryName("lshhits").outputMode("append").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again today"
+      in.addData(Doc(1, ts(1), base))
+      q.processAllAvailable()
+      in.addData(
+        Doc(2, ts(2), base.replace("today", "tonight")), // near-dup of doc 1
+        Doc(3, ts(3), "completely unrelated text about distributed query engines and shuffles"))
+      q.processAllAvailable()
+      val hits = spark.table("lshhits")
+        .groupBy("doc_id").agg(max(col("is_dup_band")).as("dup"),
+          min(org.apache.spark.sql.functions.when(col("is_dup_band"), col("first_doc"))).as("against"))
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.get(2)))).toMap
+      assert(!hits(1L)._1, "first doc claims its buckets, no hit")
+      assert(hits(2L)._1 && hits(2L)._2.contains(1L), "near-dup hits doc 1's buckets")
+      assert(!hits(3L)._1, "unrelated doc lands in fresh buckets")
+    } finally q.stop()
+  }
+
+  test("lshBandHits over the real documents table equals the q73 batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // arrival order = doc_id (ts synthesized monotonically) → the
+    // streaming first-in-bucket state replays Dedup.seqFirstBucketStats
+    val docs = Queries.tbl(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => Doc(r.getLong(0),
+        new Timestamp(1700000000000L + r.getLong(0) * 1000), r.getString(1)))
+    val in = MemoryStream[Doc]
+    val q = Streams.lshBandHits(in.toDF())
+      .writeStream.format("memory").queryName("lsh73").outputMode("append").start()
+    try {
+      docs.grouped(200).foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      val perDoc = spark.table("lsh73")
+        .groupBy("doc_id").agg(max(col("is_dup_band")).as("dup"))
+        .select("doc_id", "dup").as[(Long, Boolean)].collect().toMap
+      val batch = graft.operators.Dedup
+        .seqFirstBucketStats(Queries.tbl(spark, "/root/testdata/sf0.001", "documents"),
+          "doc_id", "text")
+        .collect()(0)
+      assert(perDoc.size.toLong == batch.getAs[Long]("n_docs"))
+      assert(perDoc.count(_._2).toLong == batch.getAs[Long]("n_suppressed"),
+        "streaming OR-of-bands suppression must equal the batch twin")
+      assert(perDoc.filter(!_._2).keys.sum == batch.getAs[Long]("kept_id_sum"))
+      graft.operators.Ckpt.release(spark)
     } finally q.stop()
   }
 
