@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CleanFns, Det}
-import graft.operators.{Profile, Skew}
+import graft.operators.{Layout, Profile, Skew}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -740,7 +740,62 @@ object RelQueries {
       FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
       ORDER BY e.event_id"""))
 
+  // q74 — bucketed-layout join, result-checked (the zero-Exchange plan
+  // shape itself is asserted in LayoutSpec): both sides are materialized
+  // bucketed-by-join-key (the one deliberately EAGER step — writing a
+  // physical layout IS the operator, the 100 TB answer to re-shuffling a
+  // fact table on every query), then joined and aggregated. The bucketed
+  // result must equal the plain relational join bit-for-bit — which is
+  // exactly what the oracle checks.
+  private val q74 = Q(
+    "q74_bucketed_join",
+    (s, dir) => {
+      Layout.writeBucketed(tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice")),
+        "g74_lineitem_b", "okey", 8)
+      Layout.writeBucketed(tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+        "g74_orders_b", "okey", 8)
+      Layout.bucketedJoin(s, "g74_lineitem_b", "g74_orders_b", "okey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), Det.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+      ${Det.roundAtSql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)", 6)} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // q76 — per-GROUP sketches (q36 is global): HLL distinct users and
+  // approx-median value per event_type, bounds-checked against exact
+  // anchors computed in the same pass. The sketch path is what survives
+  // 100 TB — fixed-size mergeable state per group vs per-group value
+  // collection — and the bounds flags make its accuracy a CORRECTNESS
+  // row, not a trust-me.
+  private val q76 = Q(
+    "q76_group_sketches",
+    (s, dir) => tbl(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("__hll"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_percentile(col("value"), lit(0.5), lit(1000))
+          .cast("double").as("__amed"),
+        percentile(col("value"), lit(0.45)).as("__p45"),
+        percentile(col("value"), lit(0.55)).as("__p55"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), col("exact_users"),
+        (abs(col("__hll") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.02).as("users_ok"),
+        (col("__amed") >= col("__p45") && col("__amed") <= col("__p55")).as("median_ok"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n,
+      count(DISTINCT user_id) AS exact_users,
+      TRUE AS users_ok, TRUE AS median_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
-    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70)
+    q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
+    q76)
 }

@@ -620,6 +620,29 @@ object TextQueries {
         CAST(SUM(CASE WHEN first_seen >= doc_id THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       FROM per"""))
 
+  // q75 — context-length chunking (sequence packing's first half): every
+  // document splits into ceil(n_tokens/50) fixed-size chunks, emitted as
+  // one row per chunk with its token count (the tail chunk is partial).
+  // A narrow explode — no shuffle until the final sort — and the chunk
+  // arithmetic is pure integers, so the lateral-range DuckDB mirror is
+  // exact. Empty docs produce no chunks.
+  private val q75 = Q(
+    "q75_token_chunks",
+    (s, dir) => tbl(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), floor((col("n") + 49L) / 50L).cast("long") - 1L))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(50L), col("n") - col("chunk_idx") * 50L).as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, CAST(u.chunk_idx AS BIGINT) AS chunk_idx,
+        least(50, n - u.chunk_idx * 50) AS chunk_tokens
+      FROM t, unnest(range((n + 49) // 50)) AS u(chunk_idx)
+      WHERE n > 0 ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
-    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73)
+    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75)
 }
