@@ -42,4 +42,11 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan(q).contains("BroadcastHashJoin") || plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q does not broadcast the query side")
   }
+
+  test("as-of join plans as a running window over the union, not an inequality join") {
+    val p = plan("q70_asof_join")
+    assert(p.contains("Window"), s"q70 lost its running-window encoding:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"q70 degraded to an inequality (nested-loop) join:\n$p")
+  }
 }
