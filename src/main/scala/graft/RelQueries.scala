@@ -738,7 +738,8 @@ object RelQueries {
         COALESCE(p.pid, -1) AS purchase_id,
         COALESCE(p.pval, 0.0) AS purchase_value
       FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id"""),
+    headline = true)
 
   // q74 — bucketed-layout join, result-checked (the zero-Exchange plan
   // shape itself is asserted in LayoutSpec): both sides are materialized
