@@ -795,8 +795,45 @@ object RelQueries {
       TRUE AS users_ok, TRUE AS median_ok
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // q77 — FULL OUTER join (completes the join family next to inner/semi/
+  // anti/broadcast): BUILDING-segment customers vs per-customer counts of
+  // high-value orders — both unmatched sides are non-empty by
+  // construction, so all three branches (matched / left-only /
+  // right-only) are exercised and pinned by key sums. One shuffle per
+  // side on the join key; SortMergeJoinExec(FullOuter) at scale.
+  private val q77 = Q(
+    "q77_full_outer",
+    (s, dir) => {
+      val cust = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val big = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 150000.0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "full_outer")
+        .agg(
+          sum(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_left_only"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_right_only"),
+          sum(coalesce(col("n_big"), lit(0L))).as("total_big_orders"),
+          sum(coalesce(col("c_custkey"), col("o_custkey"))).as("key_sum"))
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+      big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        WHERE o_totalprice > 150000.0 GROUP BY o_custkey)
+      SELECT
+        CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+        CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only,
+        CAST(SUM(COALESCE(n_big, 0)) AS BIGINT) AS total_big_orders,
+        CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS key_sum
+      FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76)
+    q76, q77)
 }

@@ -270,5 +270,44 @@ object VecQueries {
       .orderBy("bucket"),
     Some(kmeansSql(k = 8, iters = 4)))
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71)
+  // q78 — Johnson–Lindenstrauss random projection (the dim-reduction
+  // front of an ANN/clustering pipeline): 64 dims → 4 via deterministic
+  // ±1 planes and quantized dots, so the projected values themselves are
+  // engine-exact. Aggregates per label with decimal-exact sums of the
+  // rounded coordinates. Per-row projection + one small shuffle.
+  private val q78 = Q(
+    "q78_random_projection",
+    (s, dir) => {
+      val planes = Similarity.signPlanes(4, 64)
+      val proj = graft.functions.VectorFns.randomProject(col("embedding"), planes)
+      tbl(s, dir, "embeddings")
+        .select(col("label"), proj.as("proj"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(element_at(col("proj"), 1), 6).as("p0_sum"),
+          Det.dsum(element_at(col("proj"), 2), 6).as("p1_sum"),
+          Det.dsum(element_at(col("proj"), 3), 6).as("p2_sum"),
+          Det.dsum(element_at(col("proj"), 4), 6).as("p3_sum"))
+        .orderBy("label")
+    },
+    Some {
+      val planes = Similarity.signPlanes(4, 64)
+      val scale = (1e12 * math.sqrt(4.0)).toString
+      def planeLit(p: Array[Float]) =
+        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      def projK(k: Int) = Det.roundAtSql(
+        s"""CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * (${planeLit(planes(k))})[i] * 1e12 + 0.5) AS BIGINT)))
+          AS DOUBLE) / $scale""", 6)
+      val sums = (0 until 4).map(k =>
+        s"CAST(SUM(CAST(p$k AS DECIMAL(28,6))) AS DOUBLE) AS p${k}_sum").mkString(", ")
+      s"""WITH proj AS (SELECT label,
+          ${(0 until 4).map(k => s"${projK(k)} AS p$k").mkString(", ")}
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n, $sums
+      FROM proj GROUP BY label ORDER BY label"""
+    })
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
+    q78)
 }

@@ -60,4 +60,18 @@ object VectorFns {
       .otherwise(dotQ(a, b).cast(DoubleType) /
         sqrt(naq.cast(DoubleType) * nbq.cast(DoubleType)))
   }
+
+  /** Johnson–Lindenstrauss random projection with deterministic ±1 planes
+    * (`Similarity.signPlanes`): out[k] = (x·pₖ) / √K, each dot via the
+    * quantized-integer native [[graft.plans.DotQExpr]] and rounded at
+    * `digits` — so the reduced vectors are bit-identical in any engine.
+    * The JL scale factor 1/√K preserves expected squared norms; ±1
+    * entries make the projection a sequence of signed sums (no float
+    * matrix to ship — the planes derive from the xorshift literals).
+    * Per-row projection, no shuffle: the dim-reduction front of an ANN /
+    * clustering pipeline at any corpus size. */
+  def randomProject(emb: Column, planes: Array[Array[Float]], digits: Int = 6): Column =
+    array(planes.map(p =>
+      Det.roundAt(graft.plans.DotQExpr(emb, lit(p)).cast(DoubleType) /
+        lit(1e12 * math.sqrt(planes.length.toDouble)), digits)): _*)
 }

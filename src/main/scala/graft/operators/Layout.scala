@@ -15,14 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Layout {
 
   /** Write `df` as a bucketed+sorted managed table (sorted buckets also
-    * enable merge-join without a sort step). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * enable merge-join without a sort step). Drops any previous
+    * registration AND its on-disk location first: the in-memory catalog
+    * dies with the session but the warehouse directory does not, and
+    * `saveAsTable` refuses a managed-table location left behind by an
+    * earlier session (LOCATION_ALREADY_EXISTS). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Co-located equi-join of two same-bucketed tables — plans with no
     * Exchange on either side. */

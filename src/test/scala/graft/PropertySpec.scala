@@ -108,6 +108,30 @@ class PropertySpec extends SparkSpec {
     assert(ids5.subsetOf(ids10))
   }
 
+  test("AsOf.backward equals a brute-force merge_asof on random data") {
+    // random (key, time) events vs a reference implementation computed
+    // per-row in plain Scala — semantics, not plan shape
+    val rows = sample(for {
+      k <- Gen.chooseNum(1L, 6L)
+      t <- Gen.chooseNum(0L, 5000L)
+    } yield (k, t), 400).zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val lefts = rows.filter(_._1 % 2 == 0)
+    val rights = rows.filter(_._1 % 2 == 1)
+      .groupBy(r => (r._2, r._3)).values.map(_.minBy(_._1)).toSeq // unique (key,time)
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms * 1000)
+    val l = lefts.map(r => (r._1, r._2, ts(r._3))).toDF("lid", "k", "lt")
+    val r = rights.map(r => (r._1, r._2, ts(r._3))).toDF("rid", "k", "rt")
+    val got = graft.operators.AsOf.backward(l, r, "k", "k", "lt", "rt", Seq("rid"))
+      .select(col("lid"), col("asof.rid").as("rid"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    val expected = lefts.map { le =>
+      val prior = rights.filter(ri => ri._2 == le._2 && ri._3 <= le._3)
+      le._1 -> (if (prior.isEmpty) None
+                else Some(prior.maxBy(ri => (ri._3, -ri._1))._1))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("maxBucket above every bucket size is a no-op on LSH pairs") {
     val docs = sample(Gen.listOfN(10,
         Gen.oneOf("alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa lambda mu"))
