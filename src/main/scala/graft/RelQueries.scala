@@ -832,8 +832,103 @@ object RelQueries {
         CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS key_sum
       FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey"""))
 
+  // q79 — bloom-pruned semi join (runtime row-level filtering made
+  // explicit, operators/BloomJoin.scala): orders probed against a
+  // filtered customer dimension. The bloom is invisible to the result —
+  // the oracle is the PLAIN semi join, so correctness here proves the
+  // "no false negatives + exact post-join" contract, while the plan (a
+  // scalar-subquery bloom + map-side might_contain before the shuffle)
+  // is pinned by PlanShapeSpec.
+  private val q79 = Q(
+    "q79_bloom_semi_join",
+    (s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val vip = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") > 1000.0)
+      graft.operators.BloomJoin
+        .semiJoin(orders, vip, "o_custkey", "c_custkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 1000.0)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // q80 — bucketized range join (operators/RangeJoin.scala): views in the
+  // hour before each purchase, per user. Timestamps are pre-truncated to
+  // seconds on BOTH sides so the parquet ns / Spark µs divergence cannot
+  // flip a boundary comparison. Inner semantics: purchases with ≥1 prior
+  // view. The oracle is the naive inequality join — same rows, but the
+  // engine's plan is an equi-join on (user, time-bucket) with duplication
+  // factor ≤ 2 instead of per-key n² candidates (PlanShapeSpec pins no
+  // NestedLoop and a bucket-keyed SortMergeJoin).
+  private val q80 = Q(
+    "q80_range_join",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+          date_trunc("second", col("ts")).as("v_ts"),
+          col("value").as("v_value"))
+      graft.operators.RangeJoin
+        .intervalJoin(purchases, views, "user_id", "v_user", "p_ts", "v_ts",
+          lowerSec = -3600L, upperSec = 0L)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_views"),
+          Det.dsum(col("v_value"), 6).as("view_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id,
+        COUNT(*) AS n_views,
+        CAST(SUM(CAST(v.value AS DECIMAL(28,6))) AS DOUBLE) AS view_value
+      FROM events p JOIN events v
+        ON p.event_type = 'purchase' AND v.event_type = 'view'
+        AND v.user_id = p.user_id
+        AND date_trunc('second', v.ts)
+          BETWEEN date_trunc('second', p.ts) - INTERVAL 1 HOUR
+              AND date_trunc('second', p.ts)
+      GROUP BY p.event_id ORDER BY p.event_id"""))
+
+  // q81 — SCD2 changelog apply (operators/Cdc.scala): the events table
+  // read as a per-user state log (state = event_type), compacted to
+  // validity intervals. Times are epoch SECONDS in both engines (Spark
+  // cast timestamp→long ≡ DuckDB epoch_ns // 1e9 for post-1970 data) and
+  // the within-key order is (sec, event_id) — a total order immune to the
+  // ns-vs-µs parquet divergence. One shuffle on user_id, two window
+  // passes over the same partitioning.
+  private val q81 = Q(
+    "q81_scd2_intervals",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("sec"))
+      graft.operators.Cdc.scd2(ev, "user_id", Seq("sec", "event_id"), "event_type")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("sec").as("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+          epoch_ns(ts) // 1000000000 AS sec FROM events),
+      chg AS (SELECT *, LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM ev),
+      scd AS (SELECT user_id, event_id, event_type, sec AS valid_from,
+          LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+        FROM chg WHERE prev IS DISTINCT FROM event_type)
+      SELECT user_id, event_id, event_type, valid_from, valid_to,
+        valid_to IS NULL AS is_current
+      FROM scd ORDER BY user_id, valid_from, event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76, q77)
+    q76, q77, q79, q80, q81)
 }

@@ -49,4 +49,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("NestedLoop"),
       s"q70 degraded to an inequality (nested-loop) join:\n$p")
   }
+
+  test("range join stays an equi-join on (key, bucket), never a nested loop") {
+    val p = plan("q80_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"q80 degraded to a nested-loop inequality join:\n$p")
+    assert(p.contains("_rj_bucket"), s"q80 lost the time-bucket equi key:\n$p")
+  }
+
+  test("bloom semi join filters the probe scan map-side via a scalar subquery") {
+    val p = plan("q79_bloom_semi_join")
+    assert(p.contains("might_contain"), s"q79 lost the bloom prefilter:\n$p")
+    assert(p.contains("Subquery"), s"q79 bloom is not a scalar subquery:\n$p")
+    // the prefilter must sit on the probe-side scan, before any exchange:
+    // the FileScan's data filter list carries the might_contain condition
+    val scanIdx = p.indexOf("might_contain")
+    assert(scanIdx >= 0 && p.substring(scanIdx).contains("xxhash64(o_custkey"),
+      s"q79 bloom prefilter is not keyed on the probe column:\n$p")
+  }
 }

@@ -132,6 +132,61 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("range join equals the naive inequality join on random data") {
+    // random (key, time) pairs; window [-120s, +45s] is asymmetric and
+    // non-aligned so bucket-boundary handling is actually exercised
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ls = sample(for { k <- Gen.chooseNum(1L, 5L); t <- Gen.chooseNum(0L, 3000L) } yield (k, t), 250)
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+    val rs = sample(for { k <- Gen.chooseNum(1L, 5L); t <- Gen.chooseNum(0L, 3000L) } yield (k, t), 250)
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+    val l = ls.toDF("lid", "lk", "lt")
+    val r = rs.toDF("rid", "rk", "rt")
+    val got = graft.operators.RangeJoin
+      .intervalJoin(l, r, "lk", "rk", "lt", "rt", lowerSec = -120L, upperSec = 45L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val want = (for {
+      (lid, lk, lt) <- ls; (rid, rk, rt) <- rs
+      if rk == lk && rt.getTime >= lt.getTime - 120000L && rt.getTime <= lt.getTime + 45000L
+    } yield (lid, rid)).sorted
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("scd2 compaction equals a brute per-key scan on random logs") {
+    val rows = sample(for {
+      k <- Gen.chooseNum(1L, 8L)
+      st <- Gen.oneOf("a", "b", null: String)
+    } yield (k, st), 400).zipWithIndex.map { case ((k, st), i) => (i.toLong, k, st) }
+    val df = rows.toDF("seq", "k", "st")
+    val got = graft.operators.Cdc.scd2(df, "k", Seq("seq"), "st")
+      .select("k", "seq", "valid_to").as[(Long, Long, Option[Long])]
+      .collect().sorted.toSeq
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (k, g) =>
+      val ordered = g.sortBy(_._1)
+      val changes = ordered.zip(Option.empty[String] +: ordered.map(r => Option(r._3)))
+        .collect { case ((seq, _, st), prev) if prev != Option(st) => seq }
+      changes.zip(changes.drop(1).map(Option(_)) :+ None).map { case (f, t) => (k, f, t) }
+    }.sorted
+    assert(got == want)
+    assert(want.exists(_._3.isEmpty) && want.size > 8) // current rows + real compaction
+  }
+
+  test("bloom semi join equals a plain semi join and actually prunes") {
+    // 2000 probe keys vs 40 build keys: the bloom must admit every true
+    // match (no false negatives) and the final equi-join must remove any
+    // false positives — equality with the plain semi join is exact.
+    val probe = sample(Gen.chooseNum(0L, 500L), 2000).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val build = sample(Gen.chooseNum(0L, 500L), 40).distinct.toDF("bk")
+    val got = graft.operators.BloomJoin.semiJoin(probe, build, "k", "bk")
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = probe.join(build, col("k") === col("bk"), "left_semi")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(want.nonEmpty && want.size < 2000) // both branches exercised
+  }
+
   test("maxBucket above every bucket size is a no-op on LSH pairs") {
     val docs = sample(Gen.listOfN(10,
         Gen.oneOf("alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa lambda mu"))
