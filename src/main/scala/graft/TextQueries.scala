@@ -643,6 +643,50 @@ object TextQueries {
       FROM t, unnest(range((n + 49) // 50)) AS u(chunk_idx)
       WHERE n > 0 ORDER BY doc_id, chunk_idx"""))
 
+  // q82 — sequence packing (operators/Packing.scala) over q75's chunks:
+  // the chunk stream in (doc_id, chunk_idx) order is laid out
+  // contiguously and split every 200 tokens. Chunks may straddle a
+  // boundary, so a chunk contributes a row per window it touches; every
+  // window but the last must carry exactly 200 tokens — the oracle pins
+  // the per-window totals, span counts, and distinct-doc counts against
+  // a global-cumsum mirror. Spark computes the prefix sum in two levels
+  // (per doc_id/64 group + a tiny over-groups offset window) so no
+  // single-partition pass touches the full stream.
+  private val q82 = Q(
+    "q82_sequence_packing",
+    (s, dir) => {
+      val chunks = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0L), floor((col("n") + 49L) / 50L).cast("long") - 1L))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(50L), col("n") - col("chunk_idx") * 50L).as("chunk_tokens"))
+        .withColumn("pack_g", floor(col("doc_id") / 64L).cast("long"))
+      graft.operators.Packing
+        .packWindows(chunks, "pack_g", Seq("doc_id", "chunk_idx"), "chunk_tokens", 200L)
+        .groupBy("window_id")
+        .agg(sum(col("tok_in_window")).as("window_tokens"),
+          count(lit(1)).as("n_chunk_spans"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("window_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+      ch AS (SELECT doc_id, CAST(u.chunk_idx AS BIGINT) AS chunk_idx,
+          least(50, n - u.chunk_idx * 50) AS chunk_tokens
+        FROM t, unnest(range((n + 49) // 50)) AS u(chunk_idx) WHERE n > 0),
+      c AS (SELECT doc_id, chunk_idx, chunk_tokens,
+          CAST(SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ch),
+      sp AS (SELECT doc_id, cum - chunk_tokens AS st, cum AS en FROM c),
+      w AS (SELECT doc_id, u.wid AS window_id,
+          least(en, (u.wid + 1) * 200) - greatest(st, u.wid * 200) AS tok
+        FROM sp, unnest(range(st // 200, (en - 1) // 200 + 1)) AS u(wid))
+      SELECT window_id, CAST(SUM(tok) AS BIGINT) AS window_tokens,
+        COUNT(*) AS n_chunk_spans, COUNT(DISTINCT doc_id) AS n_docs
+      FROM w GROUP BY window_id ORDER BY window_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
-    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75)
+    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82)
 }

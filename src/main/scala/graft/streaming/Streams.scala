@@ -65,6 +65,34 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (attribution): each purchase matched to
+    * the same user's views in the `windowSec` seconds before it. Both
+    * sides carry a watermark and the join condition bounds the two event
+    * times, so Spark's symmetric-hash stream-stream join can evict state
+    * once `view.ts < watermark − windowSec` — per-executor state is the
+    * in-horizon working set, not the full history. Inner semantics:
+    * purchases with no prior view emit nothing (the batch twin q80 uses
+    * the same contract, and StreamsSpec asserts stream ≡ batch on the
+    * real events table). Timestamps are pre-truncated to seconds so the
+    * boundary comparison matches the batch/oracle exactly. */
+  def attribution(purchases: DataFrame, views: DataFrame,
+                  windowSec: Long = 3600L,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("user_id").as("v_user"),
+        date_trunc("second", col("ts")).as("v_ts"),
+        col("value").as("v_value"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("v_user") === col("user_id") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("v_ts") <= col("p_ts"))
+  }
+
   /** In-stream NEAR-dup suppression at signature grain: docs whose full
     * 32-hash MinHash signature matches an already-seen doc (exact dups
     * plus trivially-perturbed near-dups — signature equality ⇒ Jaccard

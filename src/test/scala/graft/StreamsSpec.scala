@@ -117,6 +117,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution equals the q80 batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    // the same events table, split into the two sides of the join and
+    // replayed in event-time order — watermark eviction must never drop
+    // a view still inside some future purchase's 1 h lookback
+    val events = Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").as[Ev].collect()
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val q = Streams.attribution(pIn.toDF(), vIn.toDF())
+      .writeStream.format("memory").queryName("attr80").outputMode("append").start()
+    try {
+      events.grouped(1500).foreach { chunk =>
+        pIn.addData(chunk.filter(_.event_type == "purchase").toSeq)
+        vIn.addData(chunk.filter(_.event_type == "view").toSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("attr80")
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n"), graft.functions.Det.dsum(col("v_value"), 6).as("s"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = Queries.byName("q80_range_join")
+        .run(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("signatureDedup drops same-signature docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
