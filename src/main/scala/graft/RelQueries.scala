@@ -927,8 +927,28 @@ object RelQueries {
         valid_to IS NULL AS is_current
       FROM scd ORDER BY user_id, valid_from, event_id"""))
 
+  // q84 — frequent pair mining (operators/Itemsets.scala): parts
+  // co-ordered in the same order, apriori-pruned before the basket
+  // self-join. Top-20 pairs with a full (support, a, b) tie-break so the
+  // limit is deterministic.
+  private val q84 = Q(
+    "q84_frequent_pairs",
+    (s, dir) => graft.operators.Itemsets.frequentPairs(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minItemSupport = 20L, minPairSupport = 2L)
+      .orderBy(desc("pair_support"), asc("item_a"), asc("item_b"))
+      .limit(20),
+    Some("""WITH baskets AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      freq AS (SELECT i FROM baskets GROUP BY i HAVING COUNT(*) >= 20),
+      pruned AS (SELECT b, i FROM baskets JOIN freq USING (i)),
+      pairs AS (SELECT x.i AS item_a, y.i AS item_b, COUNT(*) AS pair_support
+        FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+        GROUP BY x.i, y.i HAVING COUNT(*) >= 2)
+      SELECT item_a, item_b, pair_support FROM pairs
+      ORDER BY pair_support DESC, item_a ASC, item_b ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76, q77, q79, q80, q81)
+    q76, q77, q79, q80, q81, q84)
 }

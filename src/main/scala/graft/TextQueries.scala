@@ -687,6 +687,43 @@ object TextQueries {
         COUNT(*) AS n_chunk_spans, COUNT(DISTINCT doc_id) AS n_docs
       FROM w GROUP BY window_id ORDER BY window_id"""))
 
+  // q83 — BM25 retrieval (operators/Rank.scala): top-5 docs per query
+  // term. The term filter runs before any shuffle (an inverted-index
+  // lookup in spirit), corpus stats ride as broadcast scalars, and the
+  // linear idf + fixed-order double arithmetic keep scores bit-equal in
+  // both engines (every SQL literal is CAST to DOUBLE so DuckDB's
+  // decimal literal arithmetic cannot fold differently than Catalyst).
+  private val q83 = Q(
+    "q83_bm25_topk",
+    (s, dir) => graft.operators.Rank.bm25TopK(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      Seq("join", "window", "merge")),
+    Some {
+      val k1 = "CAST(1.2 AS DOUBLE)"
+      val b = "CAST(0.75 AS DOUBLE)"
+      val score = Det.roundAtSql(
+        s"""((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+            (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+          * (CAST(tf AS DOUBLE) * ($k1 + CAST(1 AS DOUBLE)))
+          / (CAST(tf AS DOUBLE) + $k1 *
+             (CAST(1 AS DOUBLE) - $b + $b * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+              / CAST(sumdl AS DOUBLE)))""", 6)
+      s"""WITH base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+        t AS (SELECT doc_id, u.term AS term FROM documents, unnest($toks) AS u(term)
+          WHERE u.term IN ('join', 'window', 'merge')),
+        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (SELECT term, tf.doc_id, tf, df, dl, $score AS score
+          FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
+        r AS (SELECT term, doc_id, tf, df, score,
+          ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored)
+      SELECT term, doc_id, tf, df, score, rank FROM r WHERE rank <= 5
+      ORDER BY term, rank"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
-    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82)
+    q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
+    q83)
 }

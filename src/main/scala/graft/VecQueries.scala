@@ -308,6 +308,56 @@ object VecQueries {
       FROM proj GROUP BY label ORDER BY label"""
     })
 
+  // q85 — symmetric int8 quantization (VectorFns.int8Scale/quantizeInt8):
+  // the 4× embedding compression step of a large-scale ANN pipeline,
+  // checked end to end — integer code sums are exact, the max
+  // dequantization error per label is a fixed-order double pipeline
+  // rounded at 9, and the scale column itself is pinned via rounded
+  // decimal sums. Per-row narrow math + one small shuffle.
+  private val q85 = Q(
+    "q85_int8_quantize",
+    (s, dir) => {
+      val scale = graft.functions.VectorFns.int8Scale(col("embedding"))
+      val xd = transform(col("embedding"), x => x.cast(DoubleType))
+      val codes = graft.functions.VectorFns.quantizeInt8(col("embedding"), col("scale"))
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"), scale.as("scale"))
+        .select(col("vec_id"), col("label"), col("scale"),
+          codes.as("codes"), xd.as("xd"))
+        .select(col("vec_id"), col("label"), col("scale"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          array_max(zip_with(col("codes"), col("xd"),
+            (c, x) => abs(c.cast(DoubleType) / col("scale") - x))).as("vec_err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("code_sum")).as("code_sum_total"),
+          Det.roundAt(max(col("vec_err")), 9).as("max_err"),
+          Det.dsum(Det.roundAt(col("scale"), 6), 6).as("scale_sum"))
+        .orderBy("label")
+    },
+    Some {
+      val xd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+      s"""WITH base AS (SELECT vec_id, label, $xd AS xd FROM embeddings),
+        sc AS (SELECT vec_id, label, xd,
+            CASE WHEN list_max(list_transform(xd, x -> abs(x))) > CAST(0.0 AS DOUBLE)
+              THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(xd, x -> abs(x)))
+              ELSE CAST(1.0 AS DOUBLE) END AS scale
+          FROM base),
+        qq AS (SELECT vec_id, label, scale,
+            list_transform(xd, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS codes,
+            xd FROM sc),
+        pv AS (SELECT vec_id, label, scale,
+            CAST(list_sum(codes) AS BIGINT) AS code_sum,
+            list_max(list_transform(range(1, len(codes) + 1),
+              i -> abs(CAST(codes[i] AS DOUBLE) / scale - xd[i]))) AS vec_err
+          FROM qq)
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(code_sum) AS BIGINT) AS code_sum_total,
+        ${Det.roundAtSql("MAX(vec_err)", 9)} AS max_err,
+        CAST(SUM(CAST(${Det.roundAtSql("scale", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS scale_sum
+      FROM pv GROUP BY label ORDER BY label"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78)
+    q78, q85)
 }

@@ -74,4 +74,21 @@ object VectorFns {
     array(planes.map(p =>
       Det.roundAt(graft.plans.DotQExpr(emb, lit(p)).cast(DoubleType) /
         lit(1e12 * math.sqrt(planes.length.toDouble)), digits)): _*)
+
+  /** Per-vector max-abs scale for symmetric int8 quantization:
+    * `127 / max|x|`, or 1 for the all-zero vector (whose codes are all
+    * zero anyway). Pure double IEEE — engine-exact. */
+  def int8Scale(emb: Column): Column = {
+    val maxabs = array_max(transform(emb, x => abs(x.cast(DoubleType))))
+    when(maxabs > lit(0.0), lit(127.0) / maxabs).otherwise(lit(1.0))
+  }
+
+  /** Symmetric int8 quantization codes — `floor(x·scale + 0.5)` per
+    * element (round-half-up, the same portable formula as
+    * [[graft.functions.Det.roundAt]], so Spark and any SQL engine agree
+    * bit-for-bit). Codes lie in [-127, 127]; the 4× storage cut is what
+    * makes a 100 TB embedding corpus ANN-servable, and the companion
+    * [[int8Scale]] column is all a reader needs to dequantize. */
+  def quantizeInt8(emb: Column, scale: Column): Column =
+    transform(emb, x => floor(x.cast(DoubleType) * scale + lit(0.5)).cast("long"))
 }

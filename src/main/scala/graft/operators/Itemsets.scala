@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Frequent-pair mining (the 2-itemset core of market-basket analysis /
+  * co-occurrence statistics) with the apriori prune: a pair can only be
+  * frequent if both items are, so infrequent items are dropped BEFORE the
+  * basket self-join — that prune is what makes the join tractable at
+  * scale, because the blow-up of the self-join is Σ(per-basket frequent
+  * items)², bounded by basket size, not catalog size.
+  *
+  * Shape: one distinct (basket, item) shuffle; item supports as one
+  * aggregate, broadcast back as the prune set (the frequent-item list is
+  * catalog-bounded and shrinks as support rises — if it ever outgrew a
+  * broadcast the same join degrades gracefully to a shuffle join); the
+  * self-join co-locates by basket in one shuffle per side; the final
+  * (a, b) count is an ordinary partial-aggregated groupBy. `a < b`
+  * canonicalizes pairs so each co-occurrence counts once.
+  */
+object Itemsets {
+
+  /** Pairs `(item_a < item_b)` co-occurring in ≥ `minPairSupport`
+    * baskets, both items individually in ≥ `minItemSupport` baskets. */
+  def frequentPairs(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minItemSupport: Long,
+      minPairSupport: Long): DataFrame = {
+    val baskets = df.select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct()
+    val freqItems = baskets.groupBy("_i")
+      .agg(count(lit(1)).as("item_support"))
+      .filter(col("item_support") >= minItemSupport)
+      .select("_i")
+    val pruned = baskets.join(broadcast(freqItems), "_i")
+    val lhs = pruned.select(col("_b"), col("_i").as("item_a"))
+    val rhs = pruned.select(col("_b"), col("_i").as("item_b"))
+    lhs.join(rhs, "_b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_support"))
+      .filter(col("pair_support") >= minPairSupport)
+  }
+}

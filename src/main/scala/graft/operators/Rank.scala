@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.{Det, TextFns}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Lexical relevance ranking (BM25) over a document corpus for a fixed
+  * query-term set — the retrieval front of a RAG / data-curation
+  * pipeline.
+  *
+  * Standard BM25 with one substitution: the idf factor is the LINEAR
+  * ratio `(N − df + 0.5)/(df + 0.5)` rather than its log — `ln()` is not
+  * bit-identical across libm implementations (same reason q55's tf-idf
+  * is linear), the ranking it induces for a fixed term is the same
+  * (monotone transform), and a production deployment can swap `log` in
+  * where cross-engine hash equality is not required.
+  *
+  * Scale shape: one explode with the term filter applied BEFORE any
+  * shuffle (only query-term postings survive — the moral equivalent of
+  * an inverted-index lookup), one aggregate per (term, doc), the
+  * corpus-level (N, Σdl) as a broadcast scalar, per-term document
+  * frequencies as a broadcast dimension, and a per-term
+  * `WindowGroupLimit` top-k. Nothing global, nothing n².
+  */
+object Rank {
+
+  /** Top-`topK` docs per query term by BM25. All arithmetic is double
+    * IEEE in a fixed expression order and the result is rounded at 6
+    * digits, so scores are engine-exact for any `k1`/`b` whose SQL
+    * mirror spells the same literals. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 5): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__sumdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nD = col("__n").cast("double")
+    val idf = (nD - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = col("tf").cast("double") + lit(k1) *
+      (lit(1) - lit(b) + lit(b) * col("dl").cast("double") * nD /
+        col("__sumdl").cast("double"))
+    val w = Window.partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", Det.roundAt(
+        idf * (col("tf").cast("double") * (lit(k1) + lit(1))) / norm, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("term", "doc_id", "tf", "df", "score", "rank")
+      .orderBy("term", "rank")
+  }
+}
