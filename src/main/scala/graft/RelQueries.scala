@@ -947,8 +947,59 @@ object RelQueries {
       SELECT item_a, item_b, pair_support FROM pairs
       ORDER BY pair_support DESC, item_a ASC, item_b ASC LIMIT 20"""))
 
+  // q86 — Z-order (Morton) curve values (Layout.zorder2): the layout key
+  // behind multi-dimensional data skipping. Each 1024-wide Z-range is a
+  // bounded rectangle of the (part, supp) plane — the per-bucket min/max
+  // spans the oracle pins are exactly the parquet footer stats a reader
+  // would prune on. Pure integer bit math, narrow until one small
+  // aggregate.
+  private val q86 = Q(
+    "q86_zorder_curve",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(256)).cast("long").as("a"),
+          pmod(col("l_suppkey"), lit(256)).cast("long").as("b"))
+      li.withColumn("z", Layout.zorder2(col("a"), col("b")))
+        .withColumn("zbucket", floor(col("z") / 1024L).cast("long"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"),
+          sum(col("z")).as("z_sum"))
+        .orderBy("zbucket")
+    },
+    Some {
+      val interleave = (0 until 8).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i})")
+        .mkString(" | ")
+      s"""WITH k AS (SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem),
+        z AS (SELECT a, b, $interleave AS z FROM k)
+      SELECT z // 1024 AS zbucket, COUNT(*) AS n,
+        MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b,
+        CAST(SUM(z) AS BIGINT) AS z_sum
+      FROM z GROUP BY zbucket ORDER BY zbucket"""
+    })
+
+  // q87 — equi-depth histogram (Profile.equiDepthHist): 8 quantile
+  // buckets of o_totalprice via broadcast cut points — never the global
+  // ntile window that would single-partition the table. Bucket counts
+  // differ from n/8 only at cut-point ties; the oracle recomputes the
+  // same cuts with quantile_cont and the same strict-> comparison.
+  private val q87 = Q(
+    "q87_equidepth_hist",
+    (s, dir) => Profile.equiDepthHist(tbl(s, dir, "orders"), "o_totalprice", 8),
+    Some {
+      val cuts = (1 to 7).map(i => s"quantile_cont(o_totalprice, ${i / 8.0}) AS c$i").mkString(", ")
+      val bucket = (1 to 7).map(i => s"CASE WHEN o_totalprice > c$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH cuts AS (SELECT $cuts FROM orders),
+        b AS (SELECT o_totalprice, CAST($bucket AS BIGINT) AS bucket FROM orders CROSS JOIN cuts)
+      SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM b GROUP BY bucket ORDER BY bucket"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76, q77, q79, q80, q81, q84)
+    q76, q77, q79, q80, q81, q84, q86, q87)
 }

@@ -723,7 +723,36 @@ object TextQueries {
       ORDER BY term, rank"""
     })
 
+  // q88 — bigram language-model counts: adjacent token pairs per doc via
+  // an index-fold over the token array (no self-join — the classic
+  // n-gram-count shuffle is one explode + one groupBy), top-20 with a
+  // full tie-break. The `size >= 2` guard matters: Spark's `sequence`
+  // runs DESCENDING when start > stop, so unguarded empty docs would
+  // fabricate a [1,0] index pair.
+  private val q88 = Q(
+    "q88_bigram_counts",
+    (s, dir) => {
+      val t = TextFns.tokens(col("text"))
+      tbl(s, dir, "documents")
+        .select(t.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("bigram"))
+        .limit(20)
+    },
+    Some(s"""WITH d AS (SELECT $toks AS toks FROM documents),
+        bg AS (SELECT u.bigram AS bigram
+          FROM d, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i + 1])) AS u(bigram)
+          WHERE len(toks) >= 2)
+      SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+      ORDER BY cnt DESC, bigram ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83)
+    q83, q88)
 }

@@ -75,6 +75,29 @@ object Profile {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Equi-depth (quantile) histogram WITHOUT a global ntile window: the
+    * naive encoding — `ntile(k) OVER (ORDER BY c)` — funnels every row
+    * through one partition, which is exactly the plan that dies at
+    * 100 TB. Instead: one aggregate computes the k−1 exact interpolated
+    * cut points (same operator as q07; beyond its documented per-column
+    * memory bound the approx_percentile sketch drops in), the cuts ride
+    * along as ONE broadcast array row, and each row's bucket is the
+    * count of cuts below it — a narrow codegen'd fold, then an ordinary
+    * groupBy. Two scans, no global sort, no single-partition stage. */
+  def equiDepthHist(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    val ps = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val cuts = df.agg(percentile(col(c), array(ps: _*)).as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        aggregate(col("__cuts"), lit(0),
+          (acc, cut) => acc + when(col(c) > cut, 1).otherwise(0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col(c)).as("lo"), max(col(c)).as("hi"),
+        Det.dsum(col(c)).as("total"))
+      .orderBy("bucket")
+  }
+
   /** A3/A4: deterministic describe() — count/mean/std/min/quartiles/max. */
   def descStats(df: DataFrame, c: String, scale: Int = 2): DataFrame =
     df.agg(

@@ -30,6 +30,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout writes files whose (a,b) rectangles are skippable") {
+    // uniform 2-d keys; after writeZOrdered each file's min/max rectangle
+    // must cover a small fraction of the key plane — that rectangle IS
+    // the parquet footer stat a reader prunes on
+    val df = (0 until 20000).map { i =>
+      val h = i * 2654435761L % (1L << 31) // Knuth multiplicative mixer
+      (h % 256, h / 256 % 256)
+    }.toDF("a", "b")
+    val path = java.nio.file.Files.createTempDirectory("zord").toString + "/t"
+    Layout.writeZOrdered(df, "a", "b", path, partitions = 16)
+    val rects = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("la"), max("a").as("ha"), min("b").as("lb"), max("b").as("hb"))
+      .select(($"ha" - $"la" + 1) * ($"hb" - $"lb" + 1)).as[Long].collect()
+    assert(rects.nonEmpty)
+    val avgArea = rects.sum.toDouble / rects.length
+    // 16 files over a 256×256 plane: z-order keeps each file near
+    // 65536/16 ≈ 4096; a random or single-column layout sits near 65536
+    assert(avgArea < 65536.0 / 4, s"files not localized: avg rect area $avgArea")
+  }
+
   test("non-bucketed baseline of the same join does shuffle") {
     val a = (1L to 100L).map(i => (i, i * 2)).toDF("key", "x")
     val b = (1L to 100L).map(i => (i, i * 3)).toDF("key", "y")
