@@ -998,8 +998,50 @@ object RelQueries {
       FROM b GROUP BY bucket ORDER BY bucket"""
     })
 
+  // q89 — salted skew join (Skew.saltedJoin, the join companion of q59's
+  // salted aggregation): orders × customer on (o_custkey, salt) with the
+  // dimension replicated ×8. The salt is invisible to the result — the
+  // oracle is the PLAIN join — so this row proves the each-row-meets-
+  // exactly-one-replica contract.
+  private val q89 = Q(
+    "q89_salted_join",
+    (s, dir) => {
+      val dim = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(tbl(s, dir, "orders"), dim, "o_custkey",
+          saltSrc = "o_orderkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // q90 — order-independent table fingerprint (operators/Integrity.scala):
+  // the post-copy equality check. Canonical columns only (keys, flags,
+  // date, money as exact cents) — doubles quantize before hashing because
+  // double→string is not engine-portable.
+  private val q90 = Q(
+    "q90_table_checksum",
+    (s, dir) => graft.operators.Integrity.checksum(
+      tbl(s, dir, "lineitem")
+        .withColumn("price_cents",
+          (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long")),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate", "price_cents")),
+    Some {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      graft.operators.Integrity.checksumSql("lineitem", cols)
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76, q77, q79, q80, q81, q84, q86, q87)
+    q76, q77, q79, q80, q81, q84, q86, q87, q89, q90)
 }

@@ -36,4 +36,22 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__cnt")).as("cnt"),
         Det.roundAt(sum(col("__sum")).cast("double"), 6).as("total"))
+
+  /** Salted equi-join for a skewed fact key: fact rows scatter across
+    * `salts` sub-partitions via a deterministic per-row salt (hashed
+    * from `saltSrc`, a column unique-ish per row — retries re-salt
+    * identically), the dimension replicates ×`salts` via one explode,
+    * and the join runs on (key, salt) — so one hot key spreads over
+    * `salts` reducers instead of melting a single one. Result is
+    * row-identical to the plain join (each fact row meets exactly the
+    * one dim replica carrying its salt). Use when AQE's skew split
+    * cannot help (e.g. the skew is in the post-shuffle aggregation
+    * input, or AQE is off); cost is `salts×|dim|` shuffle rows. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSrc: String, salts: Int = 16): DataFrame = {
+    val f = fact.withColumn("__salt", salt(col(saltSrc), salts))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 }

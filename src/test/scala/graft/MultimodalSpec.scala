@@ -22,6 +22,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("fingerprint").length == 32)
   }
 
+  test("sniffFormat recovers the true container from real magic bytes") {
+    val m = Multimodal.synthesizeMediaWithMagic(
+      (1L to 60L).map(i => (i, s"payload number $i")).toDF("id", "text"),
+      "id", "text")
+      .withColumn("fmt", Multimodal.sniffFormat(col("bytes")))
+    // kind→format mapping is total and exact on every row
+    val mismatches = m.filter(
+      ($"kind" === "image" && $"fmt" =!= "png") ||
+      ($"kind" === "video" && $"fmt" =!= "jpeg") ||
+      ($"kind" === "audio" && $"fmt" =!= "riff")).count()
+    assert(mismatches == 0)
+    assert(m.select("fmt").distinct().count() == 3)
+    // corrupt payloads (headers sliced off) must sniff as unknown, and
+    // the check runs BEFORE any decode — pure prefix compare
+    val corrupt = m.withColumn("bytes", expr("substring(bytes, 2)"))
+      .withColumn("fmt", Multimodal.sniffFormat(col("bytes")))
+    assert(corrupt.filter($"fmt" =!= "unknown").count() == 0)
+  }
+
   test("decodeStub emits deterministic normalized byte-bucket features") {
     val f = Multimodal.decodeStub(media).filter($"media_id" === 2L)
       .select("features").collect()(0).getAs[scala.collection.Seq[Float]](0)
