@@ -896,7 +896,8 @@ object RelQueries {
         AND date_trunc('second', v.ts)
           BETWEEN date_trunc('second', p.ts) - INTERVAL 1 HOUR
               AND date_trunc('second', p.ts)
-      GROUP BY p.event_id ORDER BY p.event_id"""))
+      GROUP BY p.event_id ORDER BY p.event_id"""),
+    headline = true)
 
   // q81 — SCD2 changelog apply (operators/Cdc.scala): the events table
   // read as a per-user state log (state = event_type), compacted to
@@ -1040,8 +1041,99 @@ object RelQueries {
       graft.operators.Integrity.checksumSql("lineitem", cols)
     })
 
+  // q91 — rank-window showcase (ntile / percent_rank / cume_dist):
+  // per-event-type quartiles of value. The window partitions by
+  // event_type — a parallel, scale-safe shape (q87 handles the global
+  // case). Determinism: the order key is (value, event_id) — a total
+  // order — and the per-tile aggregates are min/max/count/decimal-sum,
+  // all order-independent.
+  private val q91 = Q(
+    "q91_rank_windows",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      tbl(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy("event_type", "tile")
+        .agg(count(lit(1)).as("n"),
+          Det.roundAt(min(col("pr")), 9).as("pr_lo"),
+          Det.roundAt(max(col("cd")), 9).as("cd_hi"),
+          Det.dsum(col("value"), 6).as("value_sum"))
+        .orderBy("event_type", "tile")
+    },
+    Some(s"""WITH w AS (SELECT event_type, value,
+        NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile,
+        PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+        CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd
+      FROM events)
+      SELECT event_type, CAST(tile AS BIGINT) AS tile, COUNT(*) AS n,
+        ${Det.roundAtSql("MIN(pr)", 9)} AS pr_lo,
+        ${Det.roundAtSql("MAX(cd)", 9)} AS cd_hi,
+        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+      FROM w GROUP BY event_type, tile ORDER BY event_type, tile"""))
+
+  // q92 — GROUPING SETS with grouping_id (finishes the multi-grain
+  // family next to rollup q40 / cube q67): (flag,status), (flag), ()
+  // in ONE pass — Catalyst expands to a single Expand + one aggregate,
+  // not three scans.
+  private val q92 = Q(
+    "q92_grouping_sets",
+    (s, dir) => tbl(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        Det.dsum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+        asc("gid"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"), col("qty")),
+    Some("""SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid ASC"""))
+
+  // q93 — two-level mergeable HLL sketches (hll_sketch_agg →
+  // hll_union_agg): per-nation sketches of distinct customers union up
+  // to regions WITHOUT re-scanning rows — the re-aggregation property
+  // approx_count_distinct (q76) cannot give, and the architecture that
+  // makes hierarchy drill-ups cheap at 100 TB (store nation-grain
+  // sketches once, answer any region/world rollup from kilobytes).
+  // Bounds oracle: estimates within 2% of the exact per-region counts.
+  private val q93 = Q(
+    "q93_hll_merge",
+    (s, dir) => {
+      val perNation = tbl(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+      val nation = tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val exact = tbl(s, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("rk"))
+        .agg(countDistinct(col("c_custkey")).as("exact_customers"))
+      perNation
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+        .join(exact, col("n_regionkey") === col("rk"))
+        .select(col("n_regionkey"), col("exact_customers"),
+          (abs(col("__est") - col("exact_customers")).cast("double") /
+            col("exact_customers") <= 0.02).as("est_ok"))
+        .orderBy("n_regionkey")
+    },
+    Some("""SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS exact_customers,
+        TRUE AS est_ok
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76, q77, q79, q80, q81, q84, q86, q87, q89, q90)
+    q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93)
 }
