@@ -1132,8 +1132,45 @@ object RelQueries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  // q94 — MAD (median absolute deviation) outliers per group: the robust
+  // companion to q09's IQR fences and q58's z-scores — immune to the
+  // outliers it hunts. Two grouped exact-median passes (parity proven by
+  // q07/q69) with the group medians broadcast between them; flags
+  // |x − med| > 3·MAD. At the documented exact-percentile scale bound
+  // the approx_percentile sketch substitutes, as everywhere.
+  private val q94 = Q(
+    "q94_mad_outliers",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Det.roundAt(min(col("med")), 6).as("med_r"),
+          Det.roundAt(min(col("mad")), 6).as("mad_r"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type),
+        dev AS (SELECT e.event_type, value, med, abs(value - med) AS adev
+          FROM events e JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY event_type)
+      SELECT d.event_type, COUNT(*) AS n,
+        ${Det.roundAtSql("MIN(med)", 6)} AS med_r,
+        ${Det.roundAtSql("MIN(mad)", 6)} AS mad_r,
+        CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93)
+    q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94)
 }
