@@ -693,35 +693,39 @@ object TextQueries {
   // linear idf + fixed-order double arithmetic keep scores bit-equal in
   // both engines (every SQL literal is CAST to DOUBLE so DuckDB's
   // decimal literal arithmetic cannot fold differently than Catalyst).
+  /** Full BM25 SQL mirror of [[graft.operators.Rank.bm25TopK]] — shared
+    * by q83 and the q95 hybrid-search fusion. */
+  private[graft] def bm25Sql(termsSql: String, topK: Int): String = {
+    val k1 = "CAST(1.2 AS DOUBLE)"
+    val b = "CAST(0.75 AS DOUBLE)"
+    val score = Det.roundAtSql(
+      s"""((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+          (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        * (CAST(tf AS DOUBLE) * ($k1 + CAST(1 AS DOUBLE)))
+        / (CAST(tf AS DOUBLE) + $k1 *
+           (CAST(1 AS DOUBLE) - $b + $b * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+            / CAST(sumdl AS DOUBLE)))""", 6)
+    s"""WITH base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+      stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+      t AS (SELECT doc_id, u.term AS term FROM documents, unnest($toks) AS u(term)
+        WHERE u.term IN ($termsSql)),
+      tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      scored AS (SELECT term, tf.doc_id, tf, df, dl, $score AS score
+        FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
+      r AS (SELECT term, doc_id, tf, df, score,
+        ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored)
+    SELECT term, doc_id, tf, df, score, rank FROM r WHERE rank <= $topK
+    ORDER BY term, rank"""
+  }
+
   private val q83 = Q(
     "q83_bm25_topk",
     (s, dir) => graft.operators.Rank.bm25TopK(
       tbl(s, dir, "documents"), "doc_id", "text",
       Seq("join", "window", "merge")),
-    Some {
-      val k1 = "CAST(1.2 AS DOUBLE)"
-      val b = "CAST(0.75 AS DOUBLE)"
-      val score = Det.roundAtSql(
-        s"""((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
-            (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-          * (CAST(tf AS DOUBLE) * ($k1 + CAST(1 AS DOUBLE)))
-          / (CAST(tf AS DOUBLE) + $k1 *
-             (CAST(1 AS DOUBLE) - $b + $b * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
-              / CAST(sumdl AS DOUBLE)))""", 6)
-      s"""WITH base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
-        t AS (SELECT doc_id, u.term AS term FROM documents, unnest($toks) AS u(term)
-          WHERE u.term IN ('join', 'window', 'merge')),
-        tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-        scored AS (SELECT term, tf.doc_id, tf, df, dl, $score AS score
-          FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
-        r AS (SELECT term, doc_id, tf, df, score,
-          ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rank
-          FROM scored)
-      SELECT term, doc_id, tf, df, score, rank FROM r WHERE rank <= 5
-      ORDER BY term, rank"""
-    })
+    Some(bm25Sql("'join', 'window', 'merge'", 5)))
 
   // q88 — bigram language-model counts: adjacent token pairs per doc via
   // an index-fold over the token array (no self-join — the classic

@@ -358,6 +358,57 @@ object VecQueries {
       FROM pv GROUP BY label ORDER BY label"""
     })
 
+  // q95 — hybrid search: BM25 (term 'join') fused with cosine retrieval
+  // (query = vec_id 0's embedding) by reciprocal-rank fusion,
+  // score = Σ 1/(60 + rank). The two retrievers run independently —
+  // lexical ranks from Rank.bm25TopK, vector top-50 via the distributed
+  // TakeOrderedAndProject (orderBy+limit, NOT a global window; the
+  // row_number that assigns ranks runs over the already-limited 50-row
+  // result) — and meet in a full-outer join on doc id. Every arithmetic
+  // step is fixed-order double with CAST-pinned literals, so the fused
+  // ranking is bit-identical in both engines.
+  private val q95 = Q(
+    "q95_hybrid_search",
+    (s, dir) => {
+      val lex = graft.operators.Rank
+        .bm25TopK(tbl(s, dir, "documents"), "doc_id", "text", Seq("join"), topK = 50)
+        .select(col("doc_id"), col("rank").as("rank_lex"))
+      val emb = tbl(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+      val vec = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          Det.roundAt(graft.functions.VectorFns.cosineQ(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id")).limit(50)
+        .withColumn("rank_vec", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", Det.roundAt(
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_vec").cast("double")), lit(0.0)), 9))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"), col("rrf"))
+    },
+    Some {
+      val rrf = Det.roundAtSql(
+        """coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rank_lex AS DOUBLE)), CAST(0.0 AS DOUBLE))
+         + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rank_vec AS DOUBLE)), CAST(0.0 AS DOUBLE))""", 9)
+      s"""WITH lex AS (SELECT doc_id, rank AS rank_lex
+          FROM (${TextQueries.bm25Sql("'join'", 50)})),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        scored AS (SELECT vec_id, ${cos6("e.embedding", "q_emb")} AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        vtop AS (SELECT vec_id AS doc_id, cos,
+            ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_vec
+          FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 50),
+        fused AS (SELECT coalesce(lex.doc_id, vtop.doc_id) AS doc_id,
+            rank_lex, rank_vec, $rrf AS rrf
+          FROM lex FULL OUTER JOIN vtop ON lex.doc_id = vtop.doc_id)
+      SELECT doc_id, rank_lex, rank_vec, rrf FROM fused
+      ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85)
+    q78, q85, q95)
 }
