@@ -74,10 +74,17 @@ object Streams {
     * purchases with no prior view emit nothing (the batch twin q80 uses
     * the same contract, and StreamsSpec asserts stream ≡ batch on the
     * real events table). Timestamps are pre-truncated to seconds so the
-    * boundary comparison matches the batch/oracle exactly. */
+    * boundary comparison matches the batch/oracle exactly.
+    *
+    * `joinType = "left_outer"` keeps conversion-rate semantics: an
+    * unmatched purchase emits once — null-padded — when the watermark
+    * passes its lookback window and no late view can match anymore
+    * (Spark holds the left row as state until that point; eviction is
+    * what turns "no match yet" into "no match, final"). */
   def attribution(purchases: DataFrame, views: DataFrame,
                   windowSec: Long = 3600L,
-                  watermark: String = "10 minutes"): DataFrame = {
+                  watermark: String = "10 minutes",
+                  joinType: String = "inner"): DataFrame = {
     val p = purchases
       .select(col("event_id"), col("user_id"),
         date_trunc("second", col("ts")).as("p_ts"))
@@ -90,7 +97,8 @@ object Streams {
     p.join(v,
       col("v_user") === col("user_id") &&
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
-        col("v_ts") <= col("p_ts"))
+        col("v_ts") <= col("p_ts"),
+      joinType)
   }
 
   /** In-stream NEAR-dup suppression at signature grain: docs whose full

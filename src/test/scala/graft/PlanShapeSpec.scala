@@ -57,6 +57,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("_rj_bucket"), s"q80 lost the time-bucket equi key:\n$p")
   }
 
+  test("equi-depth histogram plans without any window operator") {
+    // the naive encoding is ntile() over a global order — one partition
+    // sees every row; the cut-point design must keep Window out entirely
+    val p = plan("q87_equidepth_hist")
+    assert(!p.contains("Window"), s"q87 reintroduced a window stage:\n$p")
+    assert(p.contains("BroadcastExchange"), s"q87 lost the broadcast cut points:\n$p")
+  }
+
+  test("hybrid search takes vector top-k via TakeOrdered, not a corpus-wide window") {
+    val p = plan("q95_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q95 vector top-k lost the distributed orderBy+limit:\n$p")
+  }
+
+  test("frequent pairs broadcast the apriori prune set") {
+    val p = plan("q84_frequent_pairs")
+    assert(p.contains("BroadcastHashJoin"), s"q84 prune set not broadcast:\n$p")
+  }
+
   test("bloom semi join filters the probe scan map-side via a scalar subquery") {
     val p = plan("q79_bloom_semi_join")
     assert(p.contains("might_contain"), s"q79 lost the bloom prefilter:\n$p")

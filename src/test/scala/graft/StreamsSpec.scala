@@ -147,6 +147,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer attribution finalizes unmatched purchases only after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[Ev]
+    val vIn = MemoryStream[Ev]
+    val q = Streams.attribution(pIn.toDF(), vIn.toDF(), joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrOuter").outputMode("append").start()
+    try {
+      // a purchase with a view by a DIFFERENT user — no match possible,
+      // but the row must NOT emit yet: a late view could still arrive
+      pIn.addData(Ev(1, ts(0), 1, "purchase", 1.0))
+      vIn.addData(Ev(2, ts(1), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("attrOuter").filter($"event_id" === 1L).isEmpty)
+      // advance both watermarks far past the purchase's 1 h lookback —
+      // eviction turns "no match yet" into a final null-padded row
+      val far = Timestamp.valueOf("2024-01-01 14:00:00")
+      pIn.addData(Ev(3, far, 1, "purchase", 1.0))
+      vIn.addData(Ev(4, far, 2, "view", 2.0))
+      q.processAllAvailable()
+      pIn.addData(Ev(5, far, 3, "purchase", 1.0)) // one more batch to flush
+      vIn.addData(Ev(6, far, 3, "view", 2.0))
+      q.processAllAvailable()
+      val r = spark.table("attrOuter").filter($"event_id" === 1L)
+        .select("v_user").collect()
+      assert(r.length == 1 && r(0).isNullAt(0),
+        s"unmatched purchase not finalized with nulls: ${r.mkString}")
+    } finally q.stop()
+  }
+
   test("signatureDedup drops same-signature docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
