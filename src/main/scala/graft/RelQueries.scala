@@ -1169,8 +1169,61 @@ object RelQueries {
       FROM dev d JOIN mad USING (event_type)
       GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  // q97 — ordered-stage funnel (operators/Funnel.counts): signup → view
+  // → click → purchase with min-chain semantics (stage i's time = min
+  // event second of its type at-or-after stage i-1's), so same-second
+  // ties need no intra-second order and both engines agree bit-for-bit.
+  // One shuffle on user_id; the chained minima are stacked whole-
+  // partition windows over that single exchange.
+  private val q97 = Q(
+    "q97_funnel",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("sec"))
+      graft.operators.Funnel.counts(ev, "user_id", "sec", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          epoch_ns(ts) // 1000000000 AS sec FROM events),
+      s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN sec END) AS t1
+        FROM e GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE event_type = 'view' AND sec >= t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE event_type = 'click' AND sec >= t2 GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, MIN(sec) AS t4 FROM e JOIN s3 USING (user_id)
+        WHERE event_type = 'purchase' AND sec >= t3 GROUP BY e.user_id)
+      SELECT COUNT(*) AS n_entities, COUNT(t1) AS n_signup,
+        COUNT(t2) AS n_view, COUNT(t3) AS n_click, COUNT(t4) AS n_purchase
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        LEFT JOIN s4 USING (user_id)"""))
+
+  // q98 — cohort retention (operators/Funnel.cohortRetention): users
+  // bucketed by first-active ISO week, counted in every week they were
+  // active. Distinct (user, week) first, so the corpus-wide shuffle is
+  // entity-week grain — never per event.
+  private val q98 = Q(
+    "q98_cohort_retention",
+    // cohort week formatted to a yyyy-MM-dd string AFTER the aggregate
+    // (library surface keeps the date type; parquet DATE vs DuckDB's
+    // datetime64 hash differently in the driver compare)
+    (s, dir) => graft.operators.Funnel.cohortRetention(
+        tbl(s, dir, "events"), "user_id", "ts")
+      .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd")),
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+          CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      c AS (SELECT user_id, week,
+          MIN(week) OVER (PARTITION BY user_id) AS cw FROM uw)
+      SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        date_diff('day', cw, week) // 7 AS week_offset,
+        COUNT(*) AS n_entities
+      FROM c GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
-    q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94)
+    q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
+    q97, q98)
 }

@@ -756,7 +756,56 @@ object TextQueries {
       SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
       ORDER BY cnt DESC, bigram ASC LIMIT 20"""))
 
+  // q96 — benchmark contamination (operators/Dedup.contamination): docs
+  // outside the held-out sources flagged when ≥ 20% of their word
+  // 3-shingles appear in the benchmark set (src0/src1) — the train/test
+  // leakage scan of an eval-safe corpus build. Corpus side is explode →
+  // broadcast semi join → per-doc partial count; only (doc, count)
+  // partials shuffle, and zero-overlap docs vanish in the semi join.
+  private val q96 = Q(
+    "q96_contamination",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val benchSrc = col("source").isin("src0", "src1")
+      Dedup.contamination(docs.filter(!benchSrc), docs.filter(benchSrc),
+        "doc_id", "text", shingleN = 3, minRatio = 0.2)
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, source, ${wordShinglesSql(3)} AS shs FROM documents),
+        bench AS (SELECT DISTINCT u.sh FROM docs, unnest(shs) AS u(sh)
+          WHERE source IN ('src0', 'src1')),
+        cand AS (SELECT doc_id, len(shs) AS n_shingles, u.sh AS sh
+          FROM docs, unnest(shs) AS u(sh) WHERE source NOT IN ('src0', 'src1')),
+        hits AS (SELECT doc_id, n_shingles, COUNT(*) AS n_overlap
+          FROM cand JOIN bench USING (sh) GROUP BY doc_id, n_shingles)
+      SELECT doc_id, n_shingles, n_overlap,
+        ${Det.roundAtSql("n_overlap * 1.0 / n_shingles", 6)} AS overlap_ratio
+      FROM hits WHERE ${Det.roundAtSql("n_overlap * 1.0 / n_shingles", 6)} >= 0.2
+      ORDER BY doc_id"""))
+
+  // q99 — mixture rebalance (operators/Sampling.mixtureRebalance): the
+  // corpus downsampled toward a 4:2:2:1:1 language mixture. Budgets are
+  // integer-exact from the observed counts, membership is the hash rule
+  // u(id)·n_total < n_target·10⁶ — broadcast targets, narrow filter, no
+  // per-group global ranking anywhere.
+  private val q99 = Q(
+    "q99_mixture_rebalance",
+    (s, dir) => graft.operators.Sampling.mixtureRebalance(
+      tbl(s, dir, "documents"), "lang", "doc_id",
+      Map("en" -> 4, "es" -> 2, "de" -> 2, "fr" -> 1, "zh" -> 1)),
+    Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+        w AS (SELECT lang, n_total, CASE lang WHEN 'en' THEN 4 WHEN 'es' THEN 2
+            WHEN 'de' THEN 2 WHEN 'fr' THEN 1 WHEN 'zh' THEN 1 END AS w FROM c),
+        b AS (SELECT MIN(n_total * 10 // w) AS budget FROM w),
+        t AS (SELECT lang, n_total, (w * budget) // 10 AS n_target FROM w, b),
+        kept AS (SELECT d.lang, n_total, n_target, d.doc_id
+          FROM documents d JOIN t USING (lang)
+          WHERE (${hSql("CAST(doc_id AS VARCHAR)")} % 1000000) * n_total
+            < n_target * 1000000)
+      SELECT lang, n_total, n_target, COUNT(*) AS n_kept,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM kept GROUP BY lang, n_total, n_target ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83, q88)
+    q83, q88, q96, q99)
 }

@@ -376,4 +376,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
+
+  /** Benchmark-contamination check: flag training docs whose word
+    * `shingleN`-gram overlap with a held-out benchmark set is at least
+    * `minRatio` — the train/test leakage scan every eval-safe corpus
+    * build runs before training.
+    *
+    * Scale shape (100 TB corpus vs a benchmark of at most millions of
+    * docs): the benchmark's distinct shingle set is one small shuffle and
+    * is then BROADCAST; the corpus side is a narrow explode → broadcast
+    * semi join → per-doc partial count — the only corpus-wide shuffle
+    * carries (doc_id, n_shingles) partial counts, never shingle text.
+    * Docs with zero overlapping shingles vanish in the semi join and are
+    * never aggregated.
+    *
+    * Output: (doc_id, n_shingles, n_overlap, overlap_ratio) for flagged
+    * docs, ordered by doc id. The ratio is rounded to 6 digits BEFORE the
+    * threshold compare so the cut is engine-portable. */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3,
+                    minRatio: Double = 0.2): DataFrame = {
+    val sh = TextFns.wordShingles(col(textCol), shingleN)
+    val benchShingles = bench.select(explode(sh).as("sh")).distinct()
+    docs.select(col(idCol), sh.as("__shs"))
+      .select(col(idCol), size(col("__shs")).cast(LongType).as("n_shingles"),
+        explode(col("__shs")).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .groupBy(idCol, "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_ratio", Det.roundAt(
+        col("n_overlap").cast(DoubleType) / col("n_shingles"), 6))
+      .filter(col("overlap_ratio") >= minRatio)
+      .orderBy(idCol)
+  }
 }

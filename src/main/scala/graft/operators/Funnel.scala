@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ordered-stage funnel and cohort-retention analysis over an event log
+  * (reference anchor: the events workload's sessionize/trend family —
+  * nb cells 10-12 compute per-entity firsts and temporal rollups; these
+  * are their multi-stage generalizations).
+  *
+  * Both operators use the min-chain definition — stage i's timestamp is
+  * the MINIMUM event time of stage i's type at-or-after stage i-1's
+  * timestamp — rather than a sequential scan over ordered events, so
+  * same-second ties need no intra-second tie-break and any engine
+  * reproduces the result bit-for-bit from (entity, second, type) alone.
+  *
+  * Scale shape (100 TB of events): [[stageTimes]] is ONE shuffle on the
+  * entity key; the chained stage minima are stacked whole-partition
+  * window aggregates over that single exchange (Catalyst plans one Sort
+  * + one Exchange, then N Window operators), and the per-entity collapse
+  * reuses the same partitioning. [[cohortRetention]] is the classic
+  * two-level rollup: distinct (entity, week) first — the corpus-wide
+  * shuffle carries one row per entity-week, not per event — then a
+  * window min for the cohort and a small (cohort, offset) aggregate.
+  */
+object Funnel {
+
+  /** Per-entity stage timestamps: one row per entity, one `ts_<stage>`
+    * column per stage (epoch seconds; null = stage never reached). An
+    * event only advances stage i if its second is >= stage i-1's second
+    * for that entity. */
+  def stageTimes(events: DataFrame, entityCol: String, secCol: String,
+                 typeCol: String, stages: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(entityCol)
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+      val hit = col(typeCol) === lit(st) &&
+        (if (i == 0) lit(true) else col(secCol) >= col(s"ts_${stages(i - 1)}"))
+      df.withColumn(s"ts_$st", min(when(hit, col(secCol))).over(w))
+    }
+    // every ts_ column is constant per entity — max() collapses without a
+    // second exchange (the groupBy key is the window partition key)
+    val aggs = stages.map(st => max(col(s"ts_$st")).as(s"ts_$st"))
+    staged.groupBy(entityCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Funnel summary: one row with the entity count plus, per stage, how
+    * many entities reached it (in order). */
+  def counts(events: DataFrame, entityCol: String, secCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame =
+    stageTimes(events, entityCol, secCol, typeCol, stages)
+      .agg(count(lit(1)).as("n_entities"),
+        stages.map(st => count(col(s"ts_$st")).as(s"n_$st")): _*)
+
+  /** Cohort retention matrix: entities grouped by first-active ISO week,
+    * counted in every week they were active. Output
+    * (cohort_week date, week_offset long, n_entities long), offset 0 =
+    * the cohort's own week. */
+  def cohortRetention(events: DataFrame, entityCol: String,
+                      tsCol: String): DataFrame = {
+    val weeks = events
+      .select(col(entityCol),
+        date_trunc("week", col(tsCol)).cast(DateType).as("week"))
+      .distinct()
+    val cohort = weeks.withColumn("cohort_week",
+      min(col("week")).over(Window.partitionBy(entityCol)))
+    cohort.groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / lit(7))
+          .cast(LongType).as("week_offset"))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

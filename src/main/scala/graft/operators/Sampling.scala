@@ -35,4 +35,42 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Rebalance a corpus toward target mixture `weights` (integer parts —
+    * e.g. en→4, es→2 means 2:1) by downsampling over-represented groups:
+    * the largest budget B every group can serve is computed from the
+    * observed counts (B = min over groups of ⌊n·Σw/wᵍ⌋), each group's
+    * target is ⌊wᵍ·B/Σw⌋, and membership is the deterministic hash rule
+    * u(id) · n_total < n_target · 10⁶ with u(id) = hash(id) mod 10⁶ — so
+    * kept counts are binomially close to target, selection is
+    * retry-stable, and no per-group global ranking exists anywhere.
+    * Groups absent from `weights` get weight 0 (dropped).
+    *
+    * This is the domain-mixture step of a training-data build (DoReMi-
+    * style static weights): all arithmetic is integer, so any engine
+    * derives the identical sample.
+    *
+    * Scale shape: group counts are one tiny aggregate, the budget is a
+    * single-row reduce of it, and both come back as BROADCAST joins; the
+    * corpus-side membership test is a narrow filter. The only full-width
+    * work is the final per-group summary. Returns
+    * (group, n_total, n_target, n_kept, id_sum). */
+  def mixtureRebalance(df: DataFrame, groupCol: String, idCol: String,
+                       weights: Map[String, Int]): DataFrame = {
+    val wSum = weights.values.sum
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_total"))
+      .withColumn("__w", element_at(typedLit(weights), col(groupCol)))
+      .filter(col("__w").isNotNull)
+    val budget = counts.agg(
+      min(expr(s"n_total * $wSum div __w")).as("__budget"))
+    val targets = counts.crossJoin(broadcast(budget))
+      .withColumn("n_target", expr(s"__w * __budget div $wSum"))
+      .select(col(groupCol), col("n_total"), col("n_target"))
+    df.join(broadcast(targets), groupCol)
+      .filter(pmod(TextFns.portableHash(col(idCol)), lit(1000000L)) *
+        col("n_total") < col("n_target") * lit(1000000L))
+      .groupBy(groupCol, "n_total", "n_target")
+      .agg(count(lit(1)).as("n_kept"), sum(col(idCol)).as("id_sum"))
+      .orderBy(groupCol)
+  }
 }

@@ -77,4 +77,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(3)))
     assert(topk.toList == List((0L, 1L), (1L, 2L))) // nearest first
   }
+
+  test("contamination flags overlap ratio against the benchmark shingles, drops zero-overlap docs") {
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text") // shingles: "a b c", "b c d"
+    val cand = Seq(
+      (1L, "a b c x y"),  // shingles: "a b c","b c x","c x y" → 1/3 overlap
+      (2L, "p q r s t u") // zero overlap → must not appear at all
+    ).toDF("doc_id", "text")
+    val r = Dedup.contamination(cand, bench, "doc_id", "text",
+      shingleN = 3, minRatio = 0.2).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("doc_id") == 1L)
+    assert(r(0).getAs[Long]("n_shingles") == 3 && r(0).getAs[Long]("n_overlap") == 1)
+    assert(r(0).getAs[Double]("overlap_ratio") == 0.333333)
+    // threshold is applied to the ROUNDED ratio: 1/3 at minRatio 0.34 → out
+    assert(Dedup.contamination(cand, bench, "doc_id", "text", 3, 0.34).isEmpty)
+  }
 }
