@@ -1221,9 +1221,92 @@ object RelQueries {
       FROM c GROUP BY cohort_week, week_offset
       ORDER BY cohort_week, week_offset"""))
 
+  // q100 — fuzzy self-join via deletion neighborhoods (operators/Fuzzy):
+  // customer names matched at levenshtein ≤ 1 through an equi-join on
+  // {s} ∪ single-character-deletions (FastSS) — exact result, no O(n²)
+  // scan, no prefix mega-blocks — summarized as per-customer match
+  // counts over both pair directions.
+  private val q100 = Q(
+    "q100_fuzzy_join",
+    (s, dir) => {
+      graft.operators.Fuzzy.editJoinPairs(
+          tbl(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+        // one explode instead of a self-union: the pair join subtree is
+        // evaluated once, not once per direction
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("id")
+    },
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+      keys AS (SELECT id, s, unnest(list_distinct(list_append(
+          list_transform(range(1, length(s) + 1),
+            i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s))), s))) AS k
+        FROM c),
+      cand AS (SELECT DISTINCT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id),
+      pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 1),
+      sides AS (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      SELECT id, COUNT(*) AS n_matches FROM sides GROUP BY id ORDER BY id"""))
+
+  // q101 — event-type transition matrix (operators/Funnel.transitions):
+  // the Markov-chain view of user paths. Lag over (sec, event_id) — a
+  // total order immune to the ns-vs-µs parquet divergence — then a tiny
+  // (from, to) aggregate; transition probabilities normalize inside each
+  // from_type partition of the 25-row result.
+  private val q101 = Q(
+    "q101_transitions",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts").cast("long").as("sec"))
+      graft.operators.Funnel
+        .transitions(ev, "user_id", "sec", "event_id", "event_type")
+        .withColumn("p", Det.roundAt(
+          col("n") / sum("n").over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+          epoch_ns(ts) // 1000000000 AS sec FROM events),
+      lagd AS (SELECT event_type AS to_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS from_type
+        FROM e),
+      t AS (SELECT from_type, to_type, COUNT(*) AS n FROM lagd
+        WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+        ${Det.roundAtSql("n * 1.0 / SUM(n) OVER (PARTITION BY from_type)", 6)} AS p
+      FROM t ORDER BY from_type, to_type"""))
+
+  // q102 — value-range moving window: per-user trailing-10-minute mean
+  // via a RANGE frame over epoch seconds (ties at the same second enter
+  // the frame together — order-independent, unlike a ROWS frame). The
+  // frame sum is an exact decimal so accumulation order can't perturb
+  // the double. One shuffle on user_id.
+  private val q102 = Q(
+    "q102_moving_window",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("value"), col("ts").cast("long").as("sec"))
+      val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-600, 0)
+      ev.withColumn("avg_10min", Det.roundAt(
+          sum(col("value").cast("decimal(28,2)")).over(w).cast("double") /
+            count(lit(1)).over(w), 4))
+        .select("event_id", "user_id", "sec", "avg_10min")
+        .orderBy("event_id")
+    },
+    Some(s"""WITH e AS (SELECT event_id, user_id, value,
+          epoch_ns(ts) // 1000000000 AS sec FROM events)
+      SELECT event_id, user_id, sec,
+        ${Det.roundAtSql(
+          """CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER
+               (PARTITION BY user_id ORDER BY sec
+                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER
+               (PARTITION BY user_id ORDER BY sec
+                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""", 4)} AS avg_10min
+      FROM e ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98)
+    q97, q98, q100, q101, q102)
 }

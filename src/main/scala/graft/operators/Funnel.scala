@@ -53,6 +53,22 @@ object Funnel {
       .agg(count(lit(1)).as("n_entities"),
         stages.map(st => count(col(s"ts_$st")).as(s"n_$st")): _*)
 
+  /** First-order transition counts between consecutive event types per
+    * entity (the Markov-chain view of user paths): one shuffle on the
+    * entity key, a lag window over (sec, id) — a total order immune to
+    * sub-second timestamp precision differences — then a small
+    * (from_type, to_type) aggregate. */
+  def transitions(events: DataFrame, entityCol: String, secCol: String,
+                  idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(col(secCol), col(idCol))
+    events
+      .select(col(entityCol), col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention matrix: entities grouped by first-active ISO week,
     * counted in every week they were active. Output
     * (cohort_week date, week_offset long, n_entities long), offset 0 =

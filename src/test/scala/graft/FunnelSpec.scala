@@ -65,6 +65,18 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-15", 0L, 1L)))
   }
 
+  test("transitions counts consecutive type pairs per entity in (sec, id) order") {
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 20L, 3L, "purchase"),
+      (2L, 5L, 4L, "view") // single event → no transition
+    ).toDF("user_id", "sec", "event_id", "event_type")
+    val r = Funnel.transitions(ev, "user_id", "sec", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2))).toList
+    // same-second tie at sec=20 resolves by event_id: click(2) before purchase(3)
+    assert(r == List(("click", "purchase", 1L), ("view", "click", 1L)))
+  }
+
   test("mixtureRebalance: exact targets, binomial-close kept counts, determinism, unknown groups dropped") {
     val df = ((0 until 100).map(i => (i.toLong, "A")) ++
       (100 until 150).map(i => (i.toLong, "B")) ++
