@@ -1275,6 +1275,57 @@ object RelQueries {
         ${Det.roundAtSql("n * 1.0 / SUM(n) OVER (PARTITION BY from_type)", 6)} AS p
       FROM t ORDER BY from_type, to_type"""))
 
+  // q103 — snapshot reconciliation (operators/Integrity.diff): orders vs
+  // a deterministically perturbed "next day" snapshot (keys % 97 removed,
+  // custkey bumped on % 101, % 103 re-keyed as adds). Both engines derive
+  // the same two snapshots, hash rows to slim (key, hash) relations, and
+  // classify every key through one full outer join — money enters the
+  // hash as exact cents (raw doubles are not string-portable).
+  private val q103 = Q(
+    "q103_snapshot_diff",
+    (s, dir) => {
+      val base = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val next = base.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.operators.Integrity
+        .diff(base, next, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_orderdate", "cents"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_keys"), sum("o_orderkey").as("key_sum"))
+        .orderBy("status")
+    },
+    Some {
+      def h(rel: String) = {
+        val row = Seq("o_custkey", "o_orderstatus", "o_orderdate", "cents")
+          .map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))")
+          .mkString("concat_ws(chr(1), ", ", ", ")")
+        s"SELECT o_orderkey AS k, ${graft.functions.TextFns.portableHashSql(row)} AS h FROM $rel"
+      }
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      nxt AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+          o_orderstatus, o_orderdate, cents FROM base WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_orderdate, cents
+        FROM base WHERE o_orderkey % 103 = 0),
+      hl AS (${h("base")}), hr AS (${h("nxt")}),
+      d AS (SELECT COALESCE(hl.k, hr.k) AS k,
+          CASE WHEN hr.h IS NULL THEN 'removed' WHEN hl.h IS NULL THEN 'added'
+               WHEN hl.h = hr.h THEN 'unchanged' ELSE 'changed' END AS status
+        FROM hl FULL OUTER JOIN hr ON hl.k = hr.k)
+      SELECT status, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
+      FROM d GROUP BY status ORDER BY status"""
+    })
+
   // q102 — value-range moving window: per-user trailing-10-minute mean
   // via a RANGE frame over epoch seconds (ties at the same second enter
   // the frame together — order-independent, unlike a ROWS frame). The
@@ -1308,5 +1359,5 @@ object RelQueries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98, q100, q101, q102)
+    q97, q98, q100, q101, q102, q103)
 }

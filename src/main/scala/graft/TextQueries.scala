@@ -805,7 +805,40 @@ object TextQueries {
         CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM kept GROUP BY lang, n_total, n_target ORDER BY lang"""))
 
+  // q104 — decontamination APPLY (q96's flags put to work, as q63 does
+  // for dedup clusters): drop flagged docs from the training side with a
+  // left-anti join and summarize the surviving corpus per language. The
+  // anti join's right side is the small flagged-id set — broadcast.
+  private val q104 = Q(
+    "q104_decontaminate",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val benchSrc = col("source").isin("src0", "src1")
+      val flagged = Dedup.contamination(docs.filter(!benchSrc),
+        docs.filter(benchSrc), "doc_id", "text", shingleN = 3, minRatio = 0.2)
+        .select("doc_id")
+      docs.filter(!benchSrc)
+        .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, source, lang, ${wordShinglesSql(3)} AS shs FROM documents),
+        bench AS (SELECT DISTINCT u.sh FROM docs, unnest(shs) AS u(sh)
+          WHERE source IN ('src0', 'src1')),
+        cand AS (SELECT doc_id, len(shs) AS n_shingles, u.sh AS sh
+          FROM docs, unnest(shs) AS u(sh) WHERE source NOT IN ('src0', 'src1')),
+        hits AS (SELECT doc_id, n_shingles, COUNT(*) AS n_overlap
+          FROM cand JOIN bench USING (sh) GROUP BY doc_id, n_shingles),
+        flagged AS (SELECT doc_id FROM hits
+          WHERE ${Det.roundAtSql("n_overlap * 1.0 / n_shingles", 6)} >= 0.2)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents
+      WHERE source NOT IN ('src0', 'src1')
+        AND doc_id NOT IN (SELECT doc_id FROM flagged)
+      GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83, q88, q96, q99)
+    q83, q88, q96, q99, q104)
 }

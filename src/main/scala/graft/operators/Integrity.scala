@@ -43,4 +43,30 @@ object Integrity {
       SELECT COUNT(*) AS n_rows, bit_xor(h) AS hash_xor,
         MIN(h) AS hash_min, MAX(h) AS hash_max FROM hs"""
   }
+
+  /** Key-level reconciliation of two snapshots (the answer to "what
+    * changed between yesterday's copy and today's?"): each side reduces
+    * to (key, row-hash) — same canonical-column contract as [[checksum]],
+    * so no raw doubles — then a full outer join on the key classifies
+    * every key as `added` / `removed` / `changed` / `unchanged`.
+    *
+    * Requires unique keys per side (snapshot grain). Scale shape: each
+    * side is one narrow hash projection; the only wide work is the
+    * key-partitioned full outer join of two slim (key, hash) relations —
+    * never the full rows. Output: keyCols ++ (status). */
+  def diff(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           valCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, tag: String) = {
+      val row = concat_ws("\u0001",
+        valCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+      df.select(keyCols.map(col) :+ TextFns.portableHash(row).as(s"__h_$tag"): _*)
+    }
+    hashed(left, "l").join(hashed(right, "r"), keyCols, "full_outer")
+      .withColumn("status",
+        when(col("__h_r").isNull, "removed")
+          .when(col("__h_l").isNull, "added")
+          .when(col("__h_l") === col("__h_r"), "unchanged")
+          .otherwise("changed"))
+      .drop("__h_l", "__h_r")
+  }
 }
