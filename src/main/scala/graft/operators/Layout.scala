@@ -74,4 +74,31 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory as
+    * ⌈totalBytes / targetFileBytes⌉ evenly-sized files. The small-file
+    * problem is the slow death of big tables — a streaming sink or an
+    * over-parallel write leaves KB-sized files, and from then on every
+    * reader pays per-file open + footer costs and the driver pays the
+    * listing. The fix is one read + one round-robin repartition + one
+    * write (no sort, no skew sensitivity); file count derives from actual
+    * on-disk bytes, so re-running after growth re-targets automatically.
+    * Writes to a NEW directory — swap-in is the caller's atomic rename,
+    * never an in-place overwrite a concurrent reader could observe
+    * half-done. Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(inPath != outPath, "compact to a new directory, then swap")
+    def parquetFiles(dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(inPath)
+    val n = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    (before.length, parquetFiles(outPath).length)
+  }
 }

@@ -37,6 +37,33 @@ final class JsonSource(dir: String) extends Source {
   }
 }
 
+/** ORC directory source: `dir/<name>.orc` — same absent-table rule.
+  * ORC carries its own schema and column statistics (predicate pushdown
+  * works as with parquet), so it slots into the lifecycle unchanged. */
+final class OrcSource(dir: String) extends Source {
+  def load(spark: SparkSession, name: String): DataFrame = {
+    val p = s"$dir/$name.orc"
+    if (Files.exists(Paths.get(p))) spark.read.orc(p)
+    else spark.emptyDataFrame
+  }
+}
+
+/** CSV directory source: `dir/<name>.csv`, headered. Pass an explicit
+  * `schema` for production reads — inference scans the data once more
+  * and types drift with content; the default infers for ad-hoc use. */
+final class CsvSource(dir: String,
+                      schema: Option[org.apache.spark.sql.types.StructType] = None)
+    extends Source {
+  def load(spark: SparkSession, name: String): DataFrame = {
+    val p = s"$dir/$name.csv"
+    if (!Files.exists(Paths.get(p))) spark.emptyDataFrame
+    else {
+      val r = spark.read.option("header", "true")
+      schema.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(p)
+    }
+  }
+}
+
 /** JDBC source — S4's SQL read-back of the sink (carga.py:103-104, nb
   * cell 3): `spark.read.jdbc` against any JDBC URL, partitionable via the
   * standard partitionColumn options for parallel reads at scale. Absent

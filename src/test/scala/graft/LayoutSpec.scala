@@ -80,6 +80,24 @@ class LayoutSpec extends SparkSpec {
       s"z-order pruned nothing: decoded $decodedZord of $decodedRand")
   }
 
+  test("compact collapses a small-file directory without changing the data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    li.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val (before, after) =
+      Layout.compact(spark, s"$base/small", s"$base/big", targetFileBytes = 1L << 30)
+    assert(before >= 64 && after == 1, s"$before -> $after")
+    // compaction must be a pure layout change
+    val a = spark.read.parquet(s"$base/big")
+    assert(a.count() == li.count())
+    assert(a.agg(sum($"l_quantity"), sum($"l_orderkey")).collect()(0) ==
+      li.agg(sum($"l_quantity"), sum($"l_orderkey")).collect()(0))
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$base/big", s"$base/big")
+    }
+  }
+
   test("non-bucketed baseline of the same join does shuffle") {
     val a = (1L to 100L).map(i => (i, i * 2)).toDF("key", "x")
     val b = (1L to 100L).map(i => (i, i * 3)).toDF("key", "y")

@@ -76,6 +76,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"q84 prune set not broadcast:\n$p")
   }
 
+  test("contamination semi-joins the corpus against a BROADCAST bench shingle set") {
+    val p = plan("q96_contamination")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"q96 corpus side lost the broadcast semi join:\n$p")
+  }
+
+  test("funnel runs its whole stage chain over ONE entity shuffle") {
+    // 4 stacked whole-partition windows + the per-entity collapse must
+    // reuse a single Exchange on user_id; only the final single-row
+    // aggregate adds a second
+    val p = plan("q97_funnel")
+    val exchanges = p.split("Exchange", -1).length - 1
+    assert(exchanges <= 2, s"q97 re-shuffles between stages ($exchanges Exchanges):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q97 degraded to per-stage joins:\n$p")
+  }
+
   test("bloom semi join filters the probe scan map-side via a scalar subquery") {
     val p = plan("q79_bloom_semi_join")
     assert(p.contains("might_contain"), s"q79 lost the bloom prefilter:\n$p")
