@@ -1355,9 +1355,29 @@ object RelQueries {
                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""", 4)} AS avg_10min
       FROM e ORDER BY event_id"""))
 
+  // q106 — key-skew diagnostic (operators/Skew.keyHistogram): per-key row
+  // counts bucketed by ⌊log₂⌋+1 via length(bin(cnt)) — integer-exact in
+  // both engines, no libm. The measurement that justifies (or rules out)
+  // the q59/q89 salting paths: a top bucket with few keys and a large
+  // row share = salt those keys. One shuffle on the key, then a ~64-row
+  // bucket aggregate with a broadcast scalar total.
+  private val q106 = Q(
+    "q106_key_skew",
+    (s, dir) => Skew.keyHistogram(tbl(s, dir, "lineitem"), "l_partkey"),
+    Some(s"""WITH pk AS (SELECT l_partkey, COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_partkey),
+        b AS (SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+            COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+            MAX(cnt) AS max_key_rows
+          FROM pk GROUP BY bucket),
+        t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+      SELECT bucket, n_keys, n_rows, max_key_rows,
+        ${Det.roundAtSql("n_rows * 1.0 / total", 6)} AS row_share
+      FROM b, t ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98, q100, q101, q102, q103)
+    q97, q98, q100, q101, q102, q103, q106)
 }

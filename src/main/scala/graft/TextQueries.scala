@@ -838,7 +838,117 @@ object TextQueries {
         AND doc_id NOT IN (SELECT doc_id FROM flagged)
       GROUP BY lang ORDER BY lang"""))
 
+  // q105 — C4-style boilerplate detection: non-overlapping word 5-gram
+  // SEGMENTS, hashed to 60 bits (the corpus-wide shuffle carries a long,
+  // never phrase text), global document-frequency per segment hash,
+  // segments seen in ≥ 2 distinct docs flagged as boilerplate. Per-source
+  // totals with integer-exact sums. One explode + two shuffles (df agg +
+  // source agg) — no self-join, no O(n²) stage; at 100 TB the df relation
+  // is (hash, df) longs and the re-join is a plain shuffle join.
+  private val q105 = Q(
+    "q105_boilerplate",
+    (s, dir) => {
+      val segs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.segments(col("text"), 5)).as("seg"))
+        .select(col("doc_id"), col("source"),
+          TextFns.portableHash(col("seg")).as("seg_h"))
+      val dfreq = segs.groupBy("seg_h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(dfreq, "seg_h")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_segments"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          Det.roundAt(col("n_boiler").cast("double") / col("n_segments"), 6))
+        .select("source", "n_docs", "n_segments", "n_boiler", "boiler_frac")
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+        segs AS (SELECT doc_id, source, ${hSql("u.seg")} AS seg_h
+          FROM t, unnest(list_transform(range(0, len(tk) // 5),
+            i -> array_to_string(tk[5*i+1:5*i+5], ' '))) AS u(seg)),
+        dfreq AS (SELECT seg_h, COUNT(DISTINCT doc_id) AS df
+          FROM segs GROUP BY seg_h)
+      SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_segments,
+        CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        ${Det.roundAtSql(
+          "SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6)} AS boiler_frac
+      FROM segs JOIN dfreq USING (seg_h)
+      GROUP BY source ORDER BY source"""))
+
+  // q107 — PageRank (3 unrolled iterations, damping 0.85) over the
+  // verified MinHash-LSH near-dup graph: centrality-based canonical
+  // selection. Neighbor contributions are rounded to 12 digits and summed
+  // as DECIMAL(28,12) (order-independent), so the oracle — which unrolls
+  // the identical iterations over the identical candidate pairs — matches
+  // bit-for-bit. Constant-depth lazy plan; rank state is O(|V|).
+  private val q107 = Q(
+    "q107_pagerank",
+    (s, dir) => Dedup.pageRank(
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b"),
+      iters = 3, damping = 0.85),
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT wd.dst AS id,
+            CAST(SUM(CAST(${Det.roundAtSql("r.rank / wd.deg", 12)} AS DECIMAL(28,12))) AS DOUBLE) AS s
+          FROM wd JOIN r${i - 1} r ON wd.src = r.id GROUP BY wd.dst),
+        r$i AS (SELECT id, ${Det.roundAtSql(
+          "CAST('0.15' AS DOUBLE) + CAST('0.85' AS DOUBLE) * s", 12)} AS rank FROM c$i)"""
+      }.mkString(",\n        ")
+      s"""WITH $minhashCtes,
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        wd AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg FROM edges),
+        r0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS rank FROM wd),
+        $iterCtes
+      SELECT id AS doc_id, ${Det.roundAtSql("rank", 6)} AS pagerank
+      FROM r3 ORDER BY pagerank DESC, doc_id""" })
+
+  // q108 — token diversity (Simpson index 1 − Σc²/n²): a quality-filter
+  // signal that needs no libm log — per-doc sums are integer-exact, the
+  // per-source mean is a decimal-exact sum of 6-digit-rounded values.
+  // Degenerate/looping text scores low; pairs with q61's repetition
+  // fraction. Two aggregates over one explode; no joins.
+  private val q108 = Q(
+    "q108_token_diversity",
+    (s, dir) => {
+      val t = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        explode(TextFns.tokens(col("text"))).as("token"))
+      val perDoc = t.groupBy("source", "doc_id", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("source", "doc_id")
+        .agg(sum("cnt").as("n"), sum(col("cnt") * col("cnt")).as("s2"))
+        .withColumn("div", Det.roundAt(
+          lit(1.0) - col("s2").cast("double") / (col("n") * col("n")).cast("double"), 6))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          Det.roundAt(Det.dsum(col("div"), 6) / count(lit(1)), 6).as("avg_diversity"),
+          min("div").as("min_diversity"),
+          max("div").as("max_diversity"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, u.token AS token
+          FROM documents, unnest($toks) AS u(token)),
+        c AS (SELECT source, doc_id, token, COUNT(*) AS cnt
+          FROM t GROUP BY source, doc_id, token),
+        d AS (SELECT source, doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+            CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+          FROM c GROUP BY source, doc_id),
+        v AS (SELECT source, ${Det.roundAtSql(
+          "1.0 - CAST(s2 AS DOUBLE) / CAST(n * n AS DOUBLE)", 6)} AS div FROM d)
+      SELECT source, COUNT(*) AS n_docs,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(div AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)} AS avg_diversity,
+        MIN(div) AS min_diversity, MAX(div) AS max_diversity
+      FROM v GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83, q88, q96, q99, q104)
+    q83, q88, q96, q99, q104, q105, q107, q108)
 }

@@ -99,6 +99,19 @@ object TextFns {
       when(size(toks) <= n, array(concat_ws(" ", toks))).otherwise(array_distinct(grams))
     }
 
+  /** Non-overlapping word `n`-gram SEGMENTS (array<string>, positional,
+    * duplicates kept): windows at token offsets 0, n, 2n, … — the unit
+    * for C4-style boilerplate detection, where a segment seen in many
+    * distinct documents is template text. Docs shorter than n tokens
+    * yield no segments. Pure per-row projection. */
+  def segments(c: Column, n: Int): Column =
+    bindOnce(tokens(c)) { toks =>
+      val m = (size(toks) / n).cast(IntegerType)
+      when(m <= 0, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(0), m - 1),
+          i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
+    }
+
   /** Character n-gram shingles, distinct. */
   def charShingles(c: Column, n: Int): Column =
     bindOnce(normText(c)) { t =>

@@ -409,4 +409,46 @@ object Dedup {
       .filter(col("overlap_ratio") >= minRatio)
       .orderBy(idCol)
   }
+
+  /** PageRank over a near-duplicate pair graph, fixed iteration count:
+    * a centrality score for canonical-document selection — inside a dup
+    * cluster the highest-rank doc is the best "keep" candidate, and the
+    * score doubles as a graph-aware weight for mixture sampling.
+    *
+    * Determinism: double addition is order-sensitive across partitions,
+    * so each neighbor contribution is rounded to 12 digits and summed as
+    * DECIMAL(28,12) — exact, order-independent — then the damped update
+    * is one fixed double formula. The DuckDB oracle unrolls the identical
+    * iterations, so ranks match bit-for-bit.
+    *
+    * Scale shape: `iters` is a small constant, so the lazy plan is
+    * constant-depth — deg is one partitioned window over the checkpointed
+    * edge list (no self-join); each iteration is one shuffle join
+    * (edges ⋈ ranks on src) + one groupBy (dst). Rank state is O(|V|)
+    * rows; nothing collects to the driver. The pair pipeline upstream is
+    * checkpointed once (not re-derived 1+iters times); its blocks fall to
+    * the session-level [[Ckpt.release]] after the caller's action. */
+  def pageRank(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val p = Ckpt.local(pairs.select(col(idA).cast(LongType).as("id_a"),
+      col(idB).cast(LongType).as("id_b")))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val withDeg = Ckpt.local(edges.withColumn("deg", count(lit(1)).over(w)))
+    var ranks = withDeg.select(col("src").as("id")).distinct()
+      .withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          Det.roundAt(col("rank") / col("deg").cast(DoubleType), 12)
+            .cast(DecimalType(28, 12)).as("contrib"))
+      ranks = contrib.groupBy("dst")
+        .agg(sum("contrib").cast(DoubleType).as("s"))
+        .select(col("dst").as("id"),
+          Det.roundAt(lit(1 - damping) + lit(damping) * col("s"), 12).as("rank"))
+    }
+    ranks.select(col("id").as("doc_id"), Det.roundAt(col("rank"), 6).as("pagerank"))
+      .orderBy(desc("pagerank"), col("doc_id"))
+  }
 }

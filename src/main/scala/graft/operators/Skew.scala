@@ -54,4 +54,30 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     f.join(d, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew diagnostic: histogram of per-key row counts in power-of-two
+    * buckets — the measurement that decides whether a key needs
+    * [[saltedJoin]]/[[saltedCountSum]] before you pay for it. The bucket
+    * is `length(bin(cnt))` = ⌊log₂ cnt⌋ + 1, computed on integers (no
+    * libm, engine-exact). Output per bucket: distinct keys, total rows,
+    * the bucket's heaviest key count, and its share of all rows (a top
+    * bucket holding a large share with few keys = salt those keys).
+    *
+    * Scale shape: one groupBy on the key (the same shuffle the real
+    * aggregation would do), then a ~64-row bucket aggregate and a scalar
+    * total broadcast back — no windows, nothing driver-side. */
+  def keyHistogram(df: DataFrame, key: String): DataFrame = {
+    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val buckets = perKey
+      .withColumn("bucket", length(bin(col("cnt"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+        max("cnt").as("max_key_rows"))
+    val total = buckets.agg(sum("n_rows").as("__total"))
+    buckets.crossJoin(broadcast(total))
+      .withColumn("row_share",
+        Det.roundAt(col("n_rows").cast("double") / col("__total"), 6))
+      .select("bucket", "n_keys", "n_rows", "max_key_rows", "row_share")
+      .orderBy("bucket")
+  }
 }

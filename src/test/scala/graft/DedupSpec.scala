@@ -92,4 +92,16 @@ class DedupSpec extends SparkSpec {
     // threshold is applied to the ROUNDED ratio: 1/3 at minRatio 0.34 → out
     assert(Dedup.contamination(cand, bench, "doc_id", "text", 3, 0.34).isEmpty)
   }
+
+  test("pageRank: hand-computed 3-iteration ranks on a path graph") {
+    // path 1–2–3: deg(1)=deg(3)=1, deg(2)=2; init 1.0, damping 0.85
+    // i1: r2 = .15+.85·(1+1) = 1.85;     r1 = r3 = .15+.85·0.5      = 0.575
+    // i2: r2 = .15+.85·(0.575·2)=1.1275; r1 = r3 = .15+.85·(1.85/2) = 0.93625
+    // i3: r2 = .15+.85·(0.93625·2);      r1 = r3 = .15+.85·(1.1275/2)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.pageRank(pairs).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toList
+    assert(r == List((2L, 1.741625), (1L, 0.629188), (3L, 0.629188)))
+    graft.operators.Ckpt.release(spark)
+  }
 }

@@ -28,4 +28,17 @@ class SkewSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(salts > 1)
   }
+
+  test("keyHistogram buckets per-key counts by floor(log2)+1") {
+    // counts: a=1, b=1 (bucket 1), c=3 (bucket 2), d=8 (bucket 4)
+    val df = (Seq("a", "b") ++ Seq.fill(3)("c") ++ Seq.fill(8)("d")).toDF("k")
+    val rows = Skew.keyHistogram(df, "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 2L, 1L, 2.0 / 13),
+      (2L, 1L, 3L, 3L, 3.0 / 13),
+      (4L, 1L, 8L, 8L, 8.0 / 13)).map {
+        case (b, k, n, m, s) => (b, k, n, m, math.floor(s * 1e6 + 0.5) / 1e6)
+      })
+  }
 }

@@ -38,6 +38,15 @@ class TextFnsSpec extends SparkSpec {
       == Set("x y", "y x"))
   }
 
+  test("segments: non-overlapping windows, tail dropped, duplicates kept") {
+    assert(one[scala.collection.Seq[String]](TextFns.segments(col("c"), 3), "a b c d e f g")
+      == Seq("a b c", "d e f")) // trailing "g" dropped
+    assert(one[scala.collection.Seq[String]](TextFns.segments(col("c"), 3), "a b")
+      == Seq.empty) // shorter than one window → no segments
+    assert(one[scala.collection.Seq[String]](TextFns.segments(col("c"), 2), "x y x y")
+      == Seq("x y", "x y")) // positional: duplicates NOT collapsed
+  }
+
   test("charShingles windows over normalized text") {
     assert(one[scala.collection.Seq[String]](TextFns.charShingles(col("c"), 3), "abcd").toSet
       == Set("abc", "bcd"))
