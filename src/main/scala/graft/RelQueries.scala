@@ -1375,9 +1375,31 @@ object RelQueries {
         ${Det.roundAtSql("n_rows * 1.0 / total", 6)} AS row_share
       FROM b, t ORDER BY bucket"""))
 
+  // q109 — Hive-partitioned layout round trip (Layout.writePartitioned):
+  // documents re-land as lang=<v>/ directories, the read-back filters one
+  // partition — pruned at PLANNING time against the listing (LayoutSpec
+  // proves the selected file set) — and aggregates per source. The oracle
+  // runs the same filter+agg on the original table, so a match proves the
+  // layout is value-preserving and the partition column re-attaches with
+  // its original values.
+  private val q109 = Q(
+    "q109_partitioned_scan",
+    (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/g109_docs_part"
+      Layout.writePartitioned(tbl(s, dir, "documents"), "lang", path)
+      s.read.parquet(path).filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS chars, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98, q100, q101, q102, q103, q106)
+    q97, q98, q100, q101, q102, q103, q106, q109)
 }

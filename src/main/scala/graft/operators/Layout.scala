@@ -75,6 +75,17 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned layout: `path/<partCol>=<value>/…` directories.
+    * The coarsest and cheapest pruning lever at 100 TB: a filter on the
+    * partition column is resolved at PLANNING time against the directory
+    * listing (it shows as PartitionFilters on the scan), so non-matching
+    * directories are never listed into the scan — no file open, no footer
+    * read, no task. Partition by a low-cardinality column the workload
+    * filters on (date, source, lang); a high-cardinality partition column
+    * recreates the small-file problem ([[compact]]). */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(path)
+
   /** Small-file compaction: rewrite a parquet directory as
     * ⌈totalBytes / targetFileBytes⌉ evenly-sized files. The small-file
     * problem is the slow death of big tables — a streaming sink or an

@@ -98,6 +98,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes directories at planning time") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("hivepart").toString + "/docs"
+    Layout.writePartitioned(docs, "lang", base)
+    val all = spark.read.parquet(base)
+    val one = all.filter($"lang" === "en")
+    // read-time proof: the files the executed scan SELECTED (inputFiles
+    // would show the pre-pruning listing) are only the lang=en directory
+    val files = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+    }.flatten
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      files.take(3).mkString(", "))
+    assert(files.length < all.inputFiles.length)
+    // and the predicate shows as a PartitionFilter, not a data filter
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
+    // values survive the layout round-trip (partition col is re-attached)
+    assert(one.count() == docs.filter($"lang" === "en").count())
+    assert(one.agg(sum($"doc_id")).collect()(0).getLong(0) ==
+      docs.filter($"lang" === "en").agg(sum($"doc_id")).collect()(0).getLong(0))
+  }
+
+  test("schema evolution: mergeSchema unions parquet parts, null-fills old rows") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "a").write.parquet(s"$dir/w1")
+    Seq((2L, "b", 9.5)).toDF("id", "a", "b").write.parquet(s"$dir/w2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/w1", s"$dir/w2")
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b"))) // old writer's rows null-fill
+    assert(rows(1).getDouble(rows(1).fieldIndex("b")) == 9.5)
+  }
+
   test("non-bucketed baseline of the same join does shuffle") {
     val a = (1L to 100L).map(i => (i, i * 2)).toDF("key", "x")
     val b = (1L to 100L).map(i => (i, i * 3)).toDF("key", "y")
