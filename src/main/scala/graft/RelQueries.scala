@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CleanFns, Det}
-import graft.operators.{Layout, Profile, Skew}
+import graft.operators.{Incremental, Layout, Profile, Skew}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1397,9 +1397,30 @@ object RelQueries {
       CAST(SUM(n_chars) AS BIGINT) AS chars, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"""))
 
+  // q111 — incremental aggregate maintenance (operators/Incremental): the
+  // per-priority order count+revenue snapshot is built from orders BEFORE
+  // 1997, then kept current by merging ONLY the 1997+ delta — no base
+  // rescan. Exact decimal sums make the incremental result bit-identical
+  // to the oracle's FULL recompute, which is the whole IVM claim: at
+  // 100 TB the refresh touches |delta| + |snapshot|, not the base table.
+  private val q111 = Q(
+    "q111_incremental_agg",
+    (s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val cutoff = "1997-01-01"
+      val prior = Incremental.snapshotCountSum(
+        orders.filter(col("o_orderdate") < cutoff), "o_orderpriority", "o_totalprice")
+      val merged = Incremental.mergeCountSum(prior,
+        orders.filter(col("o_orderdate") >= cutoff), "o_orderpriority", "o_totalprice")
+      Incremental.render(merged, "o_orderpriority").orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+      ${Det.roundAtSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)", 6)} AS total
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98, q100, q101, q102, q103, q106, q109)
+    q97, q98, q100, q101, q102, q103, q106, q109, q111)
 }

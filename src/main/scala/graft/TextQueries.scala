@@ -948,7 +948,51 @@ object TextQueries {
         MIN(div) AS min_diversity, MAX(div) AS max_diversity
       FROM v GROUP BY source ORDER BY source"""))
 
+  // q110 — boilerplate STRIP (q105's flags applied — the q63/q104
+  // detect→apply pattern): per doc, drop segments whose global doc-
+  // frequency ≥ 2 and reconstruct the cleaned text in segment order. The
+  // output carries a 60-bit hash of the reconstruction, so the oracle —
+  // which rebuilds the identical string in DuckDB — checks the cleaned
+  // TEXT exactly, not just its length. Docs with no surviving segment
+  // drop out (inner semantics, mirrored in SQL). Same scale shape as
+  // q105 plus one key-grain reassembly groupBy; per-doc segment arrays
+  // are bounded by doc length, never corpus size.
+  private val q110 = Q(
+    "q110_boilerplate_strip",
+    (s, dir) => {
+      val segs = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFns.segments(col("text"), 5)).as(Seq("pos", "seg")))
+        .withColumn("seg_h", TextFns.portableHash(col("seg")))
+      val dfreq = segs.groupBy("seg_h").agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(dfreq, "seg_h").filter(col("df") < 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x("seg"))).as("__clean"))
+        .select(col("doc_id"), col("n_kept"),
+          length(col("__clean")).cast("long").as("clean_chars"),
+          TextFns.portableHash(col("__clean")).as("clean_h"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+        segs AS (SELECT doc_id, r.pos AS pos,
+            array_to_string(tk[5*r.pos+1:5*r.pos+5], ' ') AS seg
+          FROM t, unnest(range(0, len(tk) // 5)) AS r(pos)),
+        h AS (SELECT doc_id, pos, seg, ${hSql("seg")} AS seg_h FROM segs),
+        dfreq AS (SELECT seg_h, COUNT(DISTINCT doc_id) AS df
+          FROM h GROUP BY seg_h),
+        kept AS (SELECT doc_id, pos, seg
+          FROM h JOIN dfreq USING (seg_h) WHERE df < 2),
+        rec AS (SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(seg, ' ' ORDER BY pos) AS clean
+          FROM kept GROUP BY doc_id)
+      SELECT doc_id, n_kept, CAST(length(clean) AS BIGINT) AS clean_chars,
+        ${hSql("clean")} AS clean_h
+      FROM rec ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83, q88, q96, q99, q104, q105, q107, q108)
+    q83, q88, q96, q99, q104, q105, q107, q108, q110)
 }
