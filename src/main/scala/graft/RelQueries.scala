@@ -1418,9 +1418,61 @@ object RelQueries {
       ${Det.roundAtSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)", 6)} AS total
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // q115 — typed JSON extraction (`from_json` with an explicit schema —
+  // the semi-structured column path every event pipeline needs): parse
+  // events.props, group by k mod 10, decimal-exact value sums. The parse
+  // is a per-row codegen'd projection; the aggregate is one shuffle on a
+  // 10-key relation. At 100 TB the schema-on-read parse prunes to the
+  // single extracted field — no generic JSON object ever materializes
+  // per row beyond the parser's scratch.
+  private val q115 = Q(
+    "q115_json_extract",
+    (s, dir) => tbl(s, dir, "events")
+      .select(
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"), Det.dsum(col("value")).as("total"))
+      .orderBy("k_mod"),
+    Some("""SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+        COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1 ORDER BY k_mod"""))
+
+  // q116 — windowed keep-first dedup (log/telemetry dedup: one event per
+  // (user, type) per minute survives): row_number over the composite key
+  // ordered by (ts, event_id), keep rank 1. ONE shuffle on the dedup key;
+  // the per-type rollup reuses nothing wider than (event_type, flag).
+  // This is the batch twin of the streaming dropDuplicates-with-watermark
+  // shape — the window bound is what lets state expire at scale.
+  private val q116 = Q(
+    "q116_window_dedup",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"), date_trunc("minute", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("n_dropped", col("n_total") - col("n_kept"))
+        .select("event_type", "n_total", "n_kept", "n_dropped")
+        .orderBy("event_type")
+    },
+    Some("""WITH r AS (SELECT event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+                             ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98, q100, q101, q102, q103, q106, q109, q111)
+    q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116)
 }

@@ -992,7 +992,83 @@ object TextQueries {
         ${hSql("clean")} AS clean_h
       FROM rec ORDER BY doc_id"""))
 
+  // q113 — one BPE merge-candidate step (the pair-count core of
+  // byte-pair-encoding tokenizer training, Sennrich et al. 2016): build
+  // the word-frequency table, expand each DISTINCT word into its adjacent
+  // character pairs, and weight each pair by word frequency. Top-20 pairs
+  // = the next-merge candidates. Scale shape: pair expansion runs over
+  // the distinct-word relation (vocabulary-sized, not corpus-sized) after
+  // a single token explode + count shuffle — the corpus-scale data never
+  // carries the per-character expansion.
+  private val q113 = Q(
+    "q113_bpe_merge",
+    (s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words
+        .select(col("freq"), explode(expr(
+          """filter(transform(sequence(1, greatest(char_length(w) - 1, 1)),
+               i -> substr(w, i, 2)), p -> char_length(p) = 2)""")).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(20)
+    },
+    Some(s"""WITH words AS (SELECT u.w AS w, COUNT(*) AS freq
+          FROM (SELECT $toks AS tk FROM documents), unnest(tk) AS u(w)
+          GROUP BY u.w),
+        pairs AS (SELECT freq, p.pair AS pair
+          FROM words, unnest(list_filter(list_transform(
+              range(1, greatest(len(w) - 1, 1) + 1), i -> substr(w, i, 2)),
+            x -> len(x) = 2)) AS p(pair))
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM pairs GROUP BY pair
+      ORDER BY cnt DESC, pair ASC LIMIT 20"""))
+
+  // q114 — sliding-window exact substring dedup (the span-grain pass of
+  // Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+  // Better"): hash every 8-token sliding shingle, mark spans whose
+  // document frequency ≥ 2, and flag documents where ≥ 50% of spans are
+  // duplicated. Unlike q105's disjoint 5-token segments, the sliding
+  // window catches duplicated passages at ANY token offset. Shuffles
+  // carry (doc_id, span_hash) longs only — never the span text.
+  private val q114 = Q(
+    "q114_span_dedup",
+    (s, dir) => {
+      val spans = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.wordShingles(col("text"), 8)).as("span"))
+        .select(col("doc_id"), col("source"),
+          TextFns.portableHash(col("span")).as("h"))
+      val dfreq = spans.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      spans.join(dfreq, "h")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          Det.roundAt(col("n_dup").cast("double") / col("n_spans"), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_frac") >= 0.5, 1L).otherwise(0L)).as("n_flagged"),
+          Det.roundAt(max(col("dup_frac")), 6).as("max_frac"))
+        .orderBy("source")
+    },
+    Some(s"""WITH spans AS (SELECT doc_id, source, ${hSql("u.span")} AS h
+          FROM (SELECT doc_id, source, ${wordShinglesSql(8)} AS sh FROM documents),
+            unnest(sh) AS u(span)),
+        dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY h),
+        perdoc AS (SELECT doc_id, source, COUNT(*) AS n_spans,
+            SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+          FROM spans JOIN dfreq USING (h) GROUP BY doc_id, source),
+        fr AS (SELECT doc_id, source,
+            ${Det.roundAtSql("n_dup * 1.0 / n_spans", 6)} AS dup_frac
+          FROM perdoc)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN dup_frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        ${Det.roundAtSql("MAX(dup_frac)", 6)} AS max_frac
+      FROM fr GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83, q88, q96, q99, q104, q105, q107, q108, q110)
+    q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114)
 }

@@ -409,6 +409,27 @@ object VecQueries {
       ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
     })
 
+  // q112 — SemDeDup apply (semantic dedup, arXiv:2303.09540): within each
+  // coarse bucket drop every vector with cosine ≥ 0.3 to a lower-id
+  // vector; keep-min-id is deterministic so the survivor set is exact.
+  // Per-label survivor counts + id sums pin the exact membership. The
+  // candidate relation is q35's bucket-pruned pair join (Σ bᵢ², not n²);
+  // the apply is a slim anti join on vec_id.
+  private val q112 = Q(
+    "q112_semdedup",
+    (s, dir) => Similarity.semDedup(tbl(s, dir, "embeddings"), "label", 0.3)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+      .orderBy("label"),
+    Some(s"""WITH dropped AS (SELECT DISTINCT b.vec_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cos6("a.embedding", "b.embedding")} >= 0.3)
+      SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      FROM embeddings e WHERE NOT EXISTS
+        (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
+      GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85, q95)
+    q78, q85, q95, q112)
 }

@@ -274,4 +274,22 @@ object Similarity {
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
   }
+
+  /** SemDeDup-style semantic dedup apply (Abbas et al. 2023,
+    * arXiv:2303.09540): within each coarse cluster, greedily keep the
+    * lowest-id member of every near-duplicate relation — a vector is
+    * dropped iff some LOWER-id vector in its bucket has cosine ≥
+    * `threshold` to it. Deterministic (no RNG, min-id keep rule), and the
+    * survivor set provably contains no within-bucket pair ≥ threshold:
+    * if (x < y, cos ≥ τ) both survived, y's drop condition fired.
+    *
+    * Scale: the candidate relation is [[bucketedNearDupPairs]]
+    * (Σ bucketᵢ², never n²); the dropped-id set is distinct slim ids and
+    * the apply is a shuffled left-anti join on the corpus key — at 100 TB
+    * both sides hash-partition on vec_id, no broadcast assumption. */
+  def semDedup(corpus: DataFrame, bucketCol: String, threshold: Double): DataFrame = {
+    val dropped = bucketedNearDupPairs(corpus, bucketCol, threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus.join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

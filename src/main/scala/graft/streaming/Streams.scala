@@ -238,6 +238,95 @@ object Streams {
         })
       .toDF()
   }
+
+  /** Streaming IVM sink: keep a per-key (cnt, sum) aggregate snapshot
+    * current by merging each micro-batch's DELTA into the prior snapshot
+    * via [[graft.operators.Incremental.mergeCountSum]] — the streaming
+    * twin of the q111 batch maintenance path. Refresh cost per batch is
+    * O(|delta| + |snapshot|) regardless of total stream history, and the
+    * decimal-exact sums make the maintained snapshot bit-identical to a
+    * full recompute over everything ingested.
+    *
+    * Exactly-once across failures: snapshots are written to VERSIONED
+    * directories keyed by `batchId` (`v0, v1, …` under `snapDir`) plus a
+    * `_LATEST` pointer committed last. foreachBatch replays a batch after
+    * recovery with the SAME batchId — [[ivmMergeBatch]] sees the existing
+    * version directory and skips, so a delta can never double-apply.
+    * `keep` bounds retained versions (older ones are pruned after the
+    * pointer commit); all paths go through the Hadoop FileSystem API, so
+    * snapDir may be HDFS/S3 at scale. */
+  def maintainCountSum(events: DataFrame, key: String, value: String,
+                       snapDir: String, checkpointDir: String,
+                       scale: Int = 2, keep: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivmMergeBatch(batch, batchId, key, value, snapDir, scale, keep)
+      }
+      .start()
+
+  /** One idempotent micro-batch merge (see [[maintainCountSum]]).
+    * A version counts only once its parquet `_SUCCESS` marker exists, so
+    * a crash mid-write leaves a directory the replay simply overwrites —
+    * and a crash AFTER the version committed but before the pointer
+    * updated is healed by re-committing the pointer on replay. Prior
+    * resolution enumerates completed versions (never trusts the pointer),
+    * so a stale pointer can never drop a delta. */
+  private[graft] def ivmMergeBatch(batch: DataFrame, batchId: Long,
+                                   key: String, value: String,
+                                   snapDir: String, scale: Int,
+                                   keep: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(snapDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitPointerAndPrune(): Unit = {
+      val out = fs.create(new Path(root, "_LATEST"), true)
+      out.write(batchId.toString.getBytes("UTF-8")); out.close()
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          p.getName.drop(1).toLongOption.exists(_ <= batchId - keep))
+        .foreach(p => fs.delete(p, true))
+    }
+    val done = completedVersions(fs, root)
+    if (done.contains(batchId)) { commitPointerAndPrune(); return } // replay
+    val merged = done.filter(_ < batchId).maxOption match {
+      case Some(p) =>
+        val prior = spark.read.parquet(new Path(root, s"v$p").toString)
+        graft.operators.Incremental.mergeCountSum(prior, batch, key, value, scale)
+      case None =>
+        graft.operators.Incremental.snapshotCountSum(batch, key, value, scale)
+    }
+    merged.write.mode("overwrite").parquet(new Path(root, s"v$batchId").toString)
+    commitPointerAndPrune()
+  }
+
+  /** Version ids under `root` whose parquet commit marker exists. */
+  private def completedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).map(_.getPath).toSeq
+      .filter(p => p.getName.startsWith("v"))
+      .flatMap(p => p.getName.drop(1).toLongOption
+        .filter(_ => fs.exists(new Path(p, "_SUCCESS"))))
+  }
+
+  /** Resolve the current snapshot (batchId, frame) under `snapDir`. */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     snapDir: String): Option[(Long, DataFrame)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(snapDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(root, "_LATEST")
+    if (!fs.exists(ptr)) return None
+    val in = fs.open(ptr)
+    val id = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+             finally in.close()
+    Some((id, spark.read.parquet(new Path(root, s"v$id").toString)))
+  }
 }
 
 /** One exploded (doc, band) row entering the streaming LSH index. */

@@ -90,6 +90,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rounds >= 1 && rounds <= 3)
   }
 
+  test("semDedup: survivors contain no within-bucket pair over threshold, keep min id") {
+    // twins are (2i, 2i+1) — bucket by i%4 so every twin pair shares a bucket
+    val bucketed = corpus.withColumn("label", (floor(col("vec_id") / 2) % 4).cast("int"))
+    val kept = Similarity.semDedup(bucketed, "label", 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    // greedy keep-min-id: every dropped id must have a kept-or-dropped
+    // lower-id near neighbor; every surviving within-bucket pair is < τ
+    val p = Similarity.bucketedNearDupPairs(bucketed, "label", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    p.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"surviving pair ($a,$b) is ≥ threshold")
+    }
+    // the minimum id of every bucket always survives (nothing below it)
+    val minIds = bucketed.groupBy("label").agg(min("vec_id").as("m"))
+      .select("m").as[Long].collect()
+    minIds.foreach(m => assert(kept(m), s"bucket-min id $m was dropped"))
+    assert(kept.nonEmpty && kept.size < 60, "fixture twins must force some drops")
+  }
+
   test("kmeansConverged stops early at the fixed point on separable blobs") {
     val blobA = (0 until 20).map(i => (i.toLong, Array.fill(64)(5.0f + (i % 3) * 0.01f)))
     val blobB = (0 until 20).map(i => (100L + i, Array.fill(64)(-5.0f - (i % 3) * 0.01f)))

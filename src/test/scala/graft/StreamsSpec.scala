@@ -243,6 +243,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainCountSum: streamed IVM snapshot equals the full recompute, replay-safe") {
+    import graft.operators.Incremental
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    val in = MemoryStream[Ev]
+    val batches = Seq(
+      Seq(Ev(1, ts(1), 1, "click", 1.5), Ev(2, ts(2), 2, "view", 2.25)),
+      Seq(Ev(3, ts(3), 1, "click", 0.5)),
+      Seq(Ev(4, ts(4), 3, "buy", 10.0), Ev(5, ts(5), 1, "view", 1.0)))
+    val q = Streams.maintainCountSum(in.toDF(), "event_type", "value",
+      s"$dir/snap", s"$dir/ckpt")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val (vid, snap) = Streams.latestSnapshot(spark, s"$dir/snap").get
+      def rendered(df: org.apache.spark.sql.DataFrame) =
+        Incremental.render(df, "event_type").orderBy("event_type")
+          .as[(String, Long, Double)].collect().toSeq
+      val got = rendered(snap)
+      val full = rendered(Incremental.snapshotCountSum(
+        batches.flatten.toDF(), "event_type", "value"))
+      assert(got == full, s"maintained $got != recomputed $full")
+      assert(got == Seq(("buy", 1L, 10.0), ("click", 2L, 2.0), ("view", 2L, 3.25)))
+      // recovery replay: re-applying the last batch id must be a no-op
+      Streams.ivmMergeBatch(batches.last.toDF(), vid, "event_type", "value",
+        s"$dir/snap", 2, 3)
+      assert(rendered(Streams.latestSnapshot(spark, s"$dir/snap").get._2) == full,
+        "replayed batch double-applied its delta")
+    } finally q.stop()
+  }
+
   test("enrich stream-static broadcast join and file-stream source") {
     // drive the parquet events table AS a stream (file source, one batch)
     val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "category")
