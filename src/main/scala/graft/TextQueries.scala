@@ -1068,7 +1068,66 @@ object TextQueries {
         ${Det.roundAtSql("MAX(dup_frac)", 6)} AS max_frac
       FROM fr GROUP BY source ORDER BY source"""))
 
+  // q117 — triangle census of the verified MinHash-LSH near-dup graph:
+  // triangle-dense regions are boilerplate families (every pair
+  // near-identical), sparse chains are topic drift. Degree-oriented
+  // wedge join — each triangle counted once at its min-degree vertex,
+  // wedge fan-out bounded by orientation out-degree (O(√m)), never hub
+  // degree. The oracle re-derives the identical pair set (shared
+  // minhashCtes) and the identical orientation.
+  private val q117 = Q(
+    "q117_triangles",
+    (s, dir) => Dedup.triangleCount(
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b")),
+    Some(s"""WITH $minhashCtes,
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        deg AS (SELECT v, COUNT(*) AS d FROM (
+            SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs)
+          GROUP BY v),
+        oriented AS (SELECT
+            CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b)
+                 THEN id_a ELSE id_b END AS s,
+            CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b)
+                 THEN id_b ELSE id_a END AS t
+          FROM pairs JOIN deg da ON da.v = id_a JOIN deg db ON db.v = id_b),
+        wedges AS (SELECT e1.t AS u, e2.t AS w
+          FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t),
+        closed AS (SELECT * FROM wedges JOIN pairs
+          ON u = id_a AND w = id_b)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+        (SELECT COUNT(*) FROM pairs) AS n_edges,
+        (SELECT COUNT(*) FROM closed) AS n_triangles"""))
+
+  // q118 — EXACT set-similarity join via prefix filtering (AllPairs /
+  // PPJoin): provably identical output to q24's brute-force Jaccard scan
+  // WITHOUT the n² compare — candidates must share one globally-rare
+  // prefix element. The lossless exact-join counterpart to the q22 LSH
+  // approximation; DedupSpec asserts prefix ≡ brute on a fixture, the
+  // oracle re-derives the same prefix blocking, and the driver's q24 row
+  // pins the identical final pair set at the same threshold+shingling.
+  private val q118 = Q(
+    "q118_prefix_join",
+    (s, dir) => Dedup.prefixJaccardPairs(tbl(s, dir, "documents"),
+      "doc_id", "text", shingleN = 3, threshold = 0.5),
+    Some(s"""WITH tk AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
+        posting AS (SELECT doc_id, u.el AS el FROM tk, unnest(sh) AS u(el)),
+        dfreq AS (SELECT el, COUNT(*) AS cnt FROM posting GROUP BY el),
+        ordered AS (SELECT doc_id, array_agg(el ORDER BY cnt, el) AS sorted
+          FROM posting JOIN dfreq USING (el) GROUP BY doc_id),
+        pre AS (SELECT doc_id, u.el AS el FROM (
+            SELECT doc_id, sorted[1:CAST(len(sorted) - ceil(0.5 * len(sorted)) + 1 AS BIGINT)] AS p
+            FROM ordered), unnest(p) AS u(el)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pre a JOIN pre b ON a.el = b.el AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, ${jaccardSql("ta.sh", "tb.sh")} AS jaccard
+      FROM cand JOIN tk ta ON ta.doc_id = id_a JOIN tk tb ON tb.doc_id = id_b
+      WHERE ${jaccardSql("ta.sh", "tb.sh")} >= 0.5
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114)
+    q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118)
 }

@@ -451,4 +451,87 @@ object Dedup {
     ranks.select(col("id").as("doc_id"), Det.roundAt(col("rank"), 6).as("pagerank"))
       .orderBy(desc("pagerank"), col("doc_id"))
   }
+
+  /** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    * family — Bayardo et al. 2007, Xiao et al. 2008): unlike the LSH
+    * paths this is lossless — its output is IDENTICAL to the O(n²) brute
+    * Jaccard join at the same threshold. Elements sort by global document
+    * frequency (rarest first, id tie-break); if J(x,y) ≥ τ the two sets
+    * must share an element within each side's first
+    * |x| − ⌈τ·|x|⌉ + 1 sorted elements (else the intersection fits in
+    * the suffix, < ⌈τ·|x|⌉ ≤ |x∩y|) — so candidates sharing no PREFIX
+    * element are skipped without ever being compared.
+    *
+    * Scale: the posting explode is the same order as the minhash shingle
+    * pass; the candidate self-join runs only over prefix postings, which
+    * by construction hold the globally RAREST elements — bucket sizes are
+    * the inverse-frequency tail, not the corpus. Mega-buckets (a corpus
+    * of near-identical docs) still fall under the [[capBuckets]] guard.
+    * Verification joins the two slim doc-set sides on id. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         maxBucket: Int = 100000): DataFrame = {
+    val docs = Ckpt.local(df.select(col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("sh")))
+    val posting = docs.select(col("id"), explode(col("sh")).as("el"))
+    val dfreq = posting.groupBy("el").agg(count(lit(1)).as("cnt"))
+    // global canonical order: (df asc, element asc) — both engines total
+    val ordered = posting.join(dfreq, "el")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("el")))).as("s"))
+      .select(col("id"), expr("transform(s, x -> x.el)").as("sorted"))
+    val pre = ordered.select(col("id"),
+        explode(expr(s"slice(sorted, 1, " +
+          s"cast(size(sorted) - ceil($threshold * size(sorted)) + 1 as int))"))
+          .as("key"))
+      .withColumn("band", lit(0))
+    val (lhs, rhs) = capBuckets(pre, maxBucket, "prefix")
+    val cand = lhs.select(col("id").as("id_a"), col("key"))
+      .join(rhs.select(col("id").as("id_b"), col("key")), "key")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", Det.roundAt(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Distributed triangle count over an undirected (id_a < id_b) edge
+    * relation — the standard graph health metric for a near-dup graph
+    * (triangle-dense components are boilerplate families; triangle-free
+    * chains are drift). Degree-oriented node-iterator: every edge points
+    * low-degree → high-degree (id tie-break), wedges form only at each
+    * triangle's minimum-degree vertex, and the closing edge is probed in
+    * the original undirected relation — each triangle counted exactly
+    * once, and wedge fan-out is bounded by orientation out-degree
+    * (O(√m) on any graph), never by raw hub degree. Three shuffles
+    * (degree, wedge join, closure join); nothing collects. */
+  def triangleCount(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val und = pairs.select(col(idA).cast(LongType).as("id_a"),
+      col(idB).cast(LongType).as("id_b"))
+    val deg = und.select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("id_a"), col("d").as("da")), "id_a")
+      .join(deg.select(col("v").as("id_b"), col("d").as("db")), "id_b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("id_a") < col("id_b")),
+          struct(col("id_a").as("s"), col("id_b").as("t")))
+        .otherwise(struct(col("id_b").as("s"), col("id_a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("u"), col("e2.t").as("w")) // u < w by the join
+    val closed = wedges.join(und,
+      col("u") === col("id_a") && col("w") === col("id_b"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = und.agg(count(lit(1)).as("n_edges"))
+    nV.crossJoin(nE).crossJoin(nTri)
+  }
 }

@@ -93,6 +93,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contamination(cand, bench, "doc_id", "text", 3, 0.34).isEmpty)
   }
 
+  test("prefixJaccardPairs is lossless: identical to the brute O(n²) join") {
+    // a corpus with dup families AND singletons, at two thresholds —
+    // the prefix filter must drop candidates, never results
+    val corpus = Seq(
+      (1L, base), (2L, base), (3L, near), (4L, far),
+      (5L, "spark catalyst optimizer internals and codegen stages today"),
+      (6L, "totally unrelated words about cooking pasta dinner tonight yes"),
+      (7L, near + " extended with several extra trailing tokens here")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val brute = Dedup.wordJaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == brute, s"threshold $t: prefix $pref != brute $brute")
+    }
+    graft.operators.Ckpt.release(spark)
+  }
+
+  test("triangleCount: hand-counted triangles, degree-oriented, no double count") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5 + disjoint edge 6–7
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val r = Dedup.triangleCount(edges).collect()(0)
+    assert(r.getAs[Long]("n_vertices") == 7L)
+    assert(r.getAs[Long]("n_edges") == 8L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    // triangle-free graph → 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Dedup.triangleCount(path).collect()(0).getAs[Long]("n_triangles") == 0L)
+  }
+
   test("pageRank: hand-computed 3-iteration ranks on a path graph") {
     // path 1–2–3: deg(1)=deg(3)=1, deg(2)=2; init 1.0, damping 0.85
     // i1: r2 = .15+.85·(1+1) = 1.85;     r1 = r3 = .15+.85·0.5      = 0.575
