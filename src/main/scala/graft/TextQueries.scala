@@ -38,14 +38,18 @@ object TextQueries {
     * 3-shingles → 32-hash signature → 8 band keys → banded self-join →
     * `cand` (id_a, sh_a, id_b, sh_b). Used by q22 / q39 / q53 so all
     * three oracles derive the IDENTICAL candidate set. */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  /** Same CTE chain over an arbitrary (doc_id, text)-shaped relation —
+    * q119 runs the LSH pass over the filter SURVIVORS, not the corpus. */
+  private def minhashCtesFrom(src: String): String = {
     val p = Dedup.MinhashP
     val sigList = Dedup.minhashSeeds(32).map { case (a, b) =>
       s"list_min(list_transform(hb, h -> (h * $a + $b) % $p))"
     }.mkString("[", ", ", "]")
     val bandHash = hSql(
       "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
-    s"""docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
+    s"""docs AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM $src),
         hashed AS (SELECT doc_id, sh,
           list_transform(sh, x -> ${hSql("x")} % $p) AS hb FROM docs),
         signed AS (SELECT doc_id, sh, $sigList AS sig FROM hashed),
@@ -142,22 +146,29 @@ object TextQueries {
         sum((col("pred_lang") === col("lang")).cast("long")).as("n_correct"))
       .orderBy("pred_lang"),
     Some {
-      val scores = TextFns.LangMarkers.map { case (lang, ws) =>
-        lang -> ws.map(w => s"CASE WHEN contains(' ' || lower(text) || ' ', '$w') THEN 1 ELSE 0 END")
-          .mkString("(", " + ", ")")
-      }
-      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
-      val nBest = scores.map { case (_, e) => s"CASE WHEN $e = best THEN 1 ELSE 0 END" }
-        .mkString(" + ")
-      val winner = scores.map { case (l, e) => s"WHEN $e = best THEN '$l'" }.mkString(" ")
-      s"""WITH scored AS (SELECT lang, $best AS best,
-          CASE WHEN $best = 0 THEN 'unknown'
-               WHEN ($nBest) > 1 THEN 'unknown'
-               $winner END AS pred_lang
+      s"""WITH scored AS (SELECT lang, $predLangSelect
         FROM documents)
       SELECT pred_lang, COUNT(*) AS cnt,
         CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
       FROM scored GROUP BY pred_lang ORDER BY pred_lang""" })
+
+  /** SELECT-list fragment mirroring TextFns.langId: `<best> AS best,
+    * <case> AS pred_lang` (the CASE laterally references the `best`
+    * alias). Shared by q25 / q119. */
+  private def predLangSelect: String = {
+    val scores = TextFns.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => s"CASE WHEN contains(' ' || lower(text) || ' ', '$w') THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val nBest = scores.map { case (_, e) => s"CASE WHEN $e = best THEN 1 ELSE 0 END" }
+      .mkString(" + ")
+    val winner = scores.map { case (l, e) => s"WHEN $e = best THEN '$l'" }.mkString(" ")
+    s"""$best AS best,
+          CASE WHEN $best = 0 THEN 'unknown'
+               WHEN ($nBest) > 1 THEN 'unknown'
+               $winner END AS pred_lang"""
+  }
 
   // q26 — quality scoring per (lang, source): deterministic closed-form
   // score in [0,1]; exact decimal sums for the aggregate.
@@ -171,19 +182,24 @@ object TextQueries {
         sum((col("q") >= lit(0.8)).cast("long")).as("n_high"))
       .orderBy("lang"),
     Some {
-      val nTok = s"CAST(len($toks) AS DOUBLE)"
-      val nCh  = "CAST(length(text) AS DOUBLE)"
-      val safe = s"CASE WHEN $nCh = 0 THEN 1.0 ELSE $nCh END"
-      val mwl  = s"($nCh / greatest($nTok, 1.0))"
-      val alpha = s"(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / $safe)"
-      val lenScore = s"least($nTok / 20.0, 1.0)"
-      val shape = s"CASE WHEN $mwl >= 2.5 AND $mwl <= 12.0 THEN 1.0 ELSE 0.5 END"
-      val q = Det.roundAtSql(s"$lenScore * $shape * $alpha", 6)
-      s"""WITH scored AS (SELECT lang, $q AS q FROM documents)
+      s"""WITH scored AS (SELECT lang, $qualityScoreSql AS q FROM documents)
       SELECT lang, COUNT(*) AS cnt,
         ${Det.roundAtSql("CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS avg_quality,
         CAST(SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       FROM scored GROUP BY lang ORDER BY lang""" })
+
+  /** Expression mirroring TextFns.qualityScore over `text` (rounded at
+    * 6, like the Spark side). Shared by q26 / q119. */
+  private def qualityScoreSql: String = {
+    val nTok = s"CAST(len($toks) AS DOUBLE)"
+    val nCh  = "CAST(length(text) AS DOUBLE)"
+    val safe = s"CASE WHEN $nCh = 0 THEN 1.0 ELSE $nCh END"
+    val mwl  = s"($nCh / greatest($nTok, 1.0))"
+    val alpha = s"(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / $safe)"
+    val lenScore = s"least($nTok / 20.0, 1.0)"
+    val shape = s"CASE WHEN $mwl >= 2.5 AND $mwl <= 12.0 THEN 1.0 ELSE 0.5 END"
+    Det.roundAtSql(s"$lenScore * $shape * $alpha", 6)
+  }
 
   // q27 — token counting: whitespace tokens + BPE-ish subword units per
   // lang. Pure integer aggregates — fully deterministic.
@@ -1034,11 +1050,15 @@ object TextQueries {
   private val q114 = Q(
     "q114_span_dedup",
     (s, dir) => {
-      val spans = tbl(s, dir, "documents")
+      // the span explode + hash is the dominant cost — materialize it once
+      // (slim (doc_id, source, h) rows) so the df-count branch and the
+      // join probe side both read the checkpoint instead of re-hashing
+      // the corpus (same pattern as the LSH band relation)
+      val spans = graft.operators.Ckpt.local(tbl(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           explode(TextFns.wordShingles(col("text"), 8)).as("span"))
         .select(col("doc_id"), col("source"),
-          TextFns.portableHash(col("span")).as("h"))
+          TextFns.portableHash(col("span")).as("h")))
       val dfreq = spans.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("df"))
       spans.join(dfreq, "h")
@@ -1127,7 +1147,61 @@ object TextQueries {
       WHERE ${jaccardSql("ta.sh", "tb.sh")} >= 0.5
       ORDER BY id_a, id_b"""))
 
+  // q119 — the end-to-end corpus CURATION FUNNEL every training-data
+  // build runs: language filter → quality filter → MinHash-LSH near-dup
+  // (keep-min-id over the SURVIVOR set) → final report of docs/tokens
+  // per drop reason. Composes q25's language ID, q26's quality score and
+  // q22's LSH pass into one lazy plan; the expensive LSH stage sees only
+  // filter survivors, the way a production pipeline orders its stages
+  // (cheap row-local filters before pair generation). The oracle chains
+  // the SAME shared SQL fragments, so the whole funnel is checked
+  // bit-for-bit, not stage-by-stage.
+  private val q119 = Q(
+    "q119_curation_funnel",
+    (s, dir) => {
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextFns.langId(col("text")).as("pl"),
+        TextFns.qualityScore(col("text")).as("q"),
+        TextFns.tokenCount(col("text")).cast("long").as("nt"))
+      val surv = base.filter(col("pl") =!= "unknown" && col("q") >= 0.8)
+        .select("doc_id", "text")
+      val dropped = Dedup.minhashLshPairs(surv, "doc_id", "text",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      base.join(dropped, Seq("doc_id"), "left")
+        .select(
+          when(col("pl") === "unknown", lit("lang"))
+            .when(col("q") < 0.8, lit("quality"))
+            .when(col("is_dup").isNotNull, lit("near_dup"))
+            .otherwise(lit("kept")).as("reason"),
+          col("nt"))
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .orderBy("reason")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text,
+          CAST(len($toks) AS BIGINT) AS nt, $qualityScoreSql AS q,
+          $predLangSelect
+        FROM documents),
+        surv AS (SELECT doc_id, text FROM base
+          WHERE pred_lang <> 'unknown' AND q >= 0.8),
+        ${minhashCtesFrom("surv")},
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        dropped AS (SELECT DISTINCT id_b FROM pairs),
+        labeled AS (SELECT
+            CASE WHEN pred_lang = 'unknown' THEN 'lang'
+                 WHEN q < 0.8 THEN 'quality'
+                 WHEN doc_id IN (SELECT id_b FROM dropped) THEN 'near_dup'
+                 ELSE 'kept' END AS reason, nt
+          FROM base)
+      SELECT reason, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM labeled GROUP BY reason ORDER BY reason"""),
+    headline = true)
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
-    q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118)
+    q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
+    q119)
 }

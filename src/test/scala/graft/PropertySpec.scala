@@ -201,4 +201,25 @@ class PropertySpec extends SparkSpec {
     assert(capped == default && capped.nonEmpty)
     graft.operators.Ckpt.release(spark)
   }
+
+  test("prefix filter theorem: prefixJaccardPairs equals brute on random corpora") {
+    // random 6-12-token docs over a 20-word vocab — enough collisions to
+    // exercise the prefix blocking AND produce pairs across thresholds
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen",
+      "ibis", "jay", "kit", "lark", "mole", "newt", "owl", "pig",
+      "quail", "rat", "swan", "toad")
+    val docGen = Gen.chooseNum(6, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val docs = sample(docGen, 50).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (t <- Seq(0.25, 0.5, 0.75)) {
+      val brute = graft.operators.Dedup.wordJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == brute,
+        s"t=$t: missing=${brute -- pref} extra=${pref -- brute}")
+    }
+    graft.operators.Ckpt.release(spark)
+  }
 }
