@@ -273,6 +273,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivmMergeBatch heals a committed version whose pointer write crashed") {
+    import graft.operators.Incremental
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm_heal").toString
+    val snap = s"$dir/snap"
+    val b0 = Seq(Ev(1, ts(1), 1, "click", 1.0)).toDF()
+    val b1 = Seq(Ev(2, ts(2), 1, "click", 2.0)).toDF()
+    Streams.ivmMergeBatch(b0, 0L, "event_type", "value", snap, 2, 3)
+    Streams.ivmMergeBatch(b1, 1L, "event_type", "value", snap, 2, 3)
+    // simulate a crash AFTER v1 committed but BEFORE the pointer moved:
+    // rewind _LATEST to 0 — prior resolution must still see v1
+    val ptr = new java.io.FileOutputStream(s"$snap/_LATEST")
+    ptr.write("0".getBytes("UTF-8")); ptr.close()
+    // recovery replays batch 1: version exists → no re-merge, pointer heals
+    Streams.ivmMergeBatch(b1, 1L, "event_type", "value", snap, 2, 3)
+    val (vid, df) = Streams.latestSnapshot(spark, snap).get
+    assert(vid == 1L, s"pointer not healed, still at $vid")
+    val r = Incremental.render(df, "event_type")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r == Seq(("click", 2L, 3.0)), s"delta lost or double-applied: $r")
+    // and the NEXT batch merges from v1 even when the pointer was stale
+    val ptr2 = new java.io.FileOutputStream(s"$snap/_LATEST")
+    ptr2.write("0".getBytes("UTF-8")); ptr2.close()
+    Streams.ivmMergeBatch(Seq(Ev(3, ts(3), 2, "view", 5.0)).toDF(), 2L,
+      "event_type", "value", snap, 2, 3)
+    val r2 = Incremental.render(Streams.latestSnapshot(spark, snap).get._2, "event_type")
+      .orderBy("event_type").as[(String, Long, Double)].collect().toSeq
+    assert(r2 == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)),
+      s"stale pointer dropped a delta: $r2")
+  }
+
   test("enrich stream-static broadcast join and file-stream source") {
     // drive the parquet events table AS a stream (file source, one batch)
     val dim = Seq(("click", "interactive"), ("view", "passive")).toDF("event_type", "category")
