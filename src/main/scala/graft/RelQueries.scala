@@ -1470,9 +1470,49 @@ object RelQueries {
         CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
       FROM r GROUP BY event_type ORDER BY event_type"""))
 
+  // q120 — declarative data-quality constraints (the dbt-test / Deequ
+  // surface a lakehouse runs on every load): PK uniqueness, FK orphan
+  // counts, not-null — each an independent key-grain aggregate (PK one
+  // shuffle; FK a left-anti join against the parent's DISTINCT key
+  // relation, so the join carries key longs only). The report is exact
+  // counts, so a single orphan row flips `ok` and fails the hash gate.
+  private val q120 = Q(
+    "q120_data_quality",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val ord = tbl(s, dir, "orders")
+      val cust = tbl(s, dir, "customer")
+      graft.operators.Integrity.constraintReport(Seq(
+        "fk_lineitem_orders" -> graft.operators.Integrity
+          .fkViolations(li, "l_orderkey", ord, "o_orderkey"),
+        "fk_orders_customer" -> graft.operators.Integrity
+          .fkViolations(ord, "o_custkey", cust, "c_custkey"),
+        "not_null_l_quantity" -> graft.operators.Integrity
+          .nullViolations(li, "l_quantity"),
+        "pk_lineitem" -> graft.operators.Integrity
+          .pkViolations(li, Seq("l_orderkey", "l_linenumber")),
+        "pk_orders" -> graft.operators.Integrity
+          .pkViolations(ord, Seq("o_orderkey"))))
+    },
+    Some("""WITH checks AS (
+        SELECT 'fk_lineitem_orders' AS constraint, (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          AS n_violations
+        UNION ALL SELECT 'fk_orders_customer', (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL SELECT 'not_null_l_quantity',
+          (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL)
+        UNION ALL SELECT 'pk_lineitem', (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+            (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber))
+        UNION ALL SELECT 'pk_orders', (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+            (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)))
+      SELECT "constraint", CAST(n_violations AS BIGINT) AS n_violations,
+        n_violations = 0 AS ok
+      FROM checks ORDER BY "constraint""""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116)
+    q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120)
 }

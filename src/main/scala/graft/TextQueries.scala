@@ -1200,8 +1200,45 @@ object TextQueries {
       FROM labeled GROUP BY reason ORDER BY reason"""),
     headline = true)
 
+  // q121 — vocabulary coverage / OOV rate per source (the tokenizer-fit
+  // metric a training-data build reports before committing to a vocab):
+  // the top-20 corpus tokens form the vocabulary (count desc, token asc
+  // tie-break = deterministic), then each source reports its
+  // out-of-vocabulary token fraction. The vocab relation is top-k tiny
+  // at any corpus scale and BROADCAST to the occurrence stream — the
+  // only corpus-wide shuffle is the token count feeding the top-k.
+  private val q121 = Q(
+    "q121_oov_rate",
+    (s, dir) => {
+      val t = tbl(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val vocab = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(20)
+        .select(col("tok"), lit(1).as("in_v"))
+      t.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          Det.roundAt(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .select("source", "n_tokens", "n_oov", "oov_rate")
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source, u.tok AS tok
+          FROM (SELECT source, $toks AS tk FROM documents), unnest(tk) AS u(tok)),
+        vocab AS (SELECT tok FROM (
+          SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok
+          ORDER BY cnt DESC, tok ASC LIMIT 20)),
+        flagged AS (SELECT source,
+            CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END AS oov
+          FROM t)
+      SELECT source, COUNT(*) AS n_tokens,
+        CAST(SUM(oov) AS BIGINT) AS n_oov,
+        ${Det.roundAtSql("SUM(oov) * 1.0 / COUNT(*)", 6)} AS oov_rate
+      FROM flagged GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119)
+    q119, q121)
 }

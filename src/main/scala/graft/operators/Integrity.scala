@@ -69,4 +69,38 @@ object Integrity {
           .otherwise("changed"))
       .drop("__h_l", "__h_r")
   }
+
+  // ── declarative constraint checks (dbt-test / Deequ shape) ───────────
+
+  /** Rows violating primary-key uniqueness on `cols`: one shuffle at key
+    * grain, returns the number of EXCESS rows (total − distinct keys). */
+  def pkViolations(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("n_violations"))
+
+  /** Child rows whose `childKey` has no match in `parent.parentKey`
+    * (FK orphans): a left-anti join at key grain — the parent side
+    * reduces to its distinct key relation first, so the join carries
+    * (key) longs, never parent rows. */
+  def fkViolations(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+
+  /** Rows where `c` is null — the not-null constraint. */
+  def nullViolations(df: DataFrame, c: String): DataFrame =
+    df.agg(sum(col(c).isNull.cast("long")).as("n_violations"))
+
+  /** Run a named set of constraint frames (each one row, one
+    * `n_violations` column) into the standard report: (constraint,
+    * n_violations, ok) ordered by name. Each check is an independent
+    * aggregate; the union is a driver-side assembly of 1-row frames. */
+  def constraintReport(checks: Seq[(String, DataFrame)]): DataFrame =
+    checks.map { case (name, f) =>
+      f.select(lit(name).as("constraint"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0L).as("ok"))
+    }.reduce(_ unionByName _).orderBy("constraint")
 }
