@@ -1237,8 +1237,42 @@ object TextQueries {
         ${Det.roundAtSql("SUM(oov) * 1.0 / COUNT(*)", 6)} AS oov_rate
       FROM flagged GROUP BY source ORDER BY source"""))
 
+  // q122 — image-header parsing round trip: build REAL PNG payloads
+  // (signature + IHDR) with per-doc dimensions, then PARSE width/height
+  // back from the raw bytes with codegen'd binary ops (substring + hex +
+  // conv — the codec-free slice of image decode). The oracle recomputes
+  // the dimension formulas directly, so equality proves the byte-level
+  // parse inverts the byte-level build bit-for-bit on every row. All
+  // per-row narrow work + one tiny format-grain aggregate.
+  private val q122 = Q(
+    "q122_media_dims",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val media = tbl(s, dir, "documents").select(col("doc_id"),
+        Multimodal.pngPayload(
+          (lit(100) + col("doc_id") % 900).cast("int"),
+          (lit(50) + col("doc_id") % 500).cast("int")).as("bytes"))
+      media.select(
+          Multimodal.sniffFormat(col("bytes")).as("fmt"),
+          Multimodal.pngDims(col("bytes")).as("dims"),
+          length(col("bytes")).cast("long").as("nb"))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("dims.width")).as("w_sum"),
+          sum(col("dims.height")).as("h_sum"),
+          max(col("dims.width")).as("w_max"),
+          sum(col("nb")).as("total_bytes"))
+        .orderBy("fmt")
+    },
+    Some("""SELECT 'png' AS fmt, COUNT(*) AS cnt,
+        CAST(SUM(100 + doc_id % 900) AS BIGINT) AS w_sum,
+        CAST(SUM(50 + doc_id % 500) AS BIGINT) AS h_sum,
+        CAST(MAX(100 + doc_id % 900) AS BIGINT) AS w_max,
+        CAST(COUNT(*) * 33 AS BIGINT) AS total_bytes
+      FROM documents GROUP BY 1 ORDER BY fmt"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121)
+    q119, q121, q122)
 }

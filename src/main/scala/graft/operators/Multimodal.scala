@@ -116,6 +116,40 @@ object Multimodal {
       .when(hex(substring(bytes, 1, 4)) === "52494646", "riff")
       .otherwise("unknown")
 
+  /** Serialize an int column as 4 big-endian bytes (the byte order every
+    * image container uses for lengths/dimensions): hex → pad to 8
+    * nibbles → unhex. Codegen'd builtins only. */
+  def beInt32(v: Column): Column = unhex(lpad(hex(v.cast(LongType)), 8, "0"))
+
+  /** Read 4 big-endian bytes at 1-based `pos` as a long — the inverse of
+    * [[beInt32]]; `substring` slices binary, `conv` parses the hex. */
+  def beInt32At(bytes: Column, pos: Int): Column =
+    conv(hex(substring(bytes, pos, 4)), 16, 10).cast(LongType)
+
+  /** Build a REAL (header-level) PNG payload: 8-byte signature, IHDR
+    * length, "IHDR", width, height, bit depth 8 / color type 2 (plus a
+    * stub body) — enough structure that a header parser, including
+    * [[pngDims]] and any external tool reading IHDR, sees a valid start
+    * of file. Pure byte concat, no UDF. */
+  def pngPayload(width: Column, height: Column): Column =
+    concat(
+      lit(magic("image")),                         // PNG signature
+      beInt32(lit(13)), lit("IHDR".getBytes("US-ASCII")),
+      beInt32(width), beInt32(height),
+      lit(Array[Byte](8, 2, 0, 0, 0)),             // depth/color/compress/filter/interlace
+      beInt32(lit(0)))                             // CRC stub
+
+  /** Parse (width, height) from a PNG IHDR — the codec-free slice of
+    * image decode a byte-level parser CAN do in this container: width is
+    * bytes 17-20, height 21-24 (1-based), both big-endian. Returns null
+    * dims for non-PNG payloads (checked via [[sniffFormat]]'s prefix). */
+  def pngDims(bytes: Column): Column = {
+    val isPng = hex(substring(bytes, 1, 8)) === "89504E470D0A1A0A"
+    struct(
+      when(isPng, beInt32At(bytes, 17)).as("width"),
+      when(isPng, beInt32At(bytes, 21)).as("height"))
+  }
+
   /** Frame/segment sampling: slice the payload into up to `n` fixed-size
     * chunks (video frame-sampling shape), one output row per chunk. Pure
     * column ops — `substring` works on binary. */

@@ -52,6 +52,34 @@ class MultimodalSpec extends SparkSpec {
     assert(f == f2)
   }
 
+  test("pngDims parses a REAL hand-written PNG IHDR; non-png yields nulls") {
+    // a literal 160×90 PNG file head, byte-for-byte per the PNG spec:
+    // signature, IHDR length 13, "IHDR", width 0x000000A0, height
+    // 0x0000005A, bit depth 8, color type 2
+    val realHeader: Array[Byte] = Array(
+      0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,  // signature
+      0x00, 0x00, 0x00, 0x0D,                          // IHDR length
+      0x49, 0x48, 0x44, 0x52,                          // "IHDR"
+      0x00, 0x00, 0x00, 0xA0,                          // width 160
+      0x00, 0x00, 0x00, 0x5A,                          // height 90
+      0x08, 0x02, 0x00, 0x00, 0x00                     // depth/color/...
+    ).map(_.toByte)
+    val df = Seq((1L, realHeader), (2L, "not a png".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+      .select(col("id"), Multimodal.pngDims(col("bytes")).as("d"))
+      .select(col("id"), col("d.width"), col("d.height"))
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).getLong(1) == 160L && rows(0).getLong(2) == 90L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    // and the builder round-trips through the parser on arbitrary dims
+    val built = Seq((640, 480), (1, 1), (65535, 1080)).toDF("w", "h")
+      .select(Multimodal.pngDims(
+        Multimodal.pngPayload(col("w"), col("h"))).as("d"), col("w"), col("h"))
+    assert(built.filter(col("d.width") =!= col("w").cast("long") ||
+      col("d.height") =!= col("h").cast("long")).count() == 0)
+  }
+
   test("frameSample chunks payloads and keeps metadata") {
     val frames = Multimodal.frameSample(media.filter($"media_id" === 1L), n = 3, chunkBytes = 5)
     val rows = frames.orderBy("frame_idx").collect()
