@@ -150,6 +150,22 @@ object Multimodal {
       when(isPng, beInt32At(bytes, 21)).as("height"))
   }
 
+  /** Read a 4-byte LITTLE-endian int at 1-based `pos` (RIFF byte order):
+    * per-byte hex parse folded with powers of 256 — still pure codegen'd
+    * builtins. */
+  def leInt32At(bytes: Column, pos: Int): Column =
+    (0 until 4).map(i =>
+      conv(hex(substring(bytes, pos + i, 1)), 16, 10).cast(LongType) *
+        lit(1L << (8 * i))).reduce(_ + _)
+
+  /** Sample rate from a canonical RIFF/WAVE header (bytes 25-28,
+    * little-endian, after RIFF+size+WAVE+"fmt "+len+format+channels).
+    * Null for anything that isn't a canonical WAV head. */
+  def wavSampleRate(bytes: Column): Column =
+    when(hex(substring(bytes, 1, 4)) === "52494646" &&
+         hex(substring(bytes, 9, 8)) === "57415645666D7420",
+      leInt32At(bytes, 25))
+
   /** Frame/segment sampling: slice the payload into up to `n` fixed-size
     * chunks (video frame-sampling shape), one output row per chunk. Pure
     * column ops — `substring` works on binary. */

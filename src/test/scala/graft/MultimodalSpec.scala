@@ -80,6 +80,23 @@ class MultimodalSpec extends SparkSpec {
       col("d.height") =!= col("h").cast("long")).count() == 0)
   }
 
+  test("wavSampleRate parses a canonical RIFF/WAVE header, little-endian") {
+    // literal canonical 44-byte WAV head: RIFF, size, WAVE, "fmt ", len 16,
+    // PCM, mono, sample rate 16000 = 0x3E80 → LE bytes 80 3E 00 00
+    val wav: Array[Byte] = Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0x24, 0x08, 0x00, 0x00,  // "RIFF", size
+      0x57, 0x41, 0x56, 0x45, 0x66, 0x6D, 0x74, 0x20,  // "WAVE", "fmt "
+      0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00,  // len 16, PCM, 1 ch
+      0x80, 0x3E, 0x00, 0x00                            // 16000 Hz LE
+    ).map(_.toByte)
+    val df = Seq((1L, wav), (2L, "RIFFnotawave".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+      .select(col("id"), Multimodal.wavSampleRate(col("bytes")).as("sr"))
+      .orderBy("id").collect()
+    assert(df(0).getLong(1) == 16000L)
+    assert(df(1).isNullAt(1))
+  }
+
   test("frameSample chunks payloads and keeps metadata") {
     val frames = Multimodal.frameSample(media.filter($"media_id" === 1L), n = 3, chunkBytes = 5)
     val rows = frames.orderBy("frame_idx").collect()
