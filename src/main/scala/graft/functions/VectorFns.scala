@@ -71,7 +71,7 @@ object VectorFns {
     * Per-row projection, no shuffle: the dim-reduction front of an ANN /
     * clustering pipeline at any corpus size. */
   def randomProject(emb: Column, planes: Array[Array[Float]], digits: Int = 6): Column =
-    array(planes.map(p =>
+    array(scala.collection.immutable.ArraySeq.unsafeWrapArray(planes).map(p =>
       Det.roundAt(graft.plans.DotQExpr(emb, lit(p)).cast(DoubleType) /
         lit(1e12 * math.sqrt(planes.length.toDouble)), digits)): _*)
 

@@ -20,7 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[DotQExpr].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[DotQExpr].getName, "", name, usage, "", "", "", "", "", "", "built-in")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dotq"),

@@ -166,7 +166,7 @@ object Streams {
               BandHit(r.doc_id, r.ts, r.band, first.get, hit)
             }
             state.update(BucketState(first.get))
-            val anchor = math.max(state.getCurrentWatermarkMs,
+            val anchor = math.max(state.getCurrentWatermarkMs(),
               batch.lastOption.map(_.ts.getTime).getOrElse(0L))
             state.setTimeoutTimestamp(anchor + idleDays.toLong * 24 * 3600 * 1000)
             out.iterator
@@ -230,7 +230,7 @@ object Streams {
             // the watermark alone — in the first batch the watermark is
             // still epoch 0 and a watermark-relative timeout would expire
             // the state on the very next batch
-            val anchor = math.max(state.getCurrentWatermarkMs,
+            val anchor = math.max(state.getCurrentWatermarkMs(),
               batch.lastOption.map(_.ts.getTime).getOrElse(0L))
             state.setTimeoutTimestamp(anchor + idleDays.toLong * 24 * 3600 * 1000)
             out.result().iterator
