@@ -430,6 +430,44 @@ object VecQueries {
         (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
       GROUP BY label ORDER BY label"""))
 
+  // q123 — PCA top component by deterministic power iteration: the Gram
+  // matrix is ONE mergeable-aggregate pass (GramAgg, 2,080 longs through
+  // the shuffle at any corpus size), the O(dims²) eigen work runs on the
+  // driver. The oracle rebuilds the identical quantized Gram relationally
+  // and unrolls the same iterations as CTE rounds — exact integer matvecs
+  // (HUGEINT ↔ BigInt) with one identically-rounded double divide per
+  // round — so the eigenvector matches bit-for-bit.
+  private val q123 = Q(
+    "q123_pca_top",
+    (s, dir) => Similarity.pcaTopComponent(tbl(s, dir, "embeddings"), dims = 64, iters = 3),
+    Some(pcaSql(iters = 3)))
+
+  private def pcaSql(iters: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""e AS (SELECT vec_id, CAST(i.range AS BIGINT) AS i,
+        CAST(floor(CAST(embedding[i.range + 1] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN range(0, 64) AS i)"""
+    ctes += s"""g AS (SELECT a.i AS i, b.i AS j,
+        CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT) AS g
+      FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i)"""
+    ctes += "x0 AS (SELECT CAST(range AS BIGINT) AS j, CAST(1000000 AS HUGEINT) AS x FROM range(0, 64))"
+    for (r <- 1 to iters) {
+      val p = r - 1
+      ctes += s"y$r AS (SELECT g.i, SUM(g.g * x$p.x) AS y FROM g JOIN x$p ON g.j = x$p.j GROUP BY g.i)"
+      ctes += s"m$r AS (SELECT MAX(ABS(y)) AS m FROM y$r)"
+      ctes += s"""x$r AS (SELECT i AS j,
+          CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS x
+        FROM y$r, m$r)"""
+    }
+    s"""WITH ${ctes.result().mkString(",\n")},
+      yF AS (SELECT g.i, SUM(g.g * xx.x) AS y FROM g JOIN x$iters xx ON g.j = xx.j GROUP BY g.i),
+      ray AS (SELECT SUM(xx.x * yF.y) AS num, SUM(xx.x * xx.x) AS den
+        FROM x$iters xx JOIN yF ON xx.j = yF.i)
+      SELECT CAST(xx.j AS BIGINT) AS dim, CAST(xx.x AS BIGINT) AS eig_q,
+        floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e4 + 0.5) / 1e4 AS lambda
+      FROM x$iters xx, ray ORDER BY dim"""
+  }
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85, q95, q112)
+    q78, q85, q95, q112, q123)
 }

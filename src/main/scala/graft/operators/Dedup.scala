@@ -366,7 +366,10 @@ object Dedup {
   }
 
   private def bruteJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    // repartition the stream side: a small single-file corpus would
+    // otherwise drive the whole n² compare through ONE task
     val a = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val b = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", Det.roundAt(

@@ -82,7 +82,11 @@ object Similarity {
     * Brute force at verify scale; at 100 TB bucket by a coarse quantizer
     * first (same shape as [[Dedup.minhashLshPairs]]). */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    // repartition the stream side: a small single-file corpus would
+    // otherwise drive the whole n² compare through ONE task (the n²
+    // work is inherent to the baseline; serializing it is not)
     val a = normed(corpus, "a_")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val b = normed(corpus, "b_")
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
       .withColumn("cos", pairCos(col("a_emb"), col("a_norm"), col("b_emb"), col("b_norm")))
@@ -291,5 +295,48 @@ object Similarity {
     val dropped = bucketedNearDupPairs(corpus, bucketCol, threshold)
       .select(col("id_b").as("vec_id")).distinct()
     corpus.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** PCA top component (the whitening/compression front of an embedding
+    * pipeline) by deterministic power iteration: ONE distributed pass
+    * builds the exact quantized Gram matrix through the mergeable
+    * [[graft.functions.GramAgg]] (a 2,080-long shuffle regardless of
+    * corpus size), then `iters` power-iteration rounds run on the driver
+    * over the collected dims×dims matrix — O(dims²) work, the right
+    * split at 100 TB: data-sized work distributed, model-sized work local.
+    *
+    * Every step is exact or identically-rounded in both engines: Gram
+    * cells are exact integer sums; each matvec runs in exact BigInt;
+    * renormalization is one double divide + floor-round at 1e6 (identical
+    * IEEE ops); the Rayleigh quotient rounds at 1e4. Output: one row per
+    * dimension with the quantized eigenvector and the shared eigenvalue. */
+  def pcaTopComponent(corpus: DataFrame, dims: Int = 64, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val tri = corpus
+      .agg(graft.functions.GramAgg.column(col("embedding"), dims).as("tri"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("tri")
+    val g = Array.ofDim[BigInt](dims, dims)
+    var k = 0
+    for (i <- 0 until dims; j <- i until dims) {
+      g(i)(j) = BigInt(tri(k)); g(j)(i) = g(i)(j); k += 1
+    }
+    var x = Array.fill(dims)(BigInt(1000000L))
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dims)(i => (0 until dims).map(j => g(i)(j) * v(j)).sum)
+    for (_ <- 1 to iters) {
+      val y = matvec(x)
+      val m = y.map(_.abs).max
+      if (m != BigInt(0))
+        x = y.map(v => BigInt(math.floor(v.toDouble / m.toDouble * 1e6 + 0.5).toLong))
+    }
+    val yF = matvec(x)
+    val num = (0 until dims).map(i => x(i) * yF(i)).sum
+    val den = (0 until dims).map(i => x(i) * x(i)).sum
+    val lambda =
+      if (den == BigInt(0)) 0.0
+      else math.floor(num.toDouble / den.toDouble * 1e4 + 0.5) / 1e4
+    import spark.implicits._
+    (0 until dims).map(i => (i.toLong, x(i).toLong, lambda))
+      .toDF("dim", "eig_q", "lambda")
   }
 }

@@ -109,6 +109,39 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < 60, "fixture twins must force some drops")
   }
 
+  test("GramAgg: exact quantized outer-product sums on a hand-checked frame") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(-0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val tri = vecs.agg(graft.functions.GramAgg.column(col("embedding"), 2).as("t"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("t")
+    // vq rows: (10000, 20000) and (-5000, 2500)
+    // g00 = 1e8 + 2.5e7, g01 = 2e8 − 1.25e7, g11 = 4e8 + 6.25e6
+    assert(tri.toList == List(125000000L, 187500000L, 406250000L))
+  }
+
+  test("pcaTopComponent recovers a planted dominant axis") {
+    val axis = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -0.5f)
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { i =>
+      val t = (rnd.nextFloat() * 2 - 1) * 5
+      (i.toLong, axis.map(a => a * t + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val r = Similarity.pcaTopComponent(rows.toDF("vec_id", "embedding"), 64, 3)
+      .orderBy("dim").collect()
+    val eig = r.map(_.getLong(1).toDouble)
+    val cos = {
+      val dot = eig.zip(axis).map { case (e, a) => e * a }.sum
+      val ne = math.sqrt(eig.map(e => e * e).sum)
+      val na = math.sqrt(axis.map(a => a.toDouble * a).sum)
+      math.abs(dot) / (ne * na)
+    }
+    assert(cos > 0.999, s"top component misaligned with planted axis: cos=$cos")
+    assert(r.map(_.getDouble(2)).distinct.length == 1 && r(0).getDouble(2) > 0,
+      "eigenvalue must be positive and shared across rows")
+  }
+
   test("kmeansConverged stops early at the fixed point on separable blobs") {
     val blobA = (0 until 20).map(i => (i.toLong, Array.fill(64)(5.0f + (i % 3) * 0.01f)))
     val blobB = (0 until 20).map(i => (100L + i, Array.fill(64)(-5.0f - (i % 3) * 0.01f)))
