@@ -1510,9 +1510,44 @@ object RelQueries {
         n_violations = 0 AS ok
       FROM checks ORDER BY "constraint""""))
 
+  // q124 — FORWARD as-of join (q70's mirror: for each error, the NEXT
+  // purchase at-or-after it per user — "did the user recover?"). Same
+  // single-shuffle union+window encoding traversed in descending time;
+  // the oracle is DuckDB's native ASOF with the <= inequality.
+  private val q124 = Q(
+    "q124_asof_forward",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("pid"), max(col("value")).as("pval"))
+      graft.operators.AsOf.forward(errors, purchases,
+          "user_id", "user_id", "ts", "ts", Seq("ts", "pid", "pval"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          coalesce(date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit("none")).as("purchase_ts"),
+          coalesce(col("asof.pid"), lit(-1L)).as("purchase_id"),
+          coalesce(col("asof.pval"), lit(0.0)).as("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS pid, max(value) AS pval
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S'), 'none') AS purchase_ts,
+        COALESCE(p.pid, -1) AS purchase_id,
+        COALESCE(p.pval, 0.0) AS purchase_value
+      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+      ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
-    q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120)
+    q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
+    q124)
 }

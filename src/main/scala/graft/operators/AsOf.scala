@@ -39,7 +39,30 @@ object AsOf {
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                pickCols: Seq[String],
-               toleranceSec: Option[Long] = None): DataFrame = {
+               toleranceSec: Option[Long] = None): DataFrame =
+    asofJoin(left, right, leftKey, rightKey, leftTime, rightTime,
+      pickCols, toleranceSec, fwd = false)
+
+  /** Forward as-of join — the EARLIEST right row with
+    * `rightTime >= leftTime` per key (pandas `merge_asof
+    * (direction='forward')` / DuckDB `ASOF ... ON l.ts <= r.ts`): the
+    * "next event after" lookup (next maintenance window, next price
+    * tick). Same tagged-union + single-window encoding, traversed in
+    * DESCENDING time order — still exactly one shuffle. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              pickCols: Seq[String],
+              toleranceSec: Option[Long] = None): DataFrame =
+    asofJoin(left, right, leftKey, rightKey, leftTime, rightTime,
+      pickCols, toleranceSec, fwd = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       pickCols: Seq[String],
+                       toleranceSec: Option[Long],
+                       fwd: Boolean): DataFrame = {
     require(pickCols.nonEmpty, "pickCols must name at least one right column")
     val leftCols = left.columns.toSeq
     val lStructT = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
@@ -53,14 +76,21 @@ object AsOf {
       col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__evt"),
       lit(null).cast(lStructT).as("__l"), rPayload.as("__r"))
 
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__evt"))
+    // backward walks time ascending (last right ≤ t); forward walks it
+    // descending (so "last right seen" = first right ≥ t). Right rows
+    // sort before left rows at equal time in BOTH directions (__evt 0
+    // first), so an exact-timestamp right row matches its left row.
+    val timeOrd = if (fwd) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy("__k").orderBy(timeOrd, col("__evt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__evt") === 1)
     val inTolerance = toleranceSec match {
-      case Some(tol) => matched.withColumn("__last",
+      case Some(tol) if !fwd => matched.withColumn("__last",
         when(col("__last.__rt") >= col("__t") - expr(s"INTERVAL $tol SECOND"), col("__last")))
+      case Some(tol) => matched.withColumn("__last",
+        when(col("__last.__rt") <= col("__t") + expr(s"INTERVAL $tol SECOND"), col("__last")))
       case None => matched
     }
     inTolerance.select(

@@ -50,6 +50,25 @@ class AsOfSpec extends SparkSpec {
     assert(m("c").isEmpty, "49s-old match is too stale")
   }
 
+  test("forward picks the earliest right row at or after the left time") {
+    val m = AsOf.forward(trades, quotes, "tkey", "qkey", "tts", "qts", Seq("qts", "px"))
+      .select(col("tag"), col("asof.px").as("px"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(m("a").contains(101.0), "next quote after 10:00:03 is 10:00:05")
+    assert(m("b").contains(101.0), "a right row AT the left time matches (>=)")
+    assert(m("c").isEmpty, "no quote after 10:00:59")
+    assert(m("d").contains(200.0), "key 2's only quote is ahead of the trade")
+    assert(m("e").isEmpty, "unseen key stays null")
+    assert(m.size == 5)
+    // forward tolerance: a match farther ahead than tol is discarded
+    val t = AsOf.forward(trades, quotes, "tkey", "qkey", "tts", "qts",
+        Seq("qts", "px"), toleranceSec = Some(2L))
+      .select(col("tag"), col("asof.px").as("px"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(t("a").contains(101.0), "2s-ahead match survives a 2s tolerance")
+    assert(t("d").isEmpty, "6s-ahead match is beyond a 2s tolerance")
+  }
+
   test("plan is one window over the union — no join operator at all") {
     val plan = AsOf.backward(trades, quotes, "tkey", "qkey", "tts", "qts", Seq("px"))
       .queryExecution.executedPlan.toString
