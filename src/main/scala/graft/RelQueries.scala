@@ -1104,13 +1104,15 @@ object RelQueries {
   // approx_count_distinct (q76) cannot give, and the architecture that
   // makes hierarchy drill-ups cheap at 100 TB (store nation-grain
   // sketches once, answer any region/world rollup from kilobytes).
-  // Bounds oracle: estimates within 2% of the exact per-region counts.
+  // Bounds oracle: estimates within 3% of the exact per-region counts at
+  // lgConfigK = 14 (rsd ≈ 0.81%, so the band is ≈ 3.7σ — the default
+  // lgK 12 with a 2% band was only ~1.2σ and flipped a row at sf0.1).
   private val q93 = Q(
     "q93_hll_merge",
     (s, dir) => {
       val perNation = tbl(s, dir, "customer")
         .groupBy("c_nationkey")
-        .agg(expr("hll_sketch_agg(c_custkey)").as("sk"))
+        .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
       val nation = tbl(s, dir, "nation")
         .select(col("n_nationkey"), col("n_regionkey"))
       val exact = tbl(s, dir, "customer")
@@ -1124,7 +1126,7 @@ object RelQueries {
         .join(exact, col("n_regionkey") === col("rk"))
         .select(col("n_regionkey"), col("exact_customers"),
           (abs(col("__est") - col("exact_customers")).cast("double") /
-            col("exact_customers") <= 0.02).as("est_ok"))
+            col("exact_customers") <= 0.03).as("est_ok"))
         .orderBy("n_regionkey")
     },
     Some("""SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS exact_customers,
