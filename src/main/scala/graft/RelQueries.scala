@@ -1546,10 +1546,212 @@ object RelQueries {
       FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
       ORDER BY e.event_id"""))
 
+  // q125 — time-series resample + forward fill (pandas
+  // `resample('1h').ffill()`): snap each user's events to an hourly
+  // grid, keep the last observation per hour, densify the grid per
+  // user, forward-fill the gaps. Per-user rollup pins the grid size,
+  // the gap count, and the decimal-exact sum of every filled value —
+  // one wrong fill anywhere flips the sum. Grid rows scale with
+  // keys × span/grain, not with raw event volume.
+  private val q125 = Q(
+    "q125_resample_ffill",
+    (s, dir) => graft.operators.Resample
+      .ffillGrid(tbl(s, dir, "events"), "user_id", "ts", "value", "hour")
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("is_gap").cast("long")).as("n_gaps"),
+        Det.dsum(col("filled")).as("filled_sum"))
+      .orderBy("user_id"),
+    Some("""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      hv AS (SELECT user_id, bucket, value FROM hb WHERE rn = 1),
+      b AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        FROM hv GROUP BY user_id),
+      grid AS (SELECT user_id, g.g AS bucket
+        FROM b, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS g(g)),
+      j AS (SELECT grid.user_id, grid.bucket, hv.value
+        FROM grid LEFT JOIN hv USING (user_id, bucket)),
+      f AS (SELECT user_id, value,
+          last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM j)
+      SELECT user_id, COUNT(*) AS n_hours,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        CAST(SUM(CAST(filled AS DECIMAL(28,2))) AS DOUBLE) AS filled_sum
+      FROM f GROUP BY user_id ORDER BY user_id"""))
+
+  // q126 — time-series resample + LINEAR INTERPOLATION (pandas
+  // `resample('1h').interpolate('linear')`): same dense grid as q125,
+  // but gaps are filled by the line through the neighboring
+  // observations. Grid endpoints are always observed, so no
+  // extrapolation case exists. The fill is two running windows
+  // (last/first non-null) over the one (key, time) sort — no
+  // self-join. Fill values are IEEE-deterministic (`v0 + (v1-v0) *
+  // ((t-t0)/(t1-t0))` — +,-,*,/ are exactly rounded, so identical in
+  // any engine); the rollup pins the decimal-exact sum of every
+  // portable-rounded fill.
+  private val q126 = Q(
+    "q126_resample_interp",
+    (s, dir) => graft.operators.Resample
+      .interpGrid(tbl(s, dir, "events"), "user_id", "ts", "value", "hour")
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("is_gap").cast("long")).as("n_gaps"),
+        Det.dsum(Det.roundAt(col("filled"), 6), 6).as("interp_sum"))
+      .orderBy("user_id"),
+    Some(s"""WITH hb AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      hv AS (SELECT user_id, bucket, value FROM hb WHERE rn = 1),
+      b AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        FROM hv GROUP BY user_id),
+      grid AS (SELECT user_id, g.g AS bucket
+        FROM b, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS g(g)),
+      j AS (SELECT grid.user_id, grid.bucket, hv.value
+        FROM grid LEFT JOIN hv USING (user_id, bucket)),
+      f AS (SELECT user_id, bucket, value,
+          last_value(value IGNORE NULLS) OVER wp AS v0,
+          last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS t0,
+          first_value(value IGNORE NULLS) OVER wn AS v1,
+          first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS t1
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wn AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      g AS (SELECT user_id, value,
+          CASE WHEN value IS NOT NULL THEN value
+            ELSE v0 + (v1 - v0) *
+              ((CAST(epoch(bucket) AS DOUBLE) - CAST(epoch(t0) AS DOUBLE))
+               / (CAST(epoch(t1) AS DOUBLE) - CAST(epoch(t0) AS DOUBLE))) END AS filled
+        FROM f)
+      SELECT user_id, COUNT(*) AS n_hours,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        CAST(SUM(CAST(${Det.roundAtSql("filled", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS interp_sum
+      FROM g GROUP BY user_id ORDER BY user_id"""))
+
+  // q127 — per-key ROLLING MEDIAN (robust local trend, the outlier-proof
+  // twin of a moving average): exact median over a trailing 7-row frame
+  // per user, ordered by (ts, event_id) — a total order, so the frame
+  // contents are deterministic. Spark evaluates the exact `percentile`
+  // aggregate over the frame (sorts ≤7 values per row); the per-user
+  // window shuffles once on user_id — no global sort, no single
+  // partition. The rollup pins the decimal-exact sum of every
+  // portable-rounded median per event_type.
+  private val q127 = Q(
+    "q127_rolling_median",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("med", expr("percentile(value, 0.5)").over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(Det.roundAt(col("med"), 6), 6).as("med_sum"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH m AS (SELECT event_type,
+          median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(${Det.roundAtSql("med", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS med_sum
+      FROM m GROUP BY event_type ORDER BY event_type"""))
+
+  // q128 — 2-D SKYLINE (Pareto frontier): orders not dominated on
+  // (totalprice, orderdate) — "no other order is both at least as
+  // expensive and at least as recent, and strictly better on one".
+  // Two-phase distributed shape: a LOCAL skyline per hash bucket
+  // (partitioned windows — dominance within a bucket implies global
+  // dominance, so local pruning is a sound filter that drops ~all
+  // rows), then the global pass runs over the tiny survivor set. The
+  // dominance test itself is windowed, not a self-join: sort by price
+  // (exact integer cents), take max(date) over strictly-greater prices
+  // via a range frame, and break price ties by keeping only the
+  // latest-date row(s) of each tie group.
+  private val q128 = Q(
+    "q128_skyline",
+    (s, dir) => {
+      val o = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("pc"))
+      def skyline(df: org.apache.spark.sql.DataFrame, part: Seq[String]) = {
+        val wGt = Window.partitionBy(part.map(col): _*).orderBy("pc")
+          .rangeBetween(1L, Window.unboundedFollowing)
+        val wTie = Window.partitionBy((part :+ "pc").map(col): _*)
+        df.withColumn("__m1", max(col("o_orderdate")).over(wGt))
+          .withColumn("__mt", max(col("o_orderdate")).over(wTie))
+          .filter((col("__m1").isNull || col("o_orderdate") > col("__m1")) &&
+            col("o_orderdate") === col("__mt"))
+          .drop("__m1", "__mt")
+      }
+      val local = skyline(o.withColumn("__b", pmod(col("o_orderkey"), lit(32))), Seq("__b"))
+      skyline(local.drop("__b"), Seq.empty)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_totalprice, o_orderdate,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        FROM orders),
+      s AS (SELECT *,
+          MAX(o_orderdate) OVER (ORDER BY pc
+            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m1,
+          MAX(o_orderdate) OVER (PARTITION BY pc) AS mt
+        FROM o)
+      SELECT o_orderkey, o_totalprice, o_orderdate FROM s
+      WHERE (m1 IS NULL OR o_orderdate > m1) AND o_orderdate = mt
+      ORDER BY o_totalprice DESC, o_orderkey"""))
+
+  // q129 — per-group OLS TREND (regression of value on time): slope and
+  // intercept per event_type from exact decimal moment sums
+  // (n, Σx, Σy, Σxy, Σx²) with x = integer hours since epoch — one
+  // map-side-combinable aggregate pass, then the closed-form solution
+  // evaluated in fixed-order double arithmetic (the q10 dcorr pattern:
+  // exact sums → IEEE-deterministic derived stats).
+  private val q129 = Q(
+    "q129_ols_trend",
+    (s, dir) => {
+      val x = floor(unix_timestamp(col("ts")) / 3600L).cast("long")
+      val e = tbl(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), x.as("x"), col("value").as("y"))
+      val agg = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        Det.dsum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,2)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      agg.select(col("event_type"), col("n").cast("long").as("n"),
+          Det.roundAt(slope, 6).as("slope"),
+          Det.roundAt((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+        .orderBy("event_type")
+    },
+    Some({
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val sx = "CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE)"
+      val sy = "CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE)"
+      val sxy = "CAST(SUM(CAST(x * y AS DECIMAL(38,2))) AS DOUBLE)"
+      val sxx = "CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE)"
+      val slope = s"(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx))"
+      s"""WITH e AS (SELECT event_type,
+            CAST(floor(CAST(epoch(ts) AS DOUBLE) / 3600) AS BIGINT) AS x,
+            value AS y
+          FROM events WHERE value IS NOT NULL)
+        SELECT event_type, COUNT(*) AS n,
+          ${Det.roundAtSql(slope, 6)} AS slope,
+          ${Det.roundAtSql(s"($sy - $slope * $sx) / $n", 4)} AS intercept
+        FROM e GROUP BY event_type ORDER BY event_type"""
+    }))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
-    q124)
+    q124, q125, q126, q127, q128, q129)
 }
