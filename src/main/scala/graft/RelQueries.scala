@@ -1748,10 +1748,40 @@ object RelQueries {
         FROM e GROUP BY event_type ORDER BY event_type"""
     }))
 
+  // q132 — per-key EWMA (pandas `ewm(alpha=0.5, adjust=False).mean()`):
+  // a linear recurrence, so neither a window aggregate (the closed form
+  // Σ(1−α)^(t−j)xⱼ overflows on long histories) nor a join — the Spark
+  // side is ONE repartition-by-key + in-partition sort + O(n)
+  // mapPartitions scan carrying scalar state per in-flight key (the
+  // canonical distributed-recurrence shape; see Resample.ewma). The
+  // oracle replays the identical recurrence via a recursive CTE; with
+  // the fixed evaluation order α·x + (1−α)·ew every step is
+  // exactly-rounded IEEE arithmetic → bit-identical trajectories, pinned
+  // per user by the decimal-exact sum of portable-rounded EWMA values.
+  private val q132 = Q(
+    "q132_ewma",
+    (s, dir) => graft.operators.Resample
+      .ewma(tbl(s, dir, "events"), "user_id", "ts", "value", alpha = 0.5)
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(Det.roundAt(col("ew"), 6), 6).as("ew_sum"))
+      .orderBy("user_id"),
+    Some(s"""WITH RECURSIVE e AS (SELECT user_id, value AS x,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      r AS (
+        SELECT user_id, rn, x AS ew FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, 0.5 * e.x + 0.5 * r.ew
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(${Det.roundAtSql("ew", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS ew_sum
+      FROM r GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
-    q124, q125, q126, q127, q128, q129)
+    q124, q125, q126, q127, q128, q129, q132)
 }

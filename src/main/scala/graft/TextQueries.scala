@@ -1271,8 +1271,82 @@ object TextQueries {
         CAST(COUNT(*) * 33 AS BIGINT) AS total_bytes
       FROM documents GROUP BY 1 ORDER BY fmt"""))
 
+  // q130 — COUNT-MIN SKETCH over the token stream: the fixed-memory
+  // frequency summary for high-cardinality keys (a 32 KB sketch vs one
+  // shuffled row per distinct token — the 100 TB trade). The sketch is a
+  // mergeable typed Aggregator ([[graft.functions.CountMinAgg]]); top-20
+  // exact counts come from the usual shuffle, and each token's estimate
+  // is read from the aggregated array IN-PLAN (broadcast one-row sketch
+  // × 20-row topk). CM guarantees est ≥ exact unconditionally (counters
+  // only over-count) — a hard invariant, asserted per token — and the
+  // band check pins est ≤ exact + 8·N/width (8× the expected collision
+  // mass per row; the min over 4 independent rows sits far inside it;
+  // deterministic hashes + fixed data → no flakiness). Oracle recomputes
+  // the exact top-20 and expects every flag TRUE.
+  private val q130 = Q(
+    "q130_countmin",
+    (s, dir) => {
+      import graft.functions.CountMinAgg
+      val hashed = tbl(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("token"))
+        .select(col("token"), TextFns.portableHash(col("token")).as("h"))
+      val sketch = hashed.agg(
+        CountMinAgg.column(col("h"), 4, 1024).as("cm"),
+        count(lit(1)).as("n_total"))
+      val topk = hashed.groupBy("token")
+        .agg(count(lit(1)).as("cnt"), first(col("h")).as("h"))
+        .orderBy(desc("cnt"), asc("token")).limit(20)
+      val est = CountMinAgg.estimate(col("cm"), col("h"), 4, 1024)
+      topk.crossJoin(broadcast(sketch))
+        .select(col("token"), col("cnt"),
+          (est >= col("cnt")).as("ge_ok"),
+          (est.cast("double") <= col("cnt") +
+            lit(8.0) * col("n_total") / lit(1024.0)).as("band_ok"))
+        .orderBy(desc("cnt"), asc("token"))
+    },
+    Some(s"""SELECT u.token AS token, COUNT(*) AS cnt,
+        TRUE AS ge_ok, TRUE AS band_ok
+      FROM documents, unnest($toks) AS u(token)
+      GROUP BY u.token ORDER BY cnt DESC, token ASC LIMIT 20"""))
+
+  // q131 — BIGRAM NOVELTY (LM-flavored quality signal, all-integer): how
+  // much of each source's text is built from corpus-rare word
+  // transitions. Bigrams form per row (zip_with against the shifted
+  // token array — narrow), corpus bigram counts are one shuffle, and the
+  // rare tag joins back on the bigram key. Rare = corpus count ≤ 2: the
+  // CCNet/fineweb-style "surprise" numerator that separates templated
+  // word-soup from novel text without a trained LM (and stays exact —
+  // no log-prob floats to drift cross-engine).
+  private val q131 = Q(
+    "q131_bigram_novelty",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val t = TextFns.tokens(col("text"))
+      val bigrams = docs.select(col("source"), explode(
+          filter(zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+            (a, b) => concat_ws(" ", a, b)), p => p.contains(" ")))
+          .as("bigram"))
+      val counts = bigrams.groupBy("bigram").agg(count(lit(1)).as("bg_cnt"))
+      bigrams.join(counts, "bigram")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("bg_cnt") <= 2, 1L).otherwise(0L)).as("n_rare"),
+          count_distinct(when(col("bg_cnt") <= 2, col("bigram"))).as("n_rare_distinct"))
+        .orderBy("source")
+    },
+    Some(s"""WITH bg AS (SELECT source, u.b AS bigram
+        FROM (SELECT source, $toks AS t FROM documents),
+          unnest(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i + 1])) AS u(b)),
+      c AS (SELECT bigram, COUNT(*) AS bg_cnt FROM bg GROUP BY bigram)
+      SELECT source, COUNT(*) AS n_bigrams,
+        CAST(SUM(CASE WHEN c.bg_cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        COUNT(DISTINCT CASE WHEN c.bg_cnt <= 2 THEN bg.bigram END) AS n_rare_distinct
+      FROM bg JOIN c USING (bigram)
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121, q122)
+    q119, q121, q122, q130, q131)
 }

@@ -58,6 +58,46 @@ object Resample {
       .withColumn("is_gap", col("v").isNull)
   }
 
+  /** Per-key exponentially-weighted moving average (pandas
+    * `groupby(key)[val].ewm(alpha, adjust=False).mean()`):
+    * ew₁ = x₁, ewₜ = α·xₜ + (1−α)·ewₜ₋₁ in event order (ts, event_id).
+    *
+    * A linear RECURRENCE, not a windowed aggregate — the closed-form
+    * window spelling (Σ(1−α)^(t−j)xⱼ) overflows for long histories, so
+    * this is the one family where per-partition imperative logic is the
+    * right distributed shape: repartition by key, sort within partitions
+    * by (key, time), one O(n) `mapPartitions` scan carrying the running
+    * state across rows of the same key. One shuffle total; no state
+    * bigger than a scalar per in-flight key.
+    *
+    * Determinism: fixed evaluation order `α·x + (1−α)·ew` (two products,
+    * one sum — exactly-rounded IEEE ops, so any engine replaying the
+    * same recurrence gets bit-identical doubles). Output: (k, event_id,
+    * ew). */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val oneMinus = 1.0 - alpha
+    events.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).as("__ts"), col("event_id").cast("long").as("event_id"),
+        col(valCol).cast("double").as("v"))
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "__ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var ew = 0.0
+        var seen = false
+        it.map { case (k, _, id, v) =>
+          if (!seen || k != curKey) { curKey = k; ew = v; seen = true }
+          else ew = alpha * v + oneMinus * ew
+          (k, id, ew)
+        }
+      }
+      .toDF("k", "event_id", "ew")
+  }
+
   /** Linearly-interpolated dense grid at `grain` (pandas
     * `resample(grain).interpolate('linear')` semantics). Grid endpoints
     * are always observed (the grid spans min..max observed bucket per

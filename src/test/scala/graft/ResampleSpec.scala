@@ -62,6 +62,45 @@ class ResampleSpec extends SparkSpec {
     assert(g.toList == List(0.0, 2.5, 5.0, 7.5, 10.0))
   }
 
+  test("ewma replays the pandas adjust=False recurrence per key") {
+    // user 1: x = 10, 20, 40 → ew = 10, 15, 27.5; user 2: single event
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, 20.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, 40.0),
+      (4L, ts("2024-01-01 10:00:00"), 2L, 7.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = Resample.ewma(ev, "user_id", "ts", "value", alpha = 0.5)
+      .orderBy("k", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toList == List((1L, 1L, 10.0), (1L, 2L, 15.0),
+      (1L, 3L, 27.5), (2L, 4L, 7.0)))
+  }
+
+  test("ewma state resets across key boundaries within a partition") {
+    // many keys forced into few partitions: a carry-over bug would leak
+    // the previous key's state into the next key's first row
+    val ev = (1 to 40).map { i =>
+      (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"), (i % 10).toLong, i * 1.0)
+    }.toDF("event_id", "ts", "user_id", "value")
+    // the recurrence starts at each key's first row in (ts, event_id)
+    // order; ts here is hour event_id % 24, so rank by that
+    val firsts = Resample.ewma(ev.repartition(2), "user_id", "ts", "value", 0.5)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("event_id") % 24, col("event_id"))))
+      .filter(col("rn") === 1)
+      .collect()
+    // each key's first ew must equal that key's first raw value
+    val raw = (1 to 40).map(i => ((i % 10).toLong, i % 24, i.toLong, i * 1.0))
+      .groupBy(_._1).map { case (k, rows) =>
+        k -> rows.minBy(r => (r._2, r._3))._4
+      }
+    firsts.foreach { r =>
+      assert(r.getDouble(2) == raw(r.getLong(0)), s"key ${r.getLong(0)}")
+    }
+  }
+
   test("ffillGrid survivor tie-break uses event_id at equal timestamps") {
     val t0 = ts("2024-01-01 08:30:00")
     val ev = Seq((10L, t0, 1L, 100.0), (11L, t0, 1L, 200.0))
