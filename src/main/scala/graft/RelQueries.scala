@@ -1778,10 +1778,89 @@ object RelQueries {
         CAST(SUM(CAST(${Det.roundAtSql("ew", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS ew_sum
       FROM r GROUP BY user_id ORDER BY user_id"""))
 
+  // q134 — INTERVAL UNION (gaps-and-islands over time spans): treat each
+  // event as a [ts, ts+30min) activity span per user, merge overlaps,
+  // and report the islands. The merge is windowed, never a self-join:
+  // "new island when my start clears the running max of all previous
+  // ends" (running max handles contained intervals, which a lag-on-end
+  // check would miss), island id = running count of breaks — two
+  // windows over ONE per-user sort. All timestamp/integer arithmetic,
+  // bit-exact. The island relation is the coverage/dedup primitive for
+  // span-grain data (session stitching, claimed-time accounting).
+  private val q134 = Q(
+    "q134_interval_union",
+    (s, dir) => {
+      val spans = tbl(s, dir, "events").select(col("user_id"),
+        col("ts").as("st"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+      val wOrd = Window.partitionBy("user_id").orderBy("st", "en")
+      val prevMax = max(col("en")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val brk = when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L)
+      val islands = spans
+        .withColumn("island", sum(brk).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min(col("st")).as("i_st"), max(col("en")).as("i_en"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(unix_timestamp(col("i_en")) - unix_timestamp(col("i_st"))).as("covered_s"),
+          max(unix_timestamp(col("i_en")) - unix_timestamp(col("i_st"))).as("longest_s"))
+        .orderBy("user_id")
+    },
+    Some("""WITH spans AS (SELECT user_id, ts AS st,
+          ts + INTERVAL 30 MINUTE AS en FROM events),
+      marked AS (SELECT user_id, st, en,
+          CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, en
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, en
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS brk
+        FROM spans),
+      isl AS (SELECT user_id, st, en,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY st, en
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked),
+      g AS (SELECT user_id, island, MIN(st) AS i_st, MAX(en) AS i_en
+        FROM isl GROUP BY user_id, island)
+      SELECT user_id, COUNT(*) AS n_islands,
+        CAST(SUM(CAST(floor(epoch(i_en)) AS BIGINT) - CAST(floor(epoch(i_st)) AS BIGINT)) AS BIGINT) AS covered_s,
+        CAST(MAX(CAST(floor(epoch(i_en)) AS BIGINT) - CAST(floor(epoch(i_st)) AS BIGINT)) AS BIGINT) AS longest_s
+      FROM g GROUP BY user_id ORDER BY user_id"""))
+
+  // q135 — DAILY STREAKS (gaps-and-islands on the calendar): longest run
+  // of consecutive active days per user via the date-minus-dense-rank
+  // constant-per-streak trick — distinct day collapse, one window, one
+  // group-by; no self-join, no sequence generation. All integers.
+  private val q135 = Q(
+    "q135_streaks",
+    (s, dir) => {
+      val days = tbl(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val grp = datediff(col("d"), lit("1970-01-01")) -
+        row_number().over(Window.partitionBy("user_id").orderBy("d"))
+      val streaks = days.withColumn("grp", grp)
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      streaks.groupBy("user_id")
+        .agg(sum(col("len")).as("active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      marked AS (SELECT user_id, d,
+          CAST(d - DATE '1970-01-01' AS BIGINT) -
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM days),
+      streaks AS (SELECT user_id, grp, COUNT(*) AS len
+        FROM marked GROUP BY user_id, grp)
+      SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+        COUNT(*) AS n_streaks, MAX(len) AS max_streak
+      FROM streaks GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
-    q124, q125, q126, q127, q128, q129, q132)
+    q124, q125, q126, q127, q128, q129, q132, q134, q135)
 }

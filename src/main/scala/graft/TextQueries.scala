@@ -1345,8 +1345,66 @@ object TextQueries {
       FROM bg JOIN c USING (bigram)
       GROUP BY source ORDER BY source"""))
 
+  // q133 — WordPiece/BPE ENCODE (the tokenizer *apply* step; q113 is the
+  // matching *train* step): greedy longest-match subword tokenization
+  // against a fixed vocabulary, as a native codegen'd expression
+  // ([[graft.plans.WordPieceExpr]]). The vocabulary literal below is the
+  // single source of truth — the oracle's unnest list is built from the
+  // same Seq, and DuckDB replays the greedy scan as a recursive CTE over
+  // DISTINCT words (arg_max(piece, len) = longest prefix; no match →
+  // '[UNK]', advance 1). Per-source rollup is all-integer: words,
+  // pieces, UNK chars, single-piece words.
+  private val wpVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "spark", "window", "merge", "table", "column", "vector", "stream",
+      "value", "data", "small", "join", "filter", "group", "hash",
+      "customer", "sort", "order", "slow", "line", "big",
+      "win", "dow", "mer", "ta", "ble", "col", "umn", "vec", "tor",
+      "str", "eam", "val", "ue", "da", "sma", "ll", "fil", "ter",
+      "gro", "up", "cus", "tom", "er", "so", "rt", "or", "der",
+      "li", "ne", "jo", "in", "ha", "sh", "sl", "ow", "ark", "sp",
+      "ing", "ed", "es", "th", "re", "on", "an", "en", "at", "ion")
+  private val q133 = Q(
+    "q133_wordpiece",
+    (s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      words
+        .select(col("source"),
+          graft.plans.WordPieceExpr(col("w"), wpVocab).as("pieces"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("pieces")).cast("long")).as("n_pieces"),
+          sum(size(filter(col("pieces"), p => p === lit("[UNK]"))).cast("long")).as("n_unk"),
+          sum(when(size(col("pieces")) === 1, 1L).otherwise(0L)).as("n_whole"))
+        .orderBy("source")
+    },
+    Some {
+      val vlist = wpVocab.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE
+        vocab(p) AS (SELECT unnest($vlist)),
+        wds AS (SELECT source, u.w AS w
+          FROM (SELECT source, $toks AS t FROM documents), unnest(t) AS u(w)),
+        dw AS (SELECT DISTINCT w FROM wds),
+        enc AS (
+          SELECT w, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS pieces FROM dw
+          UNION ALL
+          SELECT s.w, s.pos + coalesce(max(len(v.p)), 1),
+                 list_append(s.pieces, coalesce(arg_max(v.p, len(v.p)), '[UNK]'))
+          FROM (SELECT * FROM enc WHERE pos <= len(w)) s
+          LEFT JOIN vocab v ON v.p = substr(s.w, CAST(s.pos AS INT), len(v.p))
+          GROUP BY s.w, s.pos, s.pieces),
+        done AS (SELECT w, pieces FROM enc WHERE pos > len(w))
+        SELECT source, COUNT(*) AS n_words,
+          CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces,
+          CAST(SUM(len(list_filter(pieces, x -> x = '[UNK]'))) AS BIGINT) AS n_unk,
+          CAST(SUM(CASE WHEN len(pieces) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole
+        FROM wds JOIN done USING (w)
+        GROUP BY source ORDER BY source"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121, q122, q130, q131)
+    q119, q121, q122, q130, q131, q133)
 }

@@ -14,8 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    session (notebooks, tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // band-only inner joins → bucketed equi-joins (opt-in via
+    // spark.graft.rangejoin.bucketWidth; inert otherwise)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -32,9 +36,15 @@ object GraftExtensions {
         "graft_hash60(s) - portable 60-bit content hash: value of the first 15 hex chars of md5(s) as bigint."),
       (args: Seq[Expression]) => PortableHash60(args(0))))
 
-  /** Register into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session. The optimizer rule goes through
+    * `experimental.extraOptimizations` (a built session's rule batches
+    * are frozen); it is inert until the bucket-width conf is set. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRule
+  }
 }

@@ -16,6 +16,7 @@ object TestSpark {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftExtensions.register(s)
     s
   }
 }
