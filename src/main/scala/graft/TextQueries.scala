@@ -1403,8 +1403,75 @@ object TextQueries {
         GROUP BY source ORDER BY source"""
     })
 
+  // q136 — EXACT CONTAINMENT join (quote / near-superset detection):
+  // directed pairs with |A∩B|/|A| ≥ 0.8. Symmetric Jaccard misses a
+  // snippet inside a much larger doc; containment is the curation
+  // measure for it. Candidates via the containment form of prefix
+  // filtering — A's rarest-prefix × the FULL inverted index (lossless;
+  // see Dedup.containmentPairs) — so the pair set is exact, like q118,
+  // not LSH-approximate like q22.
+  private val q136 = Q(
+    "q136_containment",
+    (s, dir) => graft.operators.Dedup.containmentPairs(
+      tbl(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8),
+    Some(s"""WITH tk AS (SELECT doc_id, ${wordShinglesSql(3)} AS sh FROM documents),
+        posting AS (SELECT doc_id, u.el AS el FROM tk, unnest(sh) AS u(el)),
+        dfreq AS (SELECT el, COUNT(*) AS cnt FROM posting GROUP BY el),
+        ordered AS (SELECT doc_id, array_agg(el ORDER BY cnt, el) AS sorted
+          FROM posting JOIN dfreq USING (el) GROUP BY doc_id),
+        pre AS (SELECT doc_id, u.el AS el FROM (
+            SELECT doc_id, sorted[1:CAST(len(sorted) - ceil(0.8 * len(sorted)) + 1 AS BIGINT)] AS p
+            FROM ordered), unnest(p) AS u(el)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, p.doc_id AS id_b
+          FROM pre a JOIN posting p ON a.el = p.el AND a.doc_id <> p.doc_id)
+      SELECT id_a, id_b,
+        ${Det.roundAtSql("len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh)", 6)} AS containment
+      FROM cand JOIN tk ta ON ta.doc_id = id_a JOIN tk tb ON tb.doc_id = id_b
+      WHERE ${Det.roundAtSql("len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh)", 6)} >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  // q137 — CURATION CALIBRATION: does the quality score actually
+  // separate duplicates? Cross the q26 quality score (fixed-width 0.1
+  // bins — floor(q·10), a row-local projection, deliberately NOT a
+  // global ntile: a corpus-wide decile window is a single-partition
+  // sort at 100 TB, while fixed bins are free) with the q21 exact-dup
+  // flag (fingerprint groups with count > 1). Per bin: docs, dups, dup
+  // rate, mean quality — the evidence view behind every "filter below
+  // quality X" threshold decision.
+  private val q137 = Q(
+    "q137_quality_dup_calib",
+    (s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("q"),
+        TextFns.portableHash(TextFns.normText(col("text"))).as("fp"))
+      val dupFp = scored.groupBy("fp").agg(count(lit(1)).as("fn"))
+        .filter(col("fn") > 1).select("fp")
+      scored
+        .join(dupFp.withColumn("__d", lit(1L)), Seq("fp"), "left")
+        .withColumn("is_dup", coalesce(col("__d"), lit(0L)))
+        .withColumn("bin", least(floor(col("q") * 10), lit(9.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).as("n_dups"),
+          Det.roundAt(sum(col("is_dup")).cast("double") / count(lit(1)), 6).as("dup_rate"),
+          Det.roundAt(Det.dsum(col("q"), 6) / count(lit(1)), 4).as("avg_q"))
+        .orderBy("bin")
+    },
+    Some(s"""WITH scored AS (SELECT doc_id, $qualityScoreSql AS q,
+          ${hSql(norm)} AS fp FROM documents),
+      dupfp AS (SELECT fp FROM scored GROUP BY fp HAVING COUNT(*) > 1),
+      flagged AS (SELECT q,
+          CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END AS is_dup,
+          CAST(least(floor(q * 10), 9.0) AS BIGINT) AS bin
+        FROM scored)
+      SELECT bin, COUNT(*) AS n_docs,
+        CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+        ${Det.roundAtSql("CAST(SUM(is_dup) AS DOUBLE) / COUNT(*)", 6)} AS dup_rate,
+        ${Det.roundAtSql("CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS avg_q
+      FROM flagged GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121, q122, q130, q131, q133)
+    q119, q121, q122, q130, q131, q133, q136, q137)
 }

@@ -471,6 +471,54 @@ object Dedup {
     * the inverse-frequency tail, not the corpus. Mega-buckets (a corpus
     * of near-identical docs) still fall under the [[capBuckets]] guard.
     * Verification joins the two slim doc-set sides on id. */
+  /** EXACT containment (asymmetric-Jaccard) join: directed pairs where
+    * c(A→B) = |A∩B| / |A| ≥ `threshold` — the quote / near-superset
+    * detector. Symmetric Jaccard misses a snippet embedded in a much
+    * larger document (the union dwarfs the intersection); containment is
+    * the measure curation pipelines use to find them.
+    *
+    * Prefix filter, containment form: |A∩B| ≥ ⌈τ|A|⌉ forces A's
+    * (|A| − ⌈τ|A|⌉ + 1)-prefix in the global (df, element) canonical
+    * order to intersect B ANYWHERE — so the candidate join is A-prefix
+    * postings × the FULL inverted index (the asymmetric analogue of
+    * [[prefixJaccardPairs]]' prefix × prefix), lossless for any
+    * deterministic order. The full-index side is the hot one at scale:
+    * over-cap (band, key) buckets are dropped there with the observed
+    * cap metric, and prefix keys meet the capped index through the same
+    * join, so a dropped bucket silences both sides consistently. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxBucket: Int = 100000): DataFrame = {
+    val docs = Ckpt.local(df.select(col(idCol).as("id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("sh")))
+    val posting = docs.select(col("id"), explode(col("sh")).as("el"))
+    val dfreq = posting.groupBy("el").agg(count(lit(1)).as("cnt"))
+    val ordered = posting.join(dfreq, "el")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("el")))).as("s"))
+      .select(col("id"), expr("transform(s, x -> x.el)").as("sorted"))
+    val pre = ordered.select(col("id"),
+        explode(expr(s"slice(sorted, 1, " +
+          s"cast(size(sorted) - ceil($threshold * size(sorted)) + 1 as int))"))
+          .as("key"))
+    val full = posting.select(col("id"), col("el").as("key"))
+      .withColumn("band", lit(0))
+    val (fullCapped, _) = capBuckets(full, maxBucket, "containment")
+    val cand = pre.select(col("id").as("id_a"), col("key"))
+      .join(fullCapped.select(col("id").as("id_b"), col("key")), "key")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment", Det.roundAt(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(col("sh_a")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
                          maxBucket: Int = 100000): DataFrame = {

@@ -112,6 +112,43 @@ class DedupSpec extends SparkSpec {
     graft.operators.Ckpt.release(spark)
   }
 
+  test("containmentPairs is lossless and catches snippet-in-document pairs") {
+    // doc 2 is a snippet of doc 1: containment(2→1) = 1.0 but Jaccard is
+    // low — the pair symmetric measures miss. Brute directed scan is the
+    // ground truth.
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, big), (2L, snippet), (3L, big), (4L, "unrelated words entirely " +
+        "about cooking pasta dinner tonight with fresh basil and lemon")
+    ).toDF("doc_id", "text")
+    def bruteDirected(t: Double) = {
+      import graft.functions.TextFns
+      val sh = corpus.select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("sh"))
+      sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          graft.functions.Det.roundAt(
+            size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+              size(col("a.sh")), 6).as("containment"))
+        .filter(col("containment") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.containmentPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == bruteDirected(t), s"threshold $t")
+    }
+    // the snippet pair is present in BOTH directions' ground truth only
+    // for 2→{1,3}; assert it was actually found
+    val found = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains(2L -> 1L) && found.contains(2L -> 3L))
+    assert(!found.contains(1L -> 2L), "big doc is not contained in its snippet")
+    graft.operators.Ckpt.release(spark)
+  }
+
   test("triangleCount: hand-counted triangles, degree-oriented, no double count") {
     // K4 on {1,2,3,4} (4 triangles) + pendant 5 + disjoint edge 6–7
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
