@@ -1470,8 +1470,66 @@ object TextQueries {
         ${Det.roundAtSql("CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS avg_q
       FROM flagged GROUP BY bin ORDER BY bin"""))
 
+  // q138 — UNIGRAM-LM CROSS-ENTROPY (the CCNet-style perplexity quality
+  // filter, self-trained): add-one-smoothed unigram probs over the corpus
+  // token stream, per-doc mean -ln p (nats/token), summarized per source.
+  // Per-token xent is rounded at 1e-6 before the decimal-exact per-doc
+  // sum, so double addition order never shows; min/max sit on the
+  // 1e-4-rounded doc values. Zero-token docs have no cross-entropy and
+  // are absent on both sides (explode/unnest both drop them).
+  private val q138 = Q(
+    "q138_lm_xent",
+    (s, dir) => graft.operators.Lm
+      .unigramXent(tbl(s, dir, "documents"), "doc_id", "text", Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.roundAt(Det.dsum(col("doc_xent"), 4) / count(lit(1)), 4).as("avg_xent"),
+        min(col("doc_xent")).as("min_xent"),
+        max(col("doc_xent")).as("max_xent"))
+      .orderBy("source"),
+    Some(s"""WITH tk AS (SELECT doc_id, source, u.tok AS tok
+          FROM documents, unnest($toks) AS u(tok)),
+        cnts AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total, COUNT(*) AS vocab
+          FROM cnts),
+        probs AS (SELECT tok,
+            ${Det.roundAtSql("-ln((cnt + 1.0) / (n_total + vocab))", 6)} AS xent
+          FROM cnts, tot),
+        docx AS (SELECT doc_id, source,
+            ${Det.roundAtSql("CAST(SUM(CAST(xent AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS dx
+          FROM tk JOIN probs USING (tok) GROUP BY doc_id, source)
+      SELECT source, COUNT(*) AS n_docs,
+        ${Det.roundAtSql("CAST(SUM(CAST(dx AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)", 4)} AS avg_xent,
+        MIN(dx) AS min_xent, MAX(dx) AS max_xent
+      FROM docx GROUP BY source ORDER BY source"""))
+
+  // q139 — WEIGHTED SAMPLE without replacement (Efraimidis–Spirakis with
+  // deterministic hash uniforms; Sampling.weightedSample): 20 docs drawn
+  // with probability ∝ quality + 0.01, the quality-weighted corpus draw
+  // of a mixture build. The id list itself is the asserted output — the
+  // oracle re-derives u, key, and the same top-k cut.
+  private val q139 = Q(
+    "q139_weighted_sample",
+    (s, dir) => {
+      val weighted = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        (TextFns.qualityScore(col("text")) + lit(0.01)).as("w"))
+      graft.operators.Sampling.weightedSample(weighted, "doc_id", "w", 20)
+        .select(col("doc_id"), col("source"), Det.roundAt(col("w"), 6).as("w"),
+          col("key"))
+        .orderBy(desc("key"), col("doc_id"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, source, ($qualityScoreSql + 0.01) AS w
+          FROM documents),
+        keyed AS (SELECT doc_id, source, w,
+            ${Det.roundAtSql(
+              s"ln((${hSql("CAST(doc_id AS VARCHAR) || ':ws'")} % 1000000 + 0.5) / 1000000.0) / w",
+              6)} AS key
+          FROM w)
+      SELECT doc_id, source, ${Det.roundAtSql("w", 6)} AS w, key
+      FROM keyed ORDER BY key DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121, q122, q130, q131, q133, q136, q137)
+    q119, q121, q122, q130, q131, q133, q136, q137, q138, q139)
 }

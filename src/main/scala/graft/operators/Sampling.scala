@@ -36,6 +36,31 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted sample WITHOUT replacement, k rows, inclusion probability
+    * proportional to `weightCol` — Efraimidis–Spirakis A-Res with the
+    * random draw replaced by a deterministic hash uniform: each row gets
+    * u = (hash(id±salt) mod 10⁶ + 0.5)/10⁶ ∈ (0,1) and key = ln(u)/w
+    * (monotone in u^(1/w)); the k largest keys are the sample. Higher
+    * weight pulls the key toward 0, so quality-weighted corpus draws
+    * (weight = quality score) favor good documents while any document
+    * stays reachable — exactly the mixture-sampling rule, but retry- and
+    * engine-stable.
+    *
+    * Scale shape: one narrow projection plus a global top-k, which Spark
+    * compiles to TakeOrderedAndProject — per-partition heaps of k rows,
+    * never a full sort. Keys are rounded at 1e-6 with id as tie-break, so
+    * the selected set is total-order deterministic. `weightCol` must be
+    * strictly positive. Returns the selected rows plus their `key`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = ":ws"): DataFrame = {
+    val u = (pmod(TextFns.portableHash(
+      concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    df.withColumn("key", graft.functions.Det.roundAt(log(u) / col(weightCol), 6))
+      .orderBy(desc("key"), col(idCol))
+      .limit(k)
+  }
+
   /** Rebalance a corpus toward target mixture `weights` (integer parts —
     * e.g. en→4, es→2 means 2:1) by downsampling over-represented groups:
     * the largest budget B every group can serve is computed from the
