@@ -1528,8 +1528,44 @@ object TextQueries {
       SELECT doc_id, source, ${Det.roundAtSql("w", 6)} AS w, key
       FROM keyed ORDER BY key DESC, doc_id LIMIT 20"""))
 
+  // q140 — MODULARITY of the near-dup graph under the SOURCE partition:
+  // does duplication concentrate within sources? Q near 1 → per-source
+  // sharded dedup is safe at 100 TB; Q near 0 → cross-source dups would
+  // escape a source-sharded pass. Exact integer numerator (4m·intra −
+  // Σd_c²) over 4m², one final double division — no float aggregation.
+  private val q140 = Q(
+    "q140_dup_modularity",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Dedup.partitionModularity(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+          .select("id_a", "id_b"),
+        docs.select(col("doc_id").as("id"), col("source").as("label")))
+    },
+    Some(s"""WITH $minhashCtes,
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        lab AS (SELECT doc_id AS id, source AS lab FROM documents),
+        e AS (SELECT a.lab AS la, b.lab AS lb FROM pairs p
+          JOIN lab a ON a.id = p.id_a JOIN lab b ON b.id = p.id_b),
+        deg AS (SELECT v, COUNT(*) AS d FROM (
+            SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs)
+          GROUP BY v),
+        dc AS (SELECT l.lab, CAST(SUM(d) AS BIGINT) AS dsum
+          FROM deg JOIN lab l ON l.id = deg.v GROUP BY l.lab),
+        s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS intra
+          FROM e),
+        s2 AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS sumd2 FROM dc)
+      SELECT m AS n_edges, intra AS intra_edges, m - intra AS cross_edges,
+        CASE WHEN m = 0 THEN 0.0 ELSE ${Det.roundAtSql(
+          "CAST(4 * m * intra - sumd2 AS DOUBLE) / CAST(4 * m * m AS DOUBLE)", 6)}
+        END AS modularity
+      FROM s1, s2"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121, q122, q130, q131, q133, q136, q137, q138, q139)
+    q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140)
 }

@@ -552,6 +552,40 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Newman modularity of the near-dup graph under a node partition
+    * (`labels`: id → label): Q = Σ_c [e_c/m − (d_c/2m)²], evaluated as
+    * the exact integer numerator (4m·intra − Σd_c²) over 4m² with ONE
+    * final double division — bit-reproducible on any engine, no float
+    * aggregation anywhere. With labels = document source, Q measures
+    * whether near-duplication concentrates within sources: Q near 1
+    * means per-source sharded dedup is safe (cross-source edges are
+    * noise), Q near 0 means duplication crosses sources and sharding by
+    * source would miss it — the measurement behind that 100 TB
+    * partitioning decision. Three shuffles (two label joins, one degree
+    * aggregate); label/degree tables are node-sized. Returns one row
+    * (n_edges, intra_edges, cross_edges, modularity); empty graph → Q=0. */
+  def partitionModularity(pairs: DataFrame, labels: DataFrame,
+                          idCol: String = "id", labelCol: String = "label"): DataFrame = {
+    val und = Ckpt.local(pairs.select(col("id_a").cast(LongType).as("id_a"),
+      col("id_b").cast(LongType).as("id_b")))
+    val lab = labels.select(col(idCol).cast(LongType).as("v"), col(labelCol).as("lab"))
+    val e = und
+      .join(lab.select(col("v").as("id_a"), col("lab").as("la")), "id_a")
+      .join(lab.select(col("v").as("id_b"), col("lab").as("lb")), "id_b")
+    val deg = und.select(explode(array(col("id_a"), col("id_b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dC = deg.join(lab, "v").groupBy("lab").agg(sum(col("d")).as("dsum"))
+    val s1 = e.agg(count(lit(1)).as("m"),
+      coalesce(sum((col("la") === col("lb")).cast(LongType)), lit(0L)).as("intra"))
+    val s2 = dC.agg(coalesce(sum(col("dsum") * col("dsum")), lit(0L)).as("sumd2"))
+    s1.crossJoin(s2).select(
+      col("m").as("n_edges"), col("intra").as("intra_edges"),
+      (col("m") - col("intra")).as("cross_edges"),
+      when(col("m") === 0, lit(0.0)).otherwise(Det.roundAt(
+        (lit(4L) * col("m") * col("intra") - col("sumd2")).cast(DoubleType) /
+          (lit(4L) * col("m") * col("m")).cast(DoubleType), 6)).as("modularity"))
+  }
+
   /** Distributed triangle count over an undirected (id_a < id_b) edge
     * relation — the standard graph health metric for a near-dup graph
     * (triangle-dense components are boilerplate families; triangle-free

@@ -149,6 +149,28 @@ class DedupSpec extends SparkSpec {
     graft.operators.Ckpt.release(spark)
   }
 
+  test("partitionModularity: hand-computed Q on a two-community graph") {
+    // community A = {1,2,3} triangle, B = {4,5} edge, one cross edge 3–4.
+    // m=5, intra=4, degrees 1:2 2:2 3:3 4:2 5:1 → d_A=7, d_B=3,
+    // Σd²=58, Q = (4·5·4 − 58) / (4·25) = 22/100 = 0.22.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("id", "label")
+    val r = Dedup.partitionModularity(pairs, labels).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 4L, 1L)))
+    assert(r.getDouble(3) == 0.22)
+    // perfect partition (no cross edges, balanced degree) scores higher
+    val split = Dedup.partitionModularity(
+      Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b"), labels).collect()(0)
+    assert(split.getDouble(3) == 0.5) // 1 − 2·(2/4)² = 0.5
+    // empty graph → Q = 0, no div-by-zero
+    val empty = Dedup.partitionModularity(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), labels).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getDouble(3) == 0.0)
+    graft.operators.Ckpt.release(spark)
+  }
+
   test("triangleCount: hand-counted triangles, degree-oriented, no double count") {
     // K4 on {1,2,3,4} (4 triangles) + pendant 5 + disjoint edge 6–7
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
