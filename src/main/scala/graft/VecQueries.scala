@@ -468,6 +468,51 @@ object VecQueries {
       FROM x$iters xx, ray ORDER BY dim"""
   }
 
+  // q141 — MMR diverse re-rank (maximal marginal relevance): greedy k=8
+  // from the query's top-30 candidates, λ=0.7. The oracle UNROLLS the
+  // greedy — one CTE pair per step, each picking argmax of
+  // λ·rel − (1−λ)·max-sim-to-selected over the not-yet-chosen — so the
+  // driver checks the entire selection trajectory, not just the final
+  // set. `(1 - λ)` is spelled as a subtraction in BOTH engines (a 0.3
+  // literal is NOT the double 1-0.7). Every CTE is MATERIALIZED:
+  // DuckDB inlines plain CTEs per reference, and the selall chain
+  // references each predecessor twice — unmaterialized, evaluation
+  // cost triples per step (3^k re-evaluations of the cosine CTEs).
+  private val mmrK = 8
+  private val mmrN = 30
+  private val mmrLam = 0.7
+  private def mmrSql: String = {
+    val steps = (2 to mmrK).map { i =>
+      s"""sel$i AS MATERIALIZED (SELECT vec_id, rel, score, CAST($i AS BIGINT) AS rank FROM (
+            SELECT c.vec_id, c.rel,
+              ${Det.roundAtSql(s"$mmrLam * c.rel - (1 - $mmrLam) * ms.m", 6)} AS score
+            FROM cand c JOIN (SELECT ia, MAX(sim) AS m FROM sims
+                WHERE ib IN (SELECT vec_id FROM selall${i - 1}) GROUP BY ia) ms
+              ON ms.ia = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM selall${i - 1}))
+          ORDER BY score DESC, vec_id LIMIT 1),
+        selall$i AS MATERIALIZED (SELECT * FROM selall${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",\n        ")
+    s"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        cand AS MATERIALIZED (SELECT vec_id, embedding, ${cos6("embeddings.embedding", "qe")} AS rel
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY rel DESC, vec_id LIMIT $mmrN),
+        sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+            ${cos6("a.embedding", "b.embedding")} AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        sel1 AS MATERIALIZED (SELECT vec_id, rel, rel AS score, CAST(1 AS BIGINT) AS rank
+          FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        selall1 AS MATERIALIZED (SELECT * FROM sel1),
+        $steps
+      SELECT rank, vec_id, rel, score FROM selall$mmrK ORDER BY rank"""
+  }
+  private val q141 = Q(
+    "q141_mmr_rerank",
+    (s, dir) => Similarity.mmrRerank(tbl(s, dir, "embeddings"),
+      queryId = 0L, nCandidates = mmrN, k = mmrK, lambda = mmrLam)
+      .orderBy("rank"),
+    Some(mmrSql))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85, q95, q112, q123)
+    q78, q85, q95, q112, q123, q141)
 }

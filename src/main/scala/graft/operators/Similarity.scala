@@ -50,6 +50,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Maximal-marginal-relevance re-rank: greedily select `k` of the
+    * query's `nCandidates` nearest vectors, each step maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the diversity
+    * selection step of retrieval and of diverse training-subset draws
+    * (pure relevance top-k returns k near-copies of the same neighbor).
+    *
+    * Scale shape: candidate generation is the distributed [[bruteTopK]]
+    * (or any ANN path), and the candidate×candidate similarity matrix is
+    * computed distributed with the same quantized cosine; only the greedy
+    * loop runs on the driver, over a CONSTANT-size state (nCandidates²
+    * rounded doubles — kilobytes for any corpus, like k-means centroids).
+    * Every similarity the greedy consumes was computed by the engine, so
+    * the selection is bit-reproducible: scores are rounded at 1e-6 with
+    * vec_id as tie-break, and step 1 is pure relevance. */
+  def mmrRerank(corpus: DataFrame, queryId: Long, nCandidates: Int, k: Int,
+                lambda: Double): DataFrame = {
+    val cand = bruteTopK(corpus, corpus.filter(col("vec_id") === queryId), nCandidates)
+      .select(col("vec_id"), col("cos").as("rel"))
+    val ce = normed(corpus, "")
+      .join(broadcast(cand.select(col("vec_id").as("id"))), "id")
+    val sims = ce.select(col("id").as("ia"), col("emb").as("ea"), col("norm").as("na"))
+      .join(ce.select(col("id").as("ib"), col("emb").as("eb"), col("norm").as("nb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        pairCos(col("ea"), col("na"), col("eb"), col("nb")).as("sim"))
+    val rels = cand.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .sortBy { case (id, rel) => (-rel, id) }
+    val simMap = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val first = rels.head
+    var selected = Vector((first._1, first._2, first._2)) // (id, rel, score)
+    while (selected.size < k && selected.size < rels.length) {
+      val chosen = selected.map(_._1).toSet
+      val next = rels.iterator.filterNot { case (id, _) => chosen(id) }
+        .map { case (id, rel) =>
+          val maxSim = selected.map(s => simMap((id, s._1))).max
+          (id, rel, round6(lambda * rel - (1 - lambda) * maxSim))
+        }.toVector.sortBy { case (id, _, score) => (-score, id) }.head
+      selected :+= next
+    }
+    val out = selected.zipWithIndex.map { case ((id, rel, score), i) =>
+      (i + 1L, id, rel, score)
+    }
+    corpus.sparkSession.createDataFrame(out)
+      .toDF("rank", "vec_id", "rel", "score")
+  }
+
   /** Exact cosine top-k: broadcast the query rows, score every corpus row,
     * keep k per query. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

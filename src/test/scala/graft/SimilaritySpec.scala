@@ -153,4 +153,32 @@ class SimilaritySpec extends SparkSpec {
     assert(groups == Set(blobA.map(_._1).toSet, blobB.map(_._1).toSet),
       "each blob should land wholly in one bucket")
   }
+
+  test("mmrRerank trades relevance for diversity; pure top-k does not") {
+    // query q=[1,0,...]; A and A' are near-copies close to q; C is
+    // slightly less relevant but diverse. Relevance order: A, A', C —
+    // MMR must pick A then C (A' is punished by its similarity to A).
+    def v(x: Double, y: Double) =
+      Array.tabulate(64)(i => if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0f)
+    val corpus = Seq(
+      (0L, v(1.0, 0.0)),   // the query itself
+      (1L, v(1.0, 0.05)),  // A
+      (2L, v(1.0, 0.06)),  // A'
+      (3L, v(0.8, 0.5))    // C: diverse
+    ).toDF("vec_id", "embedding")
+    // at diversity-heavy λ=0.3 the near-copy A' (sim≈1 to A) must lose
+    // to C; at pure-relevance λ=1.0 the order stays A, A', C
+    val got = Similarity.mmrRerank(corpus, queryId = 0L, nCandidates = 3,
+      k = 3, lambda = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"expected MMR order A, C, A' — got ${got.toSeq}")
+    val pureRel = Similarity.mmrRerank(corpus, 0L, 3, 3, lambda = 1.0)
+      .collect().map(r => r.getLong(1))
+    assert(pureRel.toSeq == Seq(1L, 2L, 3L))
+    // determinism: rerun is bit-identical
+    val again = Similarity.mmrRerank(corpus, 0L, 3, 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == got.toSeq)
+  }
 }
