@@ -1501,7 +1501,8 @@ object TextQueries {
       SELECT source, COUNT(*) AS n_docs,
         ${Det.roundAtSql("CAST(SUM(CAST(dx AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)", 4)} AS avg_xent,
         MIN(dx) AS min_xent, MAX(dx) AS max_xent
-      FROM docx GROUP BY source ORDER BY source"""))
+      FROM docx GROUP BY source ORDER BY source"""),
+    headline = true)
 
   // q139 — WEIGHTED SAMPLE without replacement (Efraimidis–Spirakis with
   // deterministic hash uniforms; Sampling.weightedSample): 20 docs drawn
