@@ -1565,8 +1565,38 @@ object TextQueries {
         END AS modularity
       FROM s1, s2"""))
 
+  // q143 — PER-GROUP weighted sample: 5 docs per source, probability ∝
+  // quality + 0.01, same A-Res keys as q139 ranked inside the group —
+  // the per-domain quality-weighted draw. Rank limit → WindowGroupLimit,
+  // so per-source state is 5 rows at any corpus scale.
+  private val q143 = Q(
+    "q143_group_weighted_sample",
+    (s, dir) => {
+      val weighted = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        (TextFns.qualityScore(col("text")) + lit(0.01)).as("w"))
+      graft.operators.Sampling
+        .weightedSamplePerGroup(weighted, "source", "doc_id", "w", 5)
+        .select(col("source"), col("doc_id"), Det.roundAt(col("w"), 6).as("w"),
+          col("key"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, source, ($qualityScoreSql + 0.01) AS w
+          FROM documents),
+        keyed AS (SELECT doc_id, source, w,
+            ${Det.roundAtSql(
+              s"ln((${hSql("CAST(doc_id AS VARCHAR) || ':ws'")} % 1000000 + 0.5) / 1000000.0) / w",
+              6)} AS key
+          FROM w),
+        r AS (SELECT source, doc_id, w, key,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY key DESC, doc_id ASC) AS rank
+          FROM keyed)
+      SELECT source, doc_id, ${Det.roundAtSql("w", 6)} AS w, key,
+        CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY source, rank"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140)
+    q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143)
 }

@@ -513,6 +513,29 @@ object VecQueries {
       .orderBy("rank"),
     Some(mmrSql))
 
+  // q142 — TRIPLET MINING for contrastive training data: per query, the
+  // top-5 same-label neighbors (hardest positives) and top-5 different-
+  // label neighbors (hard negatives). One corpus scan, queries broadcast,
+  // per-(query, kind) rank limit → WindowGroupLimit.
+  private val q142 = Q(
+    "q142_hard_negatives",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.tripletMine(emb, emb.filter(expr(isQuery)), "label", 5)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE $isQuery),
+      scored AS (SELECT query_id, e.vec_id,
+          ${cos6("e.embedding", "q_emb")} AS cos,
+          CASE WHEN e.label = q_label THEN 'pos' ELSE 'neg' END AS kind
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+      r AS (SELECT query_id, kind, vec_id, cos,
+        ROW_NUMBER() OVER (PARTITION BY query_id, kind
+          ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, kind, vec_id, cos, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, kind, rank"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85, q95, q112, q123, q141)
+    q78, q85, q95, q112, q123, q141, q142)
 }

@@ -61,6 +61,25 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-group [[weightedSample]]: k rows per `groupCol` value, same
+    * A-Res keys, ranked inside the group. The rank limit compiles to
+    * WindowGroupLimit (map- and reduce-side truncation), so per-group
+    * state is k rows and no group is ever materialized whole — the
+    * per-domain quality-weighted draw of a mixture build. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, k: Int,
+                             salt: String = ":ws"): DataFrame = {
+    val u = (pmod(TextFns.portableHash(
+      concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(desc("key"), col(idCol))
+    df.withColumn("key", graft.functions.Det.roundAt(log(u) / col(weightCol), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   /** Rebalance a corpus toward target mixture `weights` (integer parts —
     * e.g. en→4, es→2 means 2:1) by downsampling over-represented groups:
     * the largest budget B every group can serve is computed from the

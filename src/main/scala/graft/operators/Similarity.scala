@@ -98,6 +98,37 @@ object Similarity {
       .toDF("rank", "vec_id", "rel", "score")
   }
 
+  /** Triplet mining for contrastive / metric-learning training data:
+    * for each query, the k most-similar corpus vectors sharing its label
+    * (hardest positives to keep close) and the k most-similar vectors of
+    * a DIFFERENT label (hard negatives — the pairs that actually move a
+    * contrastive loss; random negatives are trivially separable).
+    *
+    * Same shape as [[bruteTopK]]: queries broadcast, one corpus scan,
+    * kind derived per pair, and the per-(query, kind) rank limit
+    * compiles to WindowGroupLimit (map-side truncation before the
+    * shuffle). Returns (query_id, kind 'pos'|'neg', vec_id, cos, rank). */
+  def tripletMine(corpus: DataFrame, queries: DataFrame, labelCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, p: String) = df.select(
+      col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}emb"),
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as(s"${p}norm"),
+      col(labelCol).as(s"${p}lab"))
+    val scored = side(corpus, "")
+      .join(broadcast(side(queries, "q_").withColumnRenamed("q_id", "query_id")),
+        col("id") =!= col("query_id"))
+      .withColumn("cos", pairCos(col("emb"), col("norm"), col("q_emb"), col("q_norm")))
+      .withColumn("kind", when(col("lab") === col("q_lab"), "pos").otherwise("neg"))
+    val w = Window.partitionBy("query_id", "kind")
+      .orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("kind"), col("id").as("vec_id"),
+        col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "kind", "rank")
+  }
+
   /** Exact cosine top-k: broadcast the query rows, score every corpus row,
     * keep k per query. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

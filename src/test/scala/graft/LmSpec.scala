@@ -70,6 +70,24 @@ class LmSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("weightedSamplePerGroup: per-group top-k matches recomputation, WindowGroupLimit plan") {
+    val rows = (1L to 120L).map(i => (i, s"g${i % 3}", 0.1 + (i % 7) * 0.1))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(4))).toSet
+    val expected = rows.map { case (id, g, w) =>
+      val u = (md5Hash60(s"$id:ws") % 1000000L + 0.5) / 1000000.0
+      (g, id, round(math.log(u) / w, 6))
+    }.groupBy(_._1).flatMap { case (g, xs) =>
+      xs.sortBy { case (_, id, key) => (-key, id) }.take(4)
+        .zipWithIndex.map { case ((_, id, _), i) => (g, id, i + 1L) }
+    }.toSet
+    assert(got == expected)
+    val plan = Sampling.weightedSamplePerGroup(df, "grp", "id", "w", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("weightedSample compiles to a top-k, not a full sort") {
     val df = (1L to 50L).toDF("id").withColumn("w", lit(1.0))
     val plan = Sampling.weightedSample(df, "id", "w", 5)

@@ -154,6 +154,26 @@ class SimilaritySpec extends SparkSpec {
       "each blob should land wholly in one bucket")
   }
 
+  test("tripletMine splits neighbors by label and rank-limits per kind") {
+    def v(x: Double, y: Double) =
+      Array.tabulate(8)(i => if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0f)
+    // query 0 (label 1); same-label 1,2; other-label 3,4,5 at varied cos
+    val corpus = Seq(
+      (0L, v(1.0, 0.0), 1), (1L, v(1.0, 0.1), 1), (2L, v(0.5, 0.8), 1),
+      (3L, v(1.0, 0.05), 2), (4L, v(0.9, 0.3), 2), (5L, v(0.0, 1.0), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.tripletMine(corpus, corpus.filter($"vec_id" === 0L), "label", 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+    val pos = got.filter(_._1 == "pos").map(x => (x._2, x._3)).toSeq
+    val neg = got.filter(_._1 == "neg").map(x => (x._2, x._3)).toSeq
+    assert(pos == Seq((1L, 1L), (2L, 2L)), s"pos was $pos")
+    // hard negatives: 3 (cos≈0.999) then 4 (cos≈0.95); 5 is easy (cos 0)
+    assert(neg == Seq((3L, 1L), (4L, 2L)), s"neg was $neg")
+    val plan = Similarity.tripletMine(corpus, corpus.filter($"vec_id" === 0L), "label", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("mmrRerank trades relevance for diversity; pure top-k does not") {
     // query q=[1,0,...]; A and A' are near-copies close to q; C is
     // slightly less relevant but diverse. Relevance order: A, A', C —
