@@ -101,6 +101,47 @@ object Streams {
       joinType)
   }
 
+  /** Streaming weighted sample (the online twin of
+    * [[graft.operators.Sampling.weightedSamplePerGroup]]): A-Res with
+    * deterministic hash uniforms is inherently streaming — a row's key
+    * ln(u(id))/w depends only on the row, so the per-group reservoir is
+    * just "the k largest keys seen so far". Keys are computed in the
+    * plan with the SAME expressions as the batch operator; the stateful
+    * function only merges and truncates, so after any prefix of the
+    * stream the emitted sample is IDENTICAL to the batch draw over the
+    * same rows — the property StreamsSpec asserts. State is k items per
+    * group, output mode Update (each batch re-emits the current sample
+    * of every group that received rows); re-ingesting a row is a no-op
+    * (same id → same key; merged via distinct-by-id). */
+  def weightedSample(rows: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int, salt: String = ":ws"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val u = (pmod(graft.functions.TextFns.portableHash(
+      concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    rows.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(weightCol).cast("double").as("w"))
+      .withColumn("key", graft.functions.Det.roundAt(log(u) / col("w"), 6))
+      .as[WsEvent]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (grp: String, it: Iterator[WsEvent], state: GroupState[WsState]) => {
+          val merged = (state.getOption.map(_.items).getOrElse(Nil) ++
+            it.map(e => WsItem(e.key, e.id, e.w)))
+            .distinctBy(_.id)
+            .sortBy(x => (-x.key, x.id))
+            .take(k).toList
+          state.update(WsState(merged))
+          merged.zipWithIndex.iterator.map { case (x, i) =>
+            WsSample(grp, x.id, x.w, x.key, i + 1L)
+          }
+        })
+      .toDF()
+  }
+
   /** In-stream NEAR-dup suppression at signature grain: docs whose full
     * 32-hash MinHash signature matches an already-seen doc (exact dups
     * plus trivially-perturbed near-dups — signature equality ⇒ Jaccard
@@ -350,3 +391,16 @@ case class AnomEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, valu
 /** A flagged event: more than z·σ from the user's prior running mean. */
 case class Anomaly(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    value: Double, zscore: Double)
+
+/** Input slice for [[Streams.weightedSample]]: group, id, weight, and the
+  * plan-computed A-Res key. */
+case class WsEvent(grp: String, id: Long, w: Double, key: Double)
+
+/** One reservoir item: the A-Res key and the row it belongs to. */
+case class WsItem(key: Double, id: Long, w: Double)
+
+/** Per-group reservoir: the k largest-key items seen so far. */
+case class WsState(items: List[WsItem])
+
+/** Emitted sample row (rank 1 = largest key). */
+case class WsSample(grp: String, id: Long, w: Double, key: Double, rank: Long)

@@ -176,6 +176,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weightedSample equals the batch draw after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1L to 40L).map(i => (i, s"g${i % 2}", 0.1 + (i % 5) * 0.2))
+    val batch2 = (41L to 80L).map(i => (i, s"g${i % 2}", 0.1 + (i % 5) * 0.2))
+    val in = MemoryStream[(Long, String, Double)]
+    // capture each micro-batch's emission — the group's CURRENT sample —
+    // rather than relying on memory-sink row order across Update batches
+    @volatile var last: Set[(String, Long, Long)] = Set.empty
+    val q = Streams.weightedSample(
+      in.toDF().toDF("id", "grp", "w"), "grp", "id", "w", 5)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+        if (rows.nonEmpty) last = rows.toSet
+      }.start()
+    def batchDraw(rows: Seq[(Long, String, Double)]) =
+      graft.operators.Sampling.weightedSamplePerGroup(
+        rows.toDF("id", "grp", "w"), "grp", "id", "w", 5)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(4))).toSet
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(last == batchDraw(batch1), "prefix 1 mismatch")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(last == batchDraw(batch1 ++ batch2), "prefix 2 mismatch")
+      // re-ingesting already-sampled rows must not change the sample
+      in.addData(batch1.take(10): _*)
+      q.processAllAvailable()
+      assert(last == batchDraw(batch1 ++ batch2), "re-ingest changed the sample")
+    } finally q.stop()
+  }
+
   test("signatureDedup drops same-signature docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
