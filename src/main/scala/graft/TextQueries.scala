@@ -1595,8 +1595,51 @@ object TextQueries {
         CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY source, rank"""))
 
+  // q144 — PSI DRIFT monitor: population stability index of the quality
+  // distribution between two deterministic hash-halves of each source
+  // (stand-ins for "last week" vs "this week" snapshots). Add-one
+  // smoothed shares over the generated 10-bin spine; per-bin terms
+  // rounded at 1e-6 before the exact-decimal sum. On a homogeneous
+  // corpus PSI ≈ 0 — the all-clear reading a drift monitor must emit.
+  private val q144 = Q(
+    "q144_psi_drift",
+    (s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        least(floor(TextFns.qualityScore(col("text")) * 10), lit(9.0))
+          .cast("long").as("bin"),
+        pmod(TextFns.portableHash(
+          concat(col("doc_id").cast("string"), lit(":psi"))), lit(2L)).as("half"))
+      graft.operators.Profile.psiDrift(
+        scored.filter(col("half") === 0L), scored.filter(col("half") === 1L),
+        "source", "bin", 10)
+    },
+    Some(s"""WITH scored AS (SELECT doc_id, source,
+          CAST(least(floor(($qualityScoreSql) * 10), 9.0) AS BIGINT) AS bin,
+          ${hSql("CAST(doc_id AS VARCHAR) || ':psi'")} % 2 AS half
+        FROM documents),
+      rc AS (SELECT source AS g, bin, COUNT(*) AS rc FROM scored
+        WHERE half = 0 GROUP BY g, bin),
+      cc AS (SELECT source AS g, bin, COUNT(*) AS cc FROM scored
+        WHERE half = 1 GROUP BY g, bin),
+      groups AS (SELECT DISTINCT g FROM (SELECT g FROM rc UNION ALL SELECT g FROM cc)),
+      spine AS (SELECT g, b.range AS bin FROM groups CROSS JOIN range(0, 10) AS b),
+      j AS (SELECT s.g, s.bin, COALESCE(rc.rc, 0) AS rc, COALESCE(cc.cc, 0) AS cc
+        FROM spine s LEFT JOIN rc ON rc.g = s.g AND rc.bin = s.bin
+        LEFT JOIN cc ON cc.g = s.g AND cc.bin = s.bin),
+      tot AS (SELECT g, CAST(SUM(rc) AS BIGINT) AS n_ref,
+          CAST(SUM(cc) AS BIGINT) AS n_cur FROM j GROUP BY g),
+      terms AS (SELECT j.g, t.n_ref, t.n_cur,
+          ${Det.roundAtSql(
+            "((j.rc + 1.0) / (t.n_ref + 10) - (j.cc + 1.0) / (t.n_cur + 10)) * " +
+            "ln(((j.rc + 1.0) / (t.n_ref + 10)) / ((j.cc + 1.0) / (t.n_cur + 10)))", 6)} AS term
+        FROM j JOIN tot t ON t.g = j.g)
+      SELECT g AS source, n_ref, n_cur,
+        ${Det.roundAtSql("CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS psi
+      FROM terms GROUP BY g, n_ref, n_cur ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
-    q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143)
+    q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
+    q144)
 }

@@ -172,4 +172,45 @@ object Profile {
       .orderBy(desc("null_pct"), asc("column"))
       .limit(k)
       .select("column", "n_null", "null_pct")
+
+  /** Population-stability-index drift between a reference and a current
+    * snapshot of a binned metric, per group: PSI = Σᵢ (pᵢ−qᵢ)·ln(pᵢ/qᵢ)
+    * over `nBins` fixed bins — the standard "did this feature's
+    * distribution move?" monitor (PSI < 0.1 stable, > 0.25 drifted).
+    * Inputs carry (groupCol, binCol ∈ [0, nBins)); shares are add-one
+    * smoothed ((cnt+1)/(n+nBins)) so empty bins stay finite, the bin
+    * spine is generated (a group missing a bin still contributes its
+    * smoothed term), and each bin's term is rounded at 1e-6 before the
+    * exact-decimal sum — the Σ never sees double addition order.
+    *
+    * Scale shape: two bin-count aggregates (map-side combinable, output
+    * is groups×bins rows), a generated spine joined to both, and a
+    * per-group fold — no corpus-width shuffle beyond the counts.
+    * Returns (group, n_ref, n_cur, psi). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+               binCol: String, nBins: Int): DataFrame = {
+    def cnts(df: DataFrame, name: String) =
+      df.groupBy(col(groupCol).as("g"), col(binCol).as("bin"))
+        .agg(count(lit(1)).as(name))
+    val r = cnts(ref, "rc")
+    val c = cnts(cur, "cc")
+    val groups = r.select("g").union(c.select("g")).distinct()
+    val spine = groups.crossJoin(
+      ref.sparkSession.range(nBins).select(col("id").as("bin")))
+    val joined = spine
+      .join(r, Seq("g", "bin"), "left").join(c, Seq("g", "bin"), "left")
+      .withColumn("rc", coalesce(col("rc"), lit(0L)))
+      .withColumn("cc", coalesce(col("cc"), lit(0L)))
+    val tot = joined.groupBy("g")
+      .agg(sum("rc").as("n_ref"), sum("cc").as("n_cur"))
+    joined.join(tot, "g")
+      .withColumn("p", (col("rc") + lit(1)).cast(DoubleType) /
+        (col("n_ref") + lit(nBins)).cast(DoubleType))
+      .withColumn("q", (col("cc") + lit(1)).cast(DoubleType) /
+        (col("n_cur") + lit(nBins)).cast(DoubleType))
+      .withColumn("term", Det.roundAt((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      .groupBy(col("g").as(groupCol), col("n_ref"), col("n_cur"))
+      .agg(Det.roundAt(Det.dsum(col("term"), 6), 6).as("psi"))
+      .orderBy(groupCol)
+  }
 }

@@ -56,4 +56,25 @@ class EdaSpec extends SparkSpec {
     val cfg = Pipeline.Config.fromArgs(Seq(s"--config=$f", "--out=/cli/out", "--limite=2"))
     assert(cfg.inDir == "/from/file" && cfg.outDir == "/cli/out" && cfg.limit.contains(2))
   }
+
+  test("psiDrift: zero on identical distributions, large on a full shift") {
+    import graft.operators.Profile
+    def frame(bins: Seq[Int]) =
+      bins.map(b => ("s", b.toLong)).toDF("g", "bin")
+    val refBins = Seq.fill(10)(0) ++ Seq.fill(10)(1) ++ Seq.fill(10)(2)
+    val curShift = Seq.fill(10)(7) ++ Seq.fill(10)(8) ++ Seq.fill(10)(9)
+    val same = Profile.psiDrift(frame(refBins), frame(refBins), "g", "bin", 10)
+      .collect()(0)
+    assert(same.getLong(1) == 30L && same.getLong(2) == 30L)
+    assert(same.getDouble(3) == 0.0, s"identical halves must read PSI 0, got $same")
+    val moved = Profile.psiDrift(frame(refBins), frame(curShift), "g", "bin", 10)
+      .collect()(0).getDouble(3)
+    assert(moved > 1.0, s"full shift must read far above the 0.25 alarm, got $moved")
+    // a group present only in ref still emits a finite row (smoothing)
+    val lonely = Profile.psiDrift(
+      Seq(("only_ref", 0L)).toDF("g", "bin"), frame(refBins), "g", "bin", 10)
+    val rows = lonely.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == Set(("only_ref", 1L, 0L), ("s", 0L, 30L)))
+    assert(lonely.collect().forall(r => !r.getDouble(3).isNaN))
+  }
 }
