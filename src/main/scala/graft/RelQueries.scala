@@ -1857,10 +1857,41 @@ object RelQueries {
         COUNT(*) AS n_streaks, MAX(len) AS max_streak
       FROM streaks GROUP BY user_id ORDER BY user_id"""))
 
+  // q145 — the SQL-FIRST surface: Catalog.register exposes every table
+  // as a temp view and the query is ONE SQL string executed verbatim by
+  // BOTH engines — spark.sql(sql145) is the Spark plan, the identical
+  // text is the DuckDB oracle. Join→agg→window in the shared ANSI
+  // subset; decimal-exact revenue; every output cast-pinned. This is
+  // the interface a SQL-writing reference user switches to, proven
+  // dialect-portable character-for-character.
+  private val sql145 =
+    """SELECT r_name, o_year, revenue, n_items, yr_rank
+      FROM (
+        SELECT r_name, o_year, revenue, n_items,
+          CAST(RANK() OVER (PARTITION BY r_name
+            ORDER BY revenue DESC, o_year ASC) AS BIGINT) AS yr_rank
+        FROM (
+          SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+            CAST(COUNT(*) AS BIGINT) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, o_year
+        ) y
+      ) ranked
+      ORDER BY r_name, yr_rank, o_year"""
+  private val q145 = Q(
+    "q145_sql_interface",
+    (s, dir) => { graft.Catalog.register(s, dir); s.sql(sql145) },
+    Some(sql145))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
-    q124, q125, q126, q127, q128, q129, q132, q134, q135)
+    q124, q125, q126, q127, q128, q129, q132, q134, q135, q145)
 }

@@ -102,4 +102,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanIdx >= 0 && p.substring(scanIdx).contains("xxhash64(o_custkey"),
       s"q79 bloom prefilter is not keyed on the probe column:\n$p")
   }
+
+  test("Catalog temp views keep pruning and pushdown (SQL surface = DataFrame surface)") {
+    Catalog.register(spark, sf)
+    val p = spark.sql(
+      "SELECT l_orderkey FROM lineitem WHERE l_orderkey = 1")
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"),
+      s"filter not pushed through the temp view:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"scan reads more than the projected column:\n$p")
+  }
 }
