@@ -1888,10 +1888,254 @@ object RelQueries {
     (s, dir) => { graft.Catalog.register(s, dir); s.sql(sql145) },
     Some(sql145))
 
+  // q146 — LAG-k AUTOCORRELATION (ACF, lags 1–3) of the hourly event-count
+  // series per event type — the standard seasonality/burstiness diagnostic
+  // for telemetry. The raw events are reduced ONCE by a map-side-combinable
+  // groupBy to the (type, hour) series; lag pairs come from one window sort
+  // per type, restricted to buckets exactly k hours apart so calendar gaps
+  // never fabricate a pair. Counts are integers, so every cross-sum is
+  // decimal-exact and Pearson r is a deterministic double formula (guarded
+  // against zero variance) — bit-identical to the oracle. At 100 TB the
+  // window input is the bucketed series (calendar-bounded, ~10⁴ rows/key),
+  // not the raw rows; the heavy lifting stays in the first partial agg.
+  private val q146 = Q(
+    "q146_autocorr",
+    (s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+      val lagged = hourly.select(col("event_type"), col("h"), col("x"),
+        lag(col("x"), 1).over(w).as("x1"), lag(col("h"), 1).over(w).as("h1"),
+        lag(col("x"), 2).over(w).as("x2"), lag(col("h"), 2).over(w).as("h2"),
+        lag(col("x"), 3).over(w).as("x3"), lag(col("h"), 3).over(w).as("h3"))
+      def pairAt(k: Int, xk: org.apache.spark.sql.Column,
+                 hk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        struct(lit(k).as("lag_k"),
+          when(hk === col("h") - expr(s"INTERVAL $k HOURS"), xk).as("xk"))
+      val pairs = lagged
+        .select(col("event_type"), col("x"),
+          explode(array(pairAt(1, col("x1"), col("h1")),
+            pairAt(2, col("x2"), col("h2")),
+            pairAt(3, col("x3"), col("h3")))).as("p"))
+        .select(col("event_type"), col("p.lag_k").as("lag_k"),
+          col("x"), col("p.xk").as("xk"))
+        .filter(col("xk").isNotNull)
+      val n   = count(lit(1)).cast("double")
+      val sx  = Det.dsum(col("xk"), 0)
+      val sy  = Det.dsum(col("x"), 0)
+      val sxx = Det.dsum(col("xk") * col("xk"), 0)
+      val syy = Det.dsum(col("x") * col("x"), 0)
+      val sxy = Det.dsum(col("xk") * col("x"), 0)
+      val denomSq = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      pairs.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n_pairs"),
+          when(denomSq > 0,
+            Det.roundAt((n * sxy - sx * sy) / sqrt(denomSq), 6)).as("acf"))
+        .orderBy("event_type", "lag_k")
+    },
+    Some {
+      val n   = "CAST(COUNT(*) AS DOUBLE)"
+      val sx  = "CAST(SUM(CAST(xk AS DECIMAL(28,0))) AS DOUBLE)"
+      val sy  = "CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE)"
+      val sxx = "CAST(SUM(CAST(xk * xk AS DECIMAL(28,0))) AS DOUBLE)"
+      val syy = "CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE)"
+      val sxy = "CAST(SUM(CAST(xk * x AS DECIMAL(28,0))) AS DOUBLE)"
+      val denomSq = s"($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)"
+      s"""WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        lagged AS (SELECT event_type, h, x,
+            LAG(x, 1) OVER w AS x1, LAG(h, 1) OVER w AS h1,
+            LAG(x, 2) OVER w AS x2, LAG(h, 2) OVER w AS h2,
+            LAG(x, 3) OVER w AS x3, LAG(h, 3) OVER w AS h3
+          FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        pairs AS (
+          SELECT event_type, 1 AS lag_k, x, x1 AS xk FROM lagged
+            WHERE h1 = h - INTERVAL 1 HOUR
+          UNION ALL
+          SELECT event_type, 2 AS lag_k, x, x2 AS xk FROM lagged
+            WHERE h2 = h - INTERVAL 2 HOUR
+          UNION ALL
+          SELECT event_type, 3 AS lag_k, x, x3 AS xk FROM lagged
+            WHERE h3 = h - INTERVAL 3 HOUR)
+      SELECT event_type, lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CASE WHEN $denomSq > 0
+          THEN ${Det.roundAtSql(s"($n * $sxy - $sx * $sy) / sqrt($denomSq)", 6)}
+          ELSE NULL END AS acf
+      FROM pairs GROUP BY event_type, lag_k ORDER BY event_type, lag_k"""
+    })
+
+  // q147 — CUSUM CHANGEPOINT detection (Page 1954) on the hourly count
+  // series per event type: s_t = max(0, s_{t−1} + x_t − (μ + 0.5σ)),
+  // alarm when s_t > 4σ. μ/σ come from decimal-exact integer sums (one
+  // tiny per-key stats pass, broadcast back onto the series), the clamped
+  // recurrence runs in operators/Changepoint.cusum — one repartition +
+  // in-partition sort + O(n) mapPartitions scan, the same distributed-
+  // recurrence shape as q132's EWMA (max(0,·) has no prefix-sum closed
+  // form). The oracle replays the identical recurrence via a recursive
+  // CTE; fixed evaluation order makes every trajectory bit-identical.
+  // At 100 TB the sequential tail is the *bucketed* series (calendar-
+  // bounded), so per-key history length never grows with row count.
+  private val q147 = Q(
+    "q147_cusum",
+    (s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val series = hourly.withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("h")).cast("long"))
+      val stats = hourly.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("x"), 0).as("sx"),
+        Det.dsum(col("x") * col("x"), 0).as("sxx"))
+      val sigma = sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+      val d = stats.select(col("event_type"),
+        (col("sx") / col("n") + lit(0.5) * sigma).as("drift"),
+        (lit(4.0) * sigma).as("thr"))
+      val cus = graft.operators.Changepoint.cusum(
+        series.join(broadcast(d), "event_type"), "event_type", "rn", "x", "drift")
+      cus.join(broadcast(d), cus("k") === d("event_type"))
+        .groupBy(col("k").as("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          Det.roundAt(max(col("cusum")), 6).as("cusum_max"),
+          count(when(col("cusum") > col("thr"), lit(1))).as("n_alarms"),
+          min(when(col("cusum") > col("thr"), col("rn"))).as("first_alarm"))
+        .orderBy("event_type")
+    },
+    Some {
+      val sigma = "sqrt(sxx / n - (sx / n) * (sx / n))"
+      s"""WITH RECURSIVE hourly AS MATERIALIZED (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        series AS MATERIALIZED (SELECT event_type, x,
+            CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS rn
+          FROM hourly),
+        d AS MATERIALIZED (SELECT event_type,
+            sx / n + 0.5 * $sigma AS drift, 4.0 * $sigma AS thr
+          FROM (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+              CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+              CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx
+            FROM hourly GROUP BY 1)),
+        r AS (
+          SELECT s.event_type, s.rn, greatest(CAST(0 AS DOUBLE), s.x - d.drift) AS cs
+            FROM series s JOIN d USING (event_type) WHERE s.rn = 1
+          UNION ALL
+          SELECT s.event_type, s.rn, greatest(CAST(0 AS DOUBLE), r.cs + s.x - d.drift)
+            FROM r JOIN series s
+              ON s.event_type = r.event_type AND s.rn = r.rn + 1
+            JOIN d ON d.event_type = s.event_type)
+      SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        ${Det.roundAtSql("MAX(cs)", 6)} AS cusum_max,
+        CAST(COUNT(CASE WHEN cs > d.thr THEN 1 END) AS BIGINT) AS n_alarms,
+        MIN(CASE WHEN cs > d.thr THEN rn END) AS first_alarm
+      FROM r JOIN d ON d.event_type = r.event_type
+      GROUP BY r.event_type ORDER BY r.event_type"""
+    })
+
+  // q148 — BENFORD first-significant-digit audit of order totals: the
+  // classic fabricated-data / unit-mix quality check. The digit comes
+  // from a fixed-point DECIMAL(18,2) rendering (never the shortest-
+  // round-trip double string, which differs across engines) with leading
+  // zeros/points stripped; expected shares are pinned 6-dp literals in
+  // BOTH engines so no libm log10 enters the comparison. One partial-agg
+  // shuffle to 9 digit rows; the window total runs over those 9 rows
+  // post-aggregation, so the unpartitioned window is scale-free.
+  private val q148 = Q(
+    "q148_benford",
+    (s, dir) => {
+      val benford = typedLit(Map(
+        "1" -> 0.301030, "2" -> 0.176091, "3" -> 0.124939,
+        "4" -> 0.096910, "5" -> 0.079181, "6" -> 0.066947,
+        "7" -> 0.057992, "8" -> 0.051153, "9" -> 0.045757))
+      val firstDigit = substring(
+        regexp_replace(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          "^[0.]*", ""), 1, 1)
+      val counts = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(firstDigit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy().orderBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      val nD   = col("n").cast("double")
+      val totD = col("total").cast("double")
+      val expPct = element_at(benford, col("digit"))
+      val expN   = totD * expPct
+      counts.select(col("digit"), col("n"),
+          Det.roundAt(nD / totD, 6).as("obs_pct"),
+          expPct.as("benford_pct"),
+          Det.roundAt((nD - expN) * (nD - expN) / expN, 6).as("chi2_term"))
+        .orderBy("digit")
+    },
+    Some {
+      val bp = "CAST(CASE digit WHEN '1' THEN 0.301030 WHEN '2' THEN 0.176091 " +
+        "WHEN '3' THEN 0.124939 WHEN '4' THEN 0.096910 WHEN '5' THEN 0.079181 " +
+        "WHEN '6' THEN 0.066947 WHEN '7' THEN 0.057992 WHEN '8' THEN 0.051153 " +
+        "WHEN '9' THEN 0.045757 END AS DOUBLE)"
+      s"""WITH digits AS (SELECT substr(regexp_replace(
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '^[0.]*', ''),
+            1, 1) AS digit
+          FROM orders WHERE o_totalprice > 0),
+        counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+          FROM digits GROUP BY 1),
+        t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM counts)
+      SELECT digit, n,
+        ${Det.roundAtSql("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS obs_pct,
+        $bp AS benford_pct,
+        ${Det.roundAtSql(
+          s"(CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * $bp) * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * $bp) / (CAST(total AS DOUBLE) * $bp)", 6)} AS chi2_term
+      FROM t ORDER BY digit"""
+    })
+
+  // q149 — K-ANONYMITY / L-DIVERSITY privacy audit over quasi-identifier
+  // groups (nation × market segment): the release-readiness check for
+  // any dataset carrying person-grain rows. One map-side-combinable
+  // groupBy to QI-group grain (cardinality = the QI domain product, tiny
+  // by construction), then a single-row reduce: k = min group size,
+  // l = min distinct sensitive values (account-balance band) in a group,
+  // plus how many rows sit in groups below k=10 and the resulting
+  // suppression fraction. All-integer except the one rounded fraction —
+  // deterministic on both engines. At 100 TB this is one shuffle whose
+  // reduce-side cardinality is the QI domain, not the row count.
+  private val q149 = Q(
+    "q149_k_anonymity",
+    (s, dir) => {
+      val sens = when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "low").otherwise("high")
+      val atRisk = sum(when(col("n") < 10, col("n")).otherwise(0L))
+      tbl(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"), sens.as("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l"))
+        .agg(
+          min(col("n")).as("k_anonymity"),
+          min(col("l")).as("l_diversity"),
+          count(lit(1)).as("n_groups"),
+          count(when(col("n") < 10, lit(1))).as("n_small_groups"),
+          atRisk.as("rows_at_risk"),
+          Det.roundAt(atRisk.cast("double") / sum(col("n")).cast("double"), 6)
+            .as("risk_frac"))
+    },
+    Some(s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) AS BIGINT) AS l
+        FROM customer GROUP BY 1, 2)
+      SELECT MIN(n) AS k_anonymity, MIN(l) AS l_diversity,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(COUNT(CASE WHEN n < 10 THEN 1 END) AS BIGINT) AS n_small_groups,
+        CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        ${Det.roundAtSql(
+          "CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)", 6)} AS risk_frac
+      FROM g"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
-    q124, q125, q126, q127, q128, q129, q132, q134, q135, q145)
+    q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
+    q146, q147, q148, q149)
 }

@@ -1637,9 +1637,53 @@ object TextQueries {
         ${Det.roundAtSql("CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS psi
       FROM terms GROUP BY g, n_ref, n_cur ORDER BY source"""))
 
+  // q150 — TRAIN/EVAL SPLIT LEAKAGE audit: compose the q38 hash split
+  // (portable hash of doc_id, 90/5/5) with the q21 content fingerprint
+  // and count dup groups that straddle split boundaries — the standard
+  // "is my test set contaminated by training dups?" check run before any
+  // model training. Both building blocks are join-free hashes, so the
+  // whole audit is ONE fingerprint-grain shuffle + a single-row reduce;
+  // `n_eval_contaminated` is the headline number (val/test docs whose
+  // exact content also sits in train). At 100 TB this is exactly the
+  // exact-dedup plan shape with two extra counters — no new scaling
+  // surface, and swapping the fingerprint for a MinHash cluster id
+  // (q39) upgrades it to near-dup leakage with the same two shuffles.
+  private val q150 = Q(
+    "q150_split_leakage",
+    (s, dir) => {
+      val bucket = pmod(TextFns.portableHash(col("doc_id").cast("string")), lit(100L))
+      val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+      val groups = tbl(s, dir, "documents")
+        .select(TextFns.fingerprint(col("text")).as("fp"), split.as("split"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("split")).as("n_splits"),
+          count(when(col("split") === "train", lit(1))).as("n_train"))
+      groups.agg(
+        count(when(col("n") > 1, lit(1))).as("n_dup_groups"),
+        count(when(col("n_splits") > 1, lit(1))).as("n_leaked_groups"),
+        sum(when(col("n_splits") > 1, col("n")).otherwise(0L)).as("n_docs_in_leaked"),
+        sum(when(col("n_train") > 0, col("n") - col("n_train")).otherwise(0L))
+          .as("n_eval_contaminated"))
+    },
+    Some(s"""WITH fpt AS (SELECT ${hSql(norm)} AS fp,
+          CASE WHEN ${TextFns.portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+               WHEN ${TextFns.portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+          CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train
+        FROM fpt GROUP BY fp)
+      SELECT CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+        CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT) AS n_leaked_groups,
+        CAST(SUM(CASE WHEN n_splits > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_leaked,
+        CAST(SUM(CASE WHEN n_train > 0 THEN n - n_train ELSE 0 END) AS BIGINT) AS n_eval_contaminated
+      FROM g"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
-    q144)
+    q144, q150)
 }
