@@ -1980,9 +1980,12 @@ object RelQueries {
   private val q147 = Q(
     "q147_cusum",
     (s, dir) => {
-      val hourly = tbl(s, dir, "events")
+      // The tiny hourly aggregate feeds three branches (series, stats,
+      // thresholds) whose differing column pruning defeats exchange
+      // reuse — checkpoint it so the raw events are scanned ONCE.
+      val hourly = graft.operators.Ckpt.local(tbl(s, dir, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("x"))
+        .agg(count(lit(1)).as("x")))
       val series = hourly.withColumn("rn",
         row_number().over(Window.partitionBy("event_type").orderBy("h")).cast("long"))
       val stats = hourly.groupBy("event_type").agg(
