@@ -368,6 +368,63 @@ object Streams {
              finally in.close()
     Some((id, spark.read.parquet(new Path(root, s"v$id").toString)))
   }
+  /** Streaming CUSUM change detection — the online twin of
+    * [[graft.operators.Changepoint.cusum]] (q147's recurrence). Raw
+    * events reduce to per-(event_type, hour) counts INSIDE the state
+    * function (two chained stateful operators — windowed agg feeding
+    * flatMapGroupsWithState — are not a supported streaming topology, so
+    * the bucket build and the recurrence share one state scope): state
+    * holds the open buckets still inside the watermark plus ONE double
+    * of CUSUM state. When the watermark clears a bucket's end, the
+    * bucket finalizes — processed in bucket order, folded through
+    * `s = max(0, s + x − drift)`, emitted once (Append). Rows behind
+    * the watermark are dropped before the function, so a finalized
+    * bucket can never receive a late increment: after any prefix the
+    * emitted trajectory is bit-identical to the batch recurrence over
+    * the finalized buckets — the property StreamsSpec asserts against
+    * the real events table.
+    *
+    * `drift` (μ + κ, calibrated on history) is a parameter, as deployed
+    * monitors do — a live stream cannot know its own global mean. State
+    * is O(watermark horizon / grain) longs + one double per key,
+    * bounded at any stream length. */
+  def cusum(events: DataFrame, drift: Double,
+            watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourMs = 3600000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type").cast("string").as("event_type"))
+      .as[CuEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (k: String, it: Iterator[CuEvent], state: GroupState[CuState]) => {
+          val st = state.getOption.getOrElse(CuState(0.0, Map.empty))
+          val open = scala.collection.mutable.Map.empty[Long, Long] ++= st.open
+          it.foreach { e =>
+            val b = e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, HourMs)
+            open(b) = open.getOrElse(b, 0L) + 1L
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (done, keep) = open.toSeq.partition { case (b, _) => b + HourMs <= wm }
+          var s = st.s
+          val out = done.sortBy(_._1).map { case (b, x) =>
+            s = math.max(0.0, s + x - drift)
+            CusumPoint(k, new java.sql.Timestamp(b), x, s)
+          }
+          state.update(CuState(s, keep.toMap))
+          // a key with no fresh rows is only re-invoked via timeout: arm
+          // it at the earliest open bucket's end (strictly > wm by the
+          // partition above) so the watermark passing it finalizes the
+          // bucket even if this key never receives another event
+          if (keep.nonEmpty)
+            state.setTimeoutTimestamp(keep.map(_._1).min + HourMs)
+          out.iterator
+        })
+      .toDF()
+  }
 }
 
 /** One exploded (doc, band) row entering the streaming LSH index. */
@@ -404,3 +461,15 @@ case class WsState(items: List[WsItem])
 
 /** Emitted sample row (rank 1 = largest key). */
 case class WsSample(grp: String, id: Long, w: Double, key: Double, rank: Long)
+
+/** Input slice for [[Streams.cusum]]: event time + monitored key. */
+case class CuEvent(ts: java.sql.Timestamp, event_type: String)
+
+/** Per-key CUSUM state: the running statistic and the open (not yet
+  * watermark-finalized) hourly buckets' counts, keyed by bucket-start
+  * epoch millis. */
+case class CuState(s: Double, open: Map[Long, Long])
+
+/** One finalized bucket: its count and the CUSUM statistic after it. */
+case class CusumPoint(event_type: String, bucket: java.sql.Timestamp,
+                      x: Long, cusum: Double)

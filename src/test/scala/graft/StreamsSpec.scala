@@ -351,4 +351,73 @@ class StreamsSpec extends SparkSpec {
       assert(rows.map(_.getAs[String]("category")).toSeq == Seq("interactive", "passive"))
     } finally q.stop()
   }
+
+  test("cusum finalizes hourly buckets in order and keeps open ones back") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // drift 1.0: buckets 10h (x=2) and 11h (x=1) → s = 1.0, 1.0
+    val q = Streams.cusum(in.toDF(), drift = 1.0, watermark = "2 hours")
+      .writeStream.format("memory").queryName("cu").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 1.0),
+        Ev(3, Timestamp.valueOf("2024-01-01 11:05:00"), 1, "a", 1.0),
+        Ev(4, Timestamp.valueOf("2024-01-01 14:30:00"), 1, "a", 1.0))
+      q.processAllAvailable()
+      // two flush batches: the first advances max event time, the second
+      // runs with the watermark computed from it
+      in.addData(Ev(9, Timestamp.valueOf("2024-01-01 23:00:00"), 9, "zz", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(10, Timestamp.valueOf("2024-01-01 23:00:01"), 9, "zz", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cu").filter($"event_type" === "a")
+        .orderBy("bucket")
+        .select("bucket", "x", "cusum").as[(Timestamp, Long, Double)].collect().toList
+      // 14h bucket (end 15:00) is beyond the 21:00 watermark? no — it
+      // finalized too; all three real buckets are behind 23:00-2h
+      assert(got == List(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 1.0),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 14:00:00"), 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("cusum over the real events table equals the batch recurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    val drift = 1.5
+    val events = Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").as[Ev].collect()
+    val maxTs = events.map(_.ts.getTime).max
+    val in = MemoryStream[Ev]
+    val q = Streams.cusum(in.toDF(), drift = drift, watermark = "2 hours")
+      .writeStream.format("memory").queryName("custream").outputMode("append").start()
+    try {
+      events.grouped(300).foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      // two flush batches push the watermark past every real bucket
+      in.addData(Ev(-1, new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1, "zz_flush", 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(-2, new Timestamp(maxTs + 10L * 24 * 3600 * 1000 + 1000), -1, "zz_flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("custream").filter($"event_type" =!= "zz_flush")
+        .select("event_type", "bucket", "x", "cusum")
+        .as[(String, Timestamp, Long, Double)].collect().toSet
+      // batch twin: same hourly series, same pinned drift, same recurrence
+      val hourly = Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("bucket")))
+        .withColumn("drift", lit(drift))
+      val batch = graft.operators.Changepoint
+        .cusum(hourly, "event_type", "rn", "x", "drift")
+        .join(hourly.select(col("event_type").as("k"),
+          col("rn").cast("long").as("rn"), col("bucket"), col("x").as("bx")),
+          Seq("k", "rn"))
+        .select(col("k"), col("bucket"), col("bx"), col("cusum"))
+        .as[(String, Timestamp, Long, Double)].collect().toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
