@@ -2134,11 +2134,59 @@ object RelQueries {
           "CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)", 6)} AS risk_frac
       FROM g"""))
 
+  // q151 — POINT-IN-TIME (PIT) enrichment: join each fact row to the
+  // dimension interval that was valid WHEN THE FACT HAPPENED — the
+  // feature-store operation that prevents future-state leakage into
+  // training examples (an as-of join with explicit validity bounds).
+  // The dimension is q81's SCD2 relation (built by Cdc.scd2 from the
+  // same event log); each event then matches exactly ONE interval of
+  // its user: equi-join on the entity key with the range predicate as a
+  // residual — never an explode, never a cross product. At 100 TB this
+  // keeps the join a plain key-partitioned hash/merge join whose
+  // residual filters the handful of intervals per entity; the fact and
+  // dim branches scan the source twice but each prunes to 4 columns.
+  // `n_in_open` counts facts landing in a still-open (is_current)
+  // interval — the live-state fraction a monitoring dashboard tracks.
+  private val q151 = Q(
+    "q151_pit_enrich",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts").cast("long").as("sec"))
+      val dim = graft.operators.Cdc
+        .scd2(ev, "user_id", Seq("sec", "event_id"), "event_type")
+        .select(col("user_id").as("du"), col("event_type").as("state"),
+          col("sec").as("valid_from"), col("valid_to"))
+      val fact = ev.select(col("user_id"), col("sec").as("esec"))
+      fact.join(dim,
+          fact("user_id") === dim("du") && col("esec") >= col("valid_from") &&
+            (col("valid_to").isNull || col("esec") < col("valid_to")))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          count(when(col("valid_to").isNull, lit(1))).as("n_in_open"))
+        .orderBy("state")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+          epoch_ns(ts) // 1000000000 AS sec FROM events),
+      chg AS (SELECT *, LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM ev),
+      scd AS (SELECT user_id AS du, event_type AS state, sec AS valid_from,
+          LEAD(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS valid_to
+        FROM chg WHERE prev IS DISTINCT FROM event_type),
+      j AS (SELECT f.user_id, s.state, s.valid_to
+        FROM ev f JOIN scd s ON f.user_id = s.du
+          AND f.sec >= s.valid_from
+          AND (s.valid_to IS NULL OR f.sec < s.valid_to))
+      SELECT state, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        CAST(COUNT(CASE WHEN valid_to IS NULL THEN 1 END) AS BIGINT) AS n_in_open
+      FROM j GROUP BY state ORDER BY state"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
-    q146, q147, q148, q149)
+    q146, q147, q148, q149, q151)
 }
