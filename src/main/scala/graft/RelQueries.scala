@@ -2182,11 +2182,92 @@ object RelQueries {
         CAST(COUNT(CASE WHEN valid_to IS NULL THEN 1 END) AS BIGINT) AS n_in_open
       FROM j GROUP BY state ORDER BY state"""))
 
+  // q152 — APPROXIMATE QUERY PROCESSING: estimate a global revenue
+  // aggregate from a 1% deterministic hash sample and report the
+  // scaled estimate, the exact value, and whether the estimate landed
+  // inside a 5% relative band. The sample predicate is the SAME
+  // portable hash both engines compute, so the sampled row set — and
+  // therefore the estimate itself — is bit-identical, reproducible
+  // across retries, engines, and partitionings (the property ad-hoc
+  // TABLESAMPLE lacks). At 100 TB the full-scan exact arm disappears
+  // and only the 1%-selectivity scan runs — the entire point of AQP;
+  // the estimate pipeline is one partial agg over the surviving rows.
+  // Decimal-exact sums make the ×100 scale-up deterministic.
+  private val q152 = Q(
+    "q152_aqp_estimate",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val inSample = pmod(graft.functions.TextFns.portableHash(
+        concat(col("l_orderkey").cast("string"), lit(":aqp"))), lit(100L)) < 1
+      val est = li.filter(inSample)
+        .agg((Det.dsum(rev, 4) * lit(100.0)).as("est_revenue"),
+          count(lit(1)).as("n_sampled"))
+      val exact = li.agg(Det.dsum(rev, 4).as("exact_revenue"))
+      est.crossJoin(exact)
+        .select(col("n_sampled"), col("est_revenue"), col("exact_revenue"),
+          Det.roundAt(abs(col("est_revenue") - col("exact_revenue")) / col("exact_revenue"), 6)
+            .as("rel_err"),
+          (abs(col("est_revenue") - col("exact_revenue")) / col("exact_revenue") < 0.05)
+            .as("in_band"))
+    },
+    Some {
+      val h = graft.functions.TextFns.portableHashSql(
+        "(CAST(l_orderkey AS VARCHAR) || ':aqp')")
+      s"""WITH est AS (SELECT
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) * 100.0 AS est_revenue,
+            CAST(COUNT(*) AS BIGINT) AS n_sampled
+          FROM lineitem WHERE $h % 100 < 1),
+        ex AS (SELECT
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS exact_revenue
+          FROM lineitem)
+      SELECT n_sampled, est_revenue, exact_revenue,
+        ${Det.roundAtSql("abs(est_revenue - exact_revenue) / exact_revenue", 6)} AS rel_err,
+        abs(est_revenue - exact_revenue) / exact_revenue < 0.05 AS in_band
+      FROM est, ex"""
+    })
+
+  // q153 — the DISTRIBUTION-RANK window family (percent_rank /
+  // cume_dist / ntile / nth_value), completing §2.5's window coverage:
+  // top-3 orders per priority annotated with their full-partition rank
+  // statistics. percent_rank and cume_dist are integer-rank ratios —
+  // deterministic doubles — and the (totalprice DESC, orderkey) total
+  // order pins ties. The top-3 filter compiles to WindowGroupLimit, so
+  // only 3 rows per group survive the final sort; the rank statistics
+  // still see the whole partition in ONE window pass over one shuffle.
+  private val q153 = Q(
+    "q153_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          Det.roundAt(percent_rank().over(w), 6).as("pct_rank"),
+          Det.roundAt(cume_dist().over(w), 6).as("cum_dist"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("o_totalprice"), 3).over(w).as("third_price"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    },
+    Some(s"""WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER w AS rn,
+          ${Det.roundAtSql("PERCENT_RANK() OVER w", 6)} AS pct_rank,
+          ${Det.roundAtSql("CUME_DIST() OVER w", 6)} AS cum_dist,
+          NTILE(4) OVER w AS quartile,
+          NTH_VALUE(o_totalprice, 3) OVER w AS third_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey ASC))
+      SELECT o_orderpriority, o_orderkey, o_totalprice, rn, pct_rank,
+        cum_dist, quartile, third_price
+      FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
-    q146, q147, q148, q149, q151)
+    q146, q147, q148, q149, q151, q152, q153)
 }
