@@ -2263,11 +2263,51 @@ object RelQueries {
         cum_dist, quartile, third_price
       FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn"""))
 
+  // q154 — BLOCKED RECORD LINKAGE with a native Jaro–Winkler scorer:
+  // the entity-resolution shape — equi-join on a blocking key (nation)
+  // bounds the candidate pairs, the codegen'd JaroWinklerExpr scores
+  // them inside whole-stage codegen (no UDF boundary), and a 0.98
+  // threshold keeps probable same-entity pairs. The oracle's
+  // jaro_winkler_similarity is bit-identical to the native expression
+  // (byte-grain, same evaluation order), so even the raw-double ≥ 0.98
+  // cut agrees exactly. At 100 TB the blocking key is the entire scale
+  // story: candidates grow with Σ(block²), so production blocking adds
+  // finer keys (name prefix, phonetic bucket) — the plan shape (equi
+  // join + scored residual) is unchanged.
+  private val q154 = Q(
+    "q154_jw_linkage",
+    (s, dir) => {
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+      val a = c.select(col("c_custkey").as("id_a"), col("c_nationkey").as("nk"),
+        col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_nationkey").as("nk"),
+        col("c_name").as("name_b"))
+      a.join(b, Seq("nk")).filter(col("id_a") < col("id_b"))
+        .withColumn("jw", graft.plans.JaroWinklerExpr(col("name_a"), col("name_b")))
+        .filter(col("jw") >= 0.98)
+        .groupBy(col("nk").as("nation"))
+        .agg(count(lit(1)).as("n_linked"),
+          Det.roundAt(max(col("jw")), 6).as("max_jw"),
+          Det.dsum(Det.roundAt(col("jw"), 6), 6).as("jw_sum"))
+        .orderBy("nation")
+    },
+    Some(s"""WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer),
+      p AS (SELECT a.c_nationkey AS nation,
+          jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+        FROM c a JOIN c b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_linked,
+        ${Det.roundAtSql("MAX(jw)", 6)} AS max_jw,
+        CAST(SUM(CAST(${Det.roundAtSql("jw", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS jw_sum
+      FROM p WHERE jw >= 0.98
+      GROUP BY nation ORDER BY nation"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
-    q146, q147, q148, q149, q151, q152, q153)
+    q146, q147, q148, q149, q151, q152, q153, q154)
 }

@@ -34,7 +34,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hash60"),
       info("graft_hash60",
         "graft_hash60(s) - portable 60-bit content hash: value of the first 15 hex chars of md5(s) as bigint."),
-      (args: Seq[Expression]) => PortableHash60(args(0))))
+      (args: Seq[Expression]) => PortableHash60(args(0))),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity over utf8 bytes (p=0.1, prefix<=4, boost iff jaro>0.7)."),
+      (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))))
 
   /** Register into an existing session. The optimizer rule goes through
     * `experimental.extraOptimizations` (a built session's rule batches
