@@ -2303,11 +2303,81 @@ object RelQueries {
       FROM p WHERE jw >= 0.98
       GROUP BY nation ORDER BY nation"""))
 
+  // q155 — POISSON BOOTSTRAP standard error of a mean: the distributed
+  // bootstrap — at 100 TB you cannot resample n rows with replacement
+  // globally, but Poisson(1) per-row replica weights are exchangeable
+  // with multinomial resampling (Chamandy et al., Google 2012) and need
+  // NO coordination: each row draws its weight for each of B=32
+  // replicas from a deterministic portable-hash uniform through the
+  // pinned Poisson(1) inverse CDF. The ×B explode is pipelined (never
+  // materialized) and the per-replica partial aggregate collapses to B
+  // rows per partition before the one shuffle; hash uniforms make every
+  // replica — and so the SE — bit-identical across engines, retries,
+  // and partitionings. Replica means use decimal-exact sums; the SE is
+  // the fixed dstddev formula over the 32 rounded replica estimates.
+  private val q155 = Q(
+    "q155_bootstrap_se",
+    (s, dir) => {
+      val B = 32
+      // cumulative Poisson(1) CDF, pinned to the same literals in both
+      // engines: P(X<=k) for k=0..8, else weight 9
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119, 0.9999897508033253, 0.9999988747974017)
+      val reps = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(array((0 until B).map(lit(_)): _*)).as("b"))
+      val u = (pmod(graft.functions.TextFns.portableHash(
+        concat(col("o_orderkey").cast("string"), lit(":bs:"), col("b").cast("string"))),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      val w = cdf.zipWithIndex.foldRight(lit(9): org.apache.spark.sql.Column) {
+        case ((c, k), rest) => when(u < c, k).otherwise(rest)
+      }
+      val est = reps.withColumn("w", w)
+        .groupBy("b")
+        .agg((Det.dsum(col("w") * col("o_totalprice"), 2) /
+          sum(col("w")).cast("double")).as("est"))
+      val r6 = Det.roundAt(col("est"), 6)
+      val n = count(lit(1)).cast("double")
+      val s1 = Det.dsum(r6, 6)
+      val s2 = Det.dsum(r6 * r6, 12)
+      est.agg(count(lit(1)).as("n_reps"),
+        Det.roundAt(s1 / n, 6).as("boot_mean"),
+        Det.roundAt(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 6).as("boot_se"))
+    },
+    Some {
+      val h = graft.functions.TextFns.portableHashSql(
+        "(CAST(o_orderkey AS VARCHAR) || ':bs:' || CAST(b AS VARCHAR))")
+      val cdf = Seq("0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+        "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+        "0.9999167588507119", "0.9999897508033253", "0.9999988747974017")
+      val wCase = "CASE " + cdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ") + " ELSE 9 END"
+      val r6 = Det.roundAtSql("est", 6)
+      s"""WITH reps AS (SELECT o_orderkey, o_totalprice, b,
+            (CAST($h % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+          FROM orders CROSS JOIN (SELECT unnest(range(32)) AS b)),
+        wtd AS (SELECT b, $wCase AS w, o_totalprice FROM reps),
+        e AS (SELECT b,
+            CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,2))) AS DOUBLE) /
+              CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS est
+          FROM wtd GROUP BY b),
+        r AS (SELECT $r6 AS r6 FROM e)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(r6 AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS boot_mean,
+        ${Det.roundAtSql(
+          "sqrt((CAST(SUM(CAST(r6 * r6 AS DECIMAL(28,12))) AS DOUBLE) - " +
+          "CAST(SUM(CAST(r6 AS DECIMAL(28,6))) AS DOUBLE) * CAST(SUM(CAST(r6 AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / " +
+          "(CAST(COUNT(*) AS DOUBLE) - 1.0))", 6)} AS boot_se
+      FROM r"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
-    q146, q147, q148, q149, q151, q152, q153, q154)
+    q146, q147, q148, q149, q151, q152, q153, q154, q155)
 }
