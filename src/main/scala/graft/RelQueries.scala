@@ -2337,13 +2337,18 @@ object RelQueries {
         .groupBy("b")
         .agg((Det.dsum(col("w") * col("o_totalprice"), 2) /
           sum(col("w")).cast("double")).as("est"))
-      val r6 = Det.roundAt(col("est"), 6)
+      // quantize each replica estimate to an exact 1e-6-grain integer:
+      // second moments then stay in exact decimal integers — no
+      // double→decimal cast of large-magnitude squares, whose rounding
+      // rule differs between engines (shortest-string vs exact-binary)
+      val qv = floor(col("est") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)")
       val n = count(lit(1)).cast("double")
-      val s1 = Det.dsum(r6, 6)
-      val s2 = Det.dsum(r6 * r6, 12)
+      val s1 = sum(qv).cast("double")
+      val s2 = sum(qv * qv).cast("double")
       est.agg(count(lit(1)).as("n_reps"),
-        Det.roundAt(s1 / n, 6).as("boot_mean"),
-        Det.roundAt(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 6).as("boot_se"))
+        Det.roundAt(s1 / n / lit(1000000.0), 6).as("boot_mean"),
+        Det.roundAt(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))) / lit(1000000.0), 6)
+          .as("boot_se"))
     },
     Some {
       val h = graft.functions.TextFns.portableHashSql(
@@ -2353,7 +2358,6 @@ object RelQueries {
         "0.9999167588507119", "0.9999897508033253", "0.9999988747974017")
       val wCase = "CASE " + cdf.zipWithIndex
         .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ") + " ELSE 9 END"
-      val r6 = Det.roundAtSql("est", 6)
       s"""WITH reps AS (SELECT o_orderkey, o_totalprice, b,
             (CAST($h % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
           FROM orders CROSS JOIN (SELECT unnest(range(32)) AS b)),
@@ -2362,15 +2366,135 @@ object RelQueries {
             CAST(SUM(CAST(w * o_totalprice AS DECIMAL(28,2))) AS DOUBLE) /
               CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS est
           FROM wtd GROUP BY b),
-        r AS (SELECT $r6 AS r6 FROM e)
+        r AS (SELECT CAST(floor(est * 1000000.0 + 0.5) AS DECIMAL(38,0)) AS qv FROM e)
       SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
         ${Det.roundAtSql(
-          "CAST(SUM(CAST(r6 AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS boot_mean,
+          "CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0", 6)} AS boot_mean,
         ${Det.roundAtSql(
-          "sqrt((CAST(SUM(CAST(r6 * r6 AS DECIMAL(28,12))) AS DOUBLE) - " +
-          "CAST(SUM(CAST(r6 AS DECIMAL(28,6))) AS DOUBLE) * CAST(SUM(CAST(r6 AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / " +
-          "(CAST(COUNT(*) AS DOUBLE) - 1.0))", 6)} AS boot_se
+          "sqrt((CAST(SUM(qv * qv) AS DOUBLE) - " +
+          "CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / " +
+          "(CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1000000.0", 6)} AS boot_se
       FROM r"""
+    })
+
+  // q156 — DELETION PROPAGATION (right-to-be-forgotten): cascade a
+  // customer deletion list through its foreign-key children and report
+  // the audit a compliance run needs — per-table before/deleted/after
+  // counts plus a POST-deletion orphan check that must come back zero.
+  // The deletion list is tiny relative to the corpus, so every cascade
+  // step is a BROADCAST anti join (the fact tables never shuffle); the
+  // orphan check reuses the same broadcast. At 100 TB this is the only
+  // viable shape: no fact-side shuffle, one scan per table, and the
+  // deletion set rides the driver→executor broadcast path. Deterministic
+  // list (acctbal < −900) stands in for the request queue.
+  private val q156 = Q(
+    "q156_forget",
+    (s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      val del = broadcast(cust.filter(col("c_acctbal") < -900)
+        .select(col("c_custkey").as("dk")))
+      val delo = broadcast(orders
+        .join(del, orders("o_custkey") === col("dk"), "left_semi")
+        .select(col("o_orderkey").as("dok")))
+      def audit(df: org.apache.spark.sql.DataFrame, name: String,
+                flag: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_before"),
+            count(when(flag, lit(1))).as("n_deleted"))
+          .select(lit(name).as("tbl"), col("n_before"), col("n_deleted"))
+      val custA = audit(cust, "customer", col("c_acctbal") < -900)
+      val ordA = audit(orders.join(del,
+        orders("o_custkey") === col("dk"), "left").withColumn("f", col("dk").isNotNull),
+        "orders", col("f"))
+      val liA = audit(li.join(delo,
+        li("l_orderkey") === col("dok"), "left").withColumn("f", col("dok").isNotNull),
+        "lineitem", col("f"))
+      // independent post-deletion referential check: kept lineitems whose
+      // parent order no longer exists (must be 0 — a genuine FK pass over
+      // the kept relations, not a restatement of the cascade predicate)
+      val keptOrders = orders.join(del, orders("o_custkey") === col("dk"), "left_anti")
+      val keptLi = li.join(delo, li("l_orderkey") === col("dok"), "left_anti")
+      val orphans = keptLi.join(keptOrders,
+          keptLi("l_orderkey") === keptOrders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans_after"))
+      custA.union(ordA).union(liA)
+        .crossJoin(orphans)
+        .select(col("tbl"), col("n_before"), col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"), col("orphans_after"))
+        .orderBy("tbl")
+    },
+    Some("""WITH del AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900),
+      delo AS (SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del)),
+      kept_o AS (SELECT o_orderkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM del)),
+      kept_l AS (SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)),
+      orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphans_after FROM kept_l
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM kept_o)),
+      s AS (
+        SELECT 'customer' AS tbl, (SELECT COUNT(*) FROM customer) AS n_before,
+          (SELECT COUNT(*) FROM del) AS n_deleted
+        UNION ALL
+        SELECT 'orders', (SELECT COUNT(*) FROM orders),
+          (SELECT COUNT(*) FROM delo)
+        UNION ALL
+        SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+          (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM delo)))
+      SELECT tbl, CAST(n_before AS BIGINT) AS n_before,
+        CAST(n_deleted AS BIGINT) AS n_deleted,
+        CAST(n_before - n_deleted AS BIGINT) AS n_after, orphans_after
+      FROM s, orph ORDER BY tbl"""))
+
+  // q157 — LEAVE-ONE-OUT TARGET ENCODING: the supervised categorical
+  // feature — each row's category encoded as the mean target of all
+  // OTHER rows in the category, (S − xᵢ)/(n − 1), so a row never leaks
+  // its own label into its feature (the whole point vs plain mean
+  // encoding). One window pass per category partition computes (S, n)
+  // exactly in decimal; the per-row encode is then embarrassingly
+  // parallel. The audit output groups back per category: mean of LOO
+  // encodes (≡ the plain mean — an identity the oracle re-derives) and
+  // their spread, all from exact sums of 6-dp-rounded encodes.
+  private val q157 = Q(
+    "q157_target_encode",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+      val enc = tbl(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          ((sum(col("o_totalprice").cast("decimal(28,2)")).over(w).cast("double") -
+            col("o_totalprice")) /
+            (count(lit(1)).over(w) - lit(1)).cast("double")).as("loo"))
+      // integer-quantized moments (1e-6 grain): exact decimal sums, no
+      // engine-divergent double→decimal cast of large squares
+      val qv = floor(col("loo") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)")
+      val n = count(lit(1)).cast("double")
+      val s1 = sum(qv).cast("double")
+      val s2 = sum(qv * qv).cast("double")
+      enc.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Det.roundAt(s1 / n / lit(1000000.0), 6).as("mean_loo"),
+          Det.roundAt(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))) / lit(1000000.0), 6)
+            .as("sd_loo"))
+        .orderBy("o_orderpriority")
+    },
+    Some {
+      s"""WITH enc AS (SELECT o_orderpriority,
+            (CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER
+                (PARTITION BY o_orderpriority) AS DOUBLE) - o_totalprice) /
+              CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) - 1 AS DOUBLE) AS loo
+          FROM orders),
+        r AS (SELECT o_orderpriority,
+            CAST(floor(loo * 1000000.0 + 0.5) AS DECIMAL(38,0)) AS qv FROM enc)
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        ${Det.roundAtSql(
+          "CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0", 6)} AS mean_loo,
+        ${Det.roundAtSql(
+          "sqrt((CAST(SUM(qv * qv) AS DOUBLE) - " +
+          "CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / " +
+          "(CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1000000.0", 6)} AS sd_loo
+      FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     })
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2379,5 +2503,5 @@ object RelQueries {
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
-    q146, q147, q148, q149, q151, q152, q153, q154, q155)
+    q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157)
 }
