@@ -3,6 +3,7 @@ package graft
 import graft.functions.{Det, TextFns}
 import graft.operators.Dedup
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication workload over the `documents` table
@@ -1637,53 +1638,122 @@ object TextQueries {
         ${Det.roundAtSql("CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS psi
       FROM terms GROUP BY g, n_ref, n_cur ORDER BY source"""))
 
-  // q150 — TRAIN/EVAL SPLIT LEAKAGE audit: compose the q38 hash split
-  // (portable hash of doc_id, 90/5/5) with the q21 content fingerprint
-  // and count dup groups that straddle split boundaries — the standard
-  // "is my test set contaminated by training dups?" check run before any
-  // model training. Both building blocks are join-free hashes, so the
-  // whole audit is ONE fingerprint-grain shuffle + a single-row reduce;
-  // `n_eval_contaminated` is the headline number (val/test docs whose
-  // exact content also sits in train). At 100 TB this is exactly the
-  // exact-dedup plan shape with two extra counters — no new scaling
-  // surface, and swapping the fingerprint for a MinHash cluster id
-  // (q39) upgrades it to near-dup leakage with the same two shuffles.
+  // q150 — TRAIN/EVAL SPLIT LEAKAGE audit at NEAR-DUP grain: compose
+  // the q38 hash split (portable hash of doc_id, 90/5/5) with the q39
+  // LSH dup clusters and count clusters that straddle split boundaries
+  // — the "is my test set contaminated by training near-dups?" check
+  // run before any model training. (Exact-fingerprint grain would be
+  // vacuous here: the corpus has no exact dups — the near-dup graph is
+  // the label that stays nontrivial at every scale.)
+  // `n_eval_contaminated` is the headline number: val/test docs whose
+  // cluster also has a member in train. At 100 TB the cost is the q39
+  // cluster build itself; the audit on top is one cluster-grain shuffle
+  // + a single-row reduce.
   private val q150 = Q(
     "q150_split_leakage",
     (s, dir) => {
-      val bucket = pmod(TextFns.portableHash(col("doc_id").cast("string")), lit(100L))
+      val cl = Dedup.clusters(Dedup.minhashLshPairs(tbl(s, dir, "documents"),
+        "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5))
+      val bucket = pmod(TextFns.portableHash(col("id").cast("string")), lit(100L))
       val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-      val groups = tbl(s, dir, "documents")
-        .select(TextFns.fingerprint(col("text")).as("fp"), split.as("split"))
-        .groupBy("fp")
+      val groups = cl.withColumn("split", split)
+        .groupBy("cluster")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("split")).as("n_splits"),
           count(when(col("split") === "train", lit(1))).as("n_train"))
       groups.agg(
-        count(when(col("n") > 1, lit(1))).as("n_dup_groups"),
+        count(lit(1)).as("n_dup_groups"),
         count(when(col("n_splits") > 1, lit(1))).as("n_leaked_groups"),
         sum(when(col("n_splits") > 1, col("n")).otherwise(0L)).as("n_docs_in_leaked"),
         sum(when(col("n_train") > 0, col("n") - col("n_train")).otherwise(0L))
           .as("n_eval_contaminated"))
     },
-    Some(s"""WITH fpt AS (SELECT ${hSql(norm)} AS fp,
-          CASE WHEN ${TextFns.portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
-               WHEN ${TextFns.portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+    Some(s"""WITH $minhashCtes, $ccCtes,
+      lab AS (SELECT cluster,
+          CASE WHEN ${TextFns.portableHashSql("CAST(id AS VARCHAR)")} % 100 < 90 THEN 'train'
+               WHEN ${TextFns.portableHashSql("CAST(id AS VARCHAR)")} % 100 < 95 THEN 'val'
                ELSE 'test' END AS split
-        FROM documents),
-      g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n,
+        FROM cc),
+      g AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
           CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train
-        FROM fpt GROUP BY fp)
-      SELECT CAST(COUNT(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+        FROM lab GROUP BY cluster)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
         CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT) AS n_leaked_groups,
         CAST(SUM(CASE WHEN n_splits > 1 THEN n ELSE 0 END) AS BIGINT) AS n_docs_in_leaked,
         CAST(SUM(CASE WHEN n_train > 0 THEN n - n_train ELSE 0 END) AS BIGINT) AS n_eval_contaminated
       FROM g"""))
 
+  // q158 — AUC (Mann–Whitney) of the quality score as a NEAR-DUP
+  // predictor: the eval-harness metric for any scorer in the curation
+  // funnel, with the positive class taken from the q22 LSH pipeline's
+  // verified pairs (the corpus has no exact dups — a label that is
+  // nontrivial at every scale). Computed WITHOUT a global row-grain
+  // rank: scores quantize to their exact 1e-6 grain (qualityScore is
+  // already 6-dp), reduce to a score-grain histogram of (n_pos, n_neg)
+  // — bounded by the 10⁶ score domain, not the corpus — and the
+  // rank-sum numerator folds over that histogram with one running
+  // window (ties get the exact midrank via the ×2-integer form). All
+  // integer arithmetic until the final guarded division. At 100 TB the
+  // only corpus-grain work is the LSH label build (q22's plan) and the
+  // histogram's partial agg; the positive-id set rides a broadcast.
+  private val q158 = Q(
+    "q158_auc",
+    (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val dupIds = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+      val scored = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(TextFns.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("q"))
+      val labeled = scored
+        .join(broadcast(dupIds), scored("doc_id") === dupIds("id"), "left")
+        .withColumn("is_dup", col("id").isNotNull)
+      val hist = labeled.groupBy("q")
+        .agg(count(when(col("is_dup"), lit(1))).as("n_pos"),
+          count(when(!col("is_dup"), lit(1))).as("n_neg"))
+      val wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cumneg_lt", coalesce(sum(col("n_neg")).over(wq), lit(0L)))
+        .agg(sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"),
+          sum(col("n_pos") * (lit(2) * col("cumneg_lt") + col("n_neg"))).as("num2"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          when(col("np") > 0 && col("nn") > 0,
+            Det.roundAt(col("num2").cast("double") /
+              (lit(2.0) * col("np").cast("double") * col("nn").cast("double")), 6))
+            .as("auc"))
+    },
+    Some(s"""WITH $minhashCtes,
+      vp AS (SELECT id_a, id_b FROM cand
+        WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+      ids AS (SELECT DISTINCT id FROM
+        (SELECT id_a AS id FROM vp UNION ALL SELECT id_b FROM vp)),
+      scored AS (SELECT doc_id,
+          CAST(floor($qualityScoreSql * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM documents),
+      lab AS (SELECT q, doc_id IN (SELECT id FROM ids) AS is_dup FROM scored),
+      hist AS (SELECT q,
+          CAST(COUNT(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_pos,
+          CAST(COUNT(CASE WHEN NOT is_dup THEN 1 END) AS BIGINT) AS n_neg
+        FROM lab GROUP BY q),
+      c AS (SELECT n_pos, n_neg,
+          COALESCE(SUM(n_neg) OVER (ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg_lt
+        FROM hist),
+      a AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+          CAST(SUM(n_neg) AS BIGINT) AS nn,
+          CAST(SUM(n_pos * (2 * cumneg_lt + n_neg)) AS BIGINT) AS num2 FROM c)
+      SELECT np AS n_pos, nn AS n_neg,
+        CASE WHEN np > 0 AND nn > 0 THEN ${Det.roundAtSql(
+          "CAST(num2 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))", 6)}
+        ELSE NULL END AS auc
+      FROM a"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
-    q144, q150)
+    q144, q150, q158)
 }

@@ -368,6 +368,26 @@ object Streams {
              finally in.close()
     Some((id, spark.read.parquet(new Path(root, s"v$id").toString)))
   }
+  /** Streaming point-in-time enrichment — the online twin of q151's PIT
+    * join: each arriving fact row joins the (static, periodically
+    * rebuilt) SCD2 dimension on the entity key, with the validity range
+    * as a residual predicate, so a fact is only ever enriched with the
+    * dimension state that was current AT ITS EVENT TIME — late-arriving
+    * facts in particular do NOT see newer dimension rows. Stream-static
+    * joins are stateless in Spark (the static side is re-read per
+    * micro-batch, broadcast when small), so this scales with the batch,
+    * not the stream history. Left join keeps facts from entities absent
+    * in the dimension. */
+  def pitEnrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+                dimKey: String, tsCol: String,
+                validFrom: String = "valid_from",
+                validTo: String = "valid_to"): DataFrame =
+    stream.join(dim,
+      stream(streamKey) === dim(dimKey) &&
+        stream(tsCol).cast("long") >= dim(validFrom) &&
+        (dim(validTo).isNull || stream(tsCol).cast("long") < dim(validTo)),
+      "left")
+
   /** Streaming CUSUM change detection — the online twin of
     * [[graft.operators.Changepoint.cusum]] (q147's recurrence). Raw
     * events reduce to per-(event_type, hour) counts INSIDE the state

@@ -352,6 +352,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pitEnrich joins each streamed fact to its event-time-valid interval") {
+    implicit val sqlCtx = spark.sqlContext
+    // static SCD2 dim from the real sf0.001 events; stream the same
+    // events and require every fact to land in exactly one interval,
+    // with the state equal to the q151 batch join's answer
+    val ev = Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+    val dim = graft.operators.Cdc.scd2(ev, "user_id", Seq("sec", "event_id"), "event_type")
+      .select(col("user_id").as("du"), col("event_type").as("state"),
+        col("sec").as("valid_from"), col("valid_to"))
+    dim.cache().count()
+    val batch = ev.select(col("event_id"), col("user_id"), col("sec").as("esec"))
+      .join(dim, col("user_id") === col("du") && col("esec") >= col("valid_from") &&
+        (col("valid_to").isNull || col("esec") < col("valid_to")))
+      .select(col("event_id"), col("state")).as[(Long, String)].collect().toMap
+    val events = Queries.tbl(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").as[Ev].collect()
+    val in = MemoryStream[Ev]
+    val q = Streams.pitEnrich(in.toDF(), dim, "user_id", "du", "ts")
+      .select(col("event_id"), col("state"))
+      .writeStream.format("memory").queryName("pit").outputMode("append").start()
+    try {
+      events.grouped(500).foreach { chunk => in.addData(chunk.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("pit").as[(Long, String)].collect()
+      assert(streamed.length == events.length) // exactly one interval per fact
+      assert(streamed.toMap == batch)
+    } finally { q.stop(); dim.unpersist() }
+  }
+
   test("cusum finalizes hourly buckets in order and keeps open ones back") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
