@@ -710,9 +710,10 @@ object TextQueries {
   // linear idf + fixed-order double arithmetic keep scores bit-equal in
   // both engines (every SQL literal is CAST to DOUBLE so DuckDB's
   // decimal literal arithmetic cannot fold differently than Catalyst).
-  /** Full BM25 SQL mirror of [[graft.operators.Rank.bm25TopK]] — shared
-    * by q83 and the q95 hybrid-search fusion. */
-  private[graft] def bm25Sql(termsSql: String, topK: Int): String = {
+  /** CTE body of the BM25 mirror (ends at the full per-term ranking
+    * `r`) — shared by q83/q95 (top-k slice) and q159 (NDCG eval over the
+    * whole ranking). */
+  private[graft] def bm25Ctes(termsSql: String): String = {
     val k1 = "CAST(1.2 AS DOUBLE)"
     val b = "CAST(0.75 AS DOUBLE)"
     val score = Det.roundAtSql(
@@ -722,7 +723,7 @@ object TextQueries {
         / (CAST(tf AS DOUBLE) + $k1 *
            (CAST(1 AS DOUBLE) - $b + $b * CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
             / CAST(sumdl AS DOUBLE)))""", 6)
-    s"""WITH base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+    s"""base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
       stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
       t AS (SELECT doc_id, u.term AS term FROM documents, unnest($toks) AS u(term)
         WHERE u.term IN ($termsSql)),
@@ -732,10 +733,15 @@ object TextQueries {
         FROM tf JOIN base USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
       r AS (SELECT term, doc_id, tf, df, score,
         ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rank
-        FROM scored)
+        FROM scored)"""
+  }
+
+  /** Full BM25 SQL mirror of [[graft.operators.Rank.bm25TopK]] — shared
+    * by q83 and the q95 hybrid-search fusion. */
+  private[graft] def bm25Sql(termsSql: String, topK: Int): String =
+    s"""WITH ${bm25Ctes(termsSql)}
     SELECT term, doc_id, tf, df, score, rank FROM r WHERE rank <= $topK
     ORDER BY term, rank"""
-  }
 
   private val q83 = Q(
     "q83_bm25_topk",
@@ -1751,9 +1757,84 @@ object TextQueries {
         ELSE NULL END AS auc
       FROM a"""))
 
+  // q159 — NDCG@10 evaluation of the q83 BM25 ranker: the offline
+  // ranking-quality metric of any retrieval stack. Graded relevance is
+  // rel = min(tf, 3) (a label a click-free offline eval can always
+  // derive); DCG folds the rank-discounted gains over the BM25 order,
+  // IDCG over the ideal (rel-sorted, doc_id tie-broken) order, both at
+  // k=10. Two portability moves: the log2 discount weights are computed
+  // ONCE here in Scala and embedded as identical double literals in
+  // both engines (log2 itself is not bit-portable across libms), and
+  // each addend quantizes to exact micro-units (floor((g·w)·1e6 + 0.5)
+  // as BIGINT) so per-term sums are integer-exact regardless of
+  // aggregation order. Scale shape: rides q83's plan — term-filtered
+  // posting lists only, never the corpus; the additions are one
+  // rel-order window per term (posting-list-sized partitions) and a
+  // term-grain aggregate.
+  private val ndcgK = 10
+  private val ndcgW: Seq[Double] =
+    (1 to ndcgK).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private val q159 = Q(
+    "q159_ndcg",
+    (s, dir) => {
+      val full = graft.operators.Rank.bm25TopK(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "window", "merge"), topK = Int.MaxValue)
+      val gains = array(Seq(0L, 1L, 3L, 7L).map(lit): _*) // (2^rel − 1)
+      val wArr = array(ndcgW.map(lit): _*)
+      val wIdeal = Window.partitionBy("term").orderBy(desc("rel"), asc("doc_id"))
+      def microGain(rankCol: Column): Column =
+        floor((element_at(gains, col("rel") + 1).cast("double") *
+          element_at(wArr, rankCol.cast("int"))) * lit(1000000.0) + lit(0.5))
+          .cast("long")
+      full
+        .withColumn("rel", least(col("tf"), lit(3L)).cast("int"))
+        .withColumn("irank", row_number().over(wIdeal).cast("long"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_cands"),
+          sum(when(col("rank") <= ndcgK, microGain(col("rank")))
+            .otherwise(0L)).as("dcg_u"),
+          sum(when(col("irank") <= ndcgK, microGain(col("irank")))
+            .otherwise(0L)).as("idcg_u"))
+        .select(col("term"), col("n_cands"),
+          (col("dcg_u").cast("double") / lit(1000000.0)).as("dcg"),
+          (col("idcg_u").cast("double") / lit(1000000.0)).as("idcg"),
+          when(col("idcg_u") > 0,
+            Det.roundAt(col("dcg_u").cast("double") /
+              col("idcg_u").cast("double"), 6)).as("ndcg"))
+        .orderBy("term")
+    },
+    Some({
+      val wCase = (1 to ndcgK)
+        .map(r => s"WHEN $r THEN CAST('${ndcgW(r - 1)}' AS DOUBLE)")
+        .mkString(" ")
+      val gainCase = "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END"
+      def microGainSql(rankExpr: String) =
+        s"""CAST(floor((CAST($gainCase AS DOUBLE) *
+            (CASE $rankExpr $wCase END)) * 1000000.0 + 0.5) AS BIGINT)"""
+      s"""WITH ${bm25Ctes("'join', 'window', 'merge'")},
+        g AS (SELECT term, doc_id, rank, CAST(least(tf, 3) AS INTEGER) AS rel FROM r),
+        gi AS (SELECT term, rank, rel,
+            ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id ASC) AS irank
+          FROM g),
+        a AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_cands,
+            CAST(SUM(CASE WHEN rank <= $ndcgK THEN ${microGainSql("rank")}
+              ELSE 0 END) AS BIGINT) AS dcg_u,
+            CAST(SUM(CASE WHEN irank <= $ndcgK THEN ${microGainSql("irank")}
+              ELSE 0 END) AS BIGINT) AS idcg_u
+          FROM gi GROUP BY term)
+      SELECT term, n_cands,
+        CAST(dcg_u AS DOUBLE) / 1000000.0 AS dcg,
+        CAST(idcg_u AS DOUBLE) / 1000000.0 AS idcg,
+        CASE WHEN idcg_u > 0 THEN ${Det.roundAtSql(
+          "CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE)", 6)}
+        ELSE NULL END AS ndcg
+      FROM a ORDER BY term"""
+    }))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
-    q144, q150, q158)
+    q144, q150, q158, q159)
 }
