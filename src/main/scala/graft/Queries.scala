@@ -15,18 +15,28 @@ final case class Q(
 
 object Queries {
   /** Read one testdata table (column-pruned, filter-pushdown-friendly).
-    * Parquet TIMESTAMP(NANOS) (events.ts) is unrepresentable in Spark; we
-    * read it as raw nanos (legacy long mode) and truncate to microsecond
-    * timestamps — all queries format at second granularity, so the oracle
-    * (which reads ns natively) still matches bit-for-bit. */
+    * `events.ts` has shipped both as parquet TIMESTAMP(MICROS) (reads
+    * natively) and as TIMESTAMP(NANOS) (unrepresentable in Spark — lands
+    * as a raw long under legacy nanosAsLong mode). Branch on the landed
+    * type: a LongType column is nanos and gets truncated to microsecond
+    * timestamps; a native timestamp is normalized to TIMESTAMP (the file
+    * carries no UTC-adjustment flag so Spark infers TIMESTAMP_NTZ, which
+    * rejects `cast(ts as bigint)` — with the session timezone pinned to
+    * UTC the instant reinterpretation is value-identical to DuckDB's
+    * naive read). All queries format at second granularity, so the
+    * oracle matches in every mode. */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(col("ts") / 1000L cast "long"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    } else df
   }
 
   lazy val all: Seq[Q] =

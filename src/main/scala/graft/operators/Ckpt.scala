@@ -27,8 +27,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The registry is keyed by `applicationId`: RDD ids restart from 0 in a
   * fresh SparkContext, so ids tracked under a stopped context must never
-  * alias (and unpersist) unrelated RDDs in its successor. Stale contexts'
-  * entries are pruned whenever a newer context touches the registry.
+  * alias (and unpersist) unrelated RDDs in its successor. Only one
+  * SparkContext is live per JVM, so EVERY registry touch under a live
+  * context (checkpoint or release) prunes every other application's
+  * entries — a restart that only ever releases still sheds its
+  * predecessor's stale ids.
   */
 object Ckpt {
   private val tracked =
@@ -36,13 +39,11 @@ object Ckpt {
 
   private[graft] def idsFor(appId: String): scala.collection.mutable.LinkedHashSet[Int] =
     synchronized {
-      // A new application supersedes any previously tracked one on this
-      // JVM: drop dead contexts' id sets so they can't alias fresh RDD ids.
-      if (!tracked.contains(appId)) {
-        tracked.filterInPlace((app, _) => app == appId)
-        tracked(appId) = scala.collection.mutable.LinkedHashSet[Int]()
-      }
-      tracked(appId)
+      // The caller's context is the JVM's single live one: any other
+      // tracked application is stopped — drop its id set so it can't
+      // alias (and unpersist) fresh RDD ids.
+      tracked.filterInPlace((app, _) => app == appId)
+      tracked.getOrElseUpdate(appId, scala.collection.mutable.LinkedHashSet[Int]())
     }
 
   private[graft] def trackedApps: Set[String] = synchronized(tracked.keySet.toSet)

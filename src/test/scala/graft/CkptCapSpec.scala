@@ -89,6 +89,16 @@ class CkptCapSpec extends SparkSpec {
     Ckpt.releaseIds(spark, ids)
   }
 
+  test("release alone prunes stopped contexts — no checkpoint required first") {
+    // A restarted JVM whose new session only ever calls release (never
+    // localScoped) must still shed its predecessor's stale ids: liveness,
+    // not supersession-by-checkpoint, keys the prune.
+    Ckpt.idsFor("another-stopped-context") += 424242
+    assert(Ckpt.trackedApps.contains("another-stopped-context"))
+    Ckpt.release(spark)
+    assert(Ckpt.trackedApps == Set(spark.sparkContext.applicationId))
+  }
+
   test("Ckpt.release unpersists every checkpoint a query registered") {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Dedup.minhashLshPairs(megaDocs, "doc_id", "text").count()

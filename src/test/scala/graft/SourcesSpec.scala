@@ -37,4 +37,41 @@ class SourcesSpec extends SparkSpec {
     assert(inferred.count() == rows.length)
     assert(new CsvSource(dir).load(spark, "missing").columns.isEmpty)
   }
+
+  test("Queries.tbl reads events.ts identically across physical encodings " +
+      "(int64 nanos, timestamp_ntz, instant timestamp)") {
+    import org.apache.spark.sql.functions._
+    // Known instants (epoch micros, second-aligned like the testdata).
+    val micros = Seq(1700000000000000L, 1700000060000000L, 1700003600000000L)
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us, i.toLong % 2, "view", i * 1.5) }
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+
+    def writeAs(tsCol: org.apache.spark.sql.Column): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+      base.withColumn("ts", tsCol).drop("us")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // The driver has shipped events.ts as parquet TIMESTAMP(NANOS) — which
+    // lands as a raw long under nanosAsLong — and as TIMESTAMP(MICROS)
+    // without the UTC flag (lands TIMESTAMP_NTZ). Cover both plus a plain
+    // instant TIMESTAMP, and assert tbl normalizes all three to the same
+    // TimestampType values at second granularity.
+    val asNanos = writeAs(col("us") * 1000L)
+    val asNtz   = writeAs(timestamp_micros(col("us")).cast("timestamp_ntz"))
+    val asInst  = writeAs(timestamp_micros(col("us")))
+
+    val reads = Seq(asNanos, asNtz, asInst).map { dir =>
+      val df = Queries.tbl(spark, dir, "events")
+      assert(df.schema("ts").dataType == TimestampType, s"dir=$dir")
+      df.select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("sec"),
+          col("ts").cast("long").as("epoch_s"))
+        .orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(reads(0) == reads(1) && reads(1) == reads(2))
+    assert(reads(0).map(_._3) == micros.map(_ / 1000000L))
+  }
 }
