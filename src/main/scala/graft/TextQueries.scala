@@ -1166,17 +1166,30 @@ object TextQueries {
   private val q119 = Q(
     "q119_curation_funnel",
     (s, dir) => {
-      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"),
-        TextFns.langId(col("text")).as("pl"),
-        TextFns.qualityScore(col("text")).as("q"),
-        TextFns.tokenCount(col("text")).cast("long").as("nt"))
-      val surv = base.filter(col("pl") =!= "unknown" && col("q") >= 0.8)
-        .select("doc_id", "text")
+      // The three classifier exprs are the funnel's CPU hot spot, and the
+      // per-doc stats feed two consumers (survivor filter, label join) —
+      // as an inline subtree each consumer would rescan text and re-run
+      // all three. Checkpoint the SLIM stats (4 scalar cols, never the
+      // text — block storage must not hold the corpus at 100 TB): one
+      // classifier pass total. The LSH branch re-reads raw text (which it
+      // needs regardless) restricted to survivors by a doc_id equi-join;
+      // AQE broadcasts the id side while it fits and degrades to a
+      // shuffle, never a recompute, beyond that. 4.4 s → 2.9 s warm at
+      // sf0.1.
+      val slim = graft.operators.Ckpt.local(
+        tbl(s, dir, "documents").select(col("doc_id"),
+          TextFns.langId(col("text")).as("pl"),
+          TextFns.qualityScore(col("text")).as("q"),
+          TextFns.tokenCount(col("text")).cast("long").as("nt")))
+      val survIds = slim.filter(col("pl") =!= "unknown" && col("q") >= 0.8)
+        .select("doc_id")
+      val surv = tbl(s, dir, "documents").select("doc_id", "text")
+        .join(survIds, Seq("doc_id"))
       val dropped = Dedup.minhashLshPairs(surv, "doc_id", "text",
           numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
         .select(col("id_b").as("doc_id")).distinct()
         .withColumn("is_dup", lit(1))
-      base.join(dropped, Seq("doc_id"), "left")
+      slim.join(dropped, Seq("doc_id"), "left")
         .select(
           when(col("pl") === "unknown", lit("lang"))
             .when(col("q") < 0.8, lit("quality"))
