@@ -1845,9 +1845,67 @@ object TextQueries {
       FROM a ORDER BY term"""
     }))
 
+  // q160 — TEMPERATURE-scaled mixture rebalancing (α = 1/2): target
+  // domain shares ∝ √n_d, the multilingual-corpus flattening rule that
+  // keeps head sources from drowning the tail — the DERIVED-weights
+  // sibling of q99's caller-supplied weights. √n is quantized to integer
+  // micro-units before the weight sum, so the allocation is exact integer
+  // arithmetic in both engines (sqrt is IEEE-correctly-rounded; its SUM
+  // as doubles would not be order-stable).
+  private val q160 = Q(
+    "q160_temperature_mix",
+    (s, dir) => graft.operators.Sampling.temperatureRebalance(
+      tbl(s, dir, "documents"), "source", "doc_id", budget = 250L),
+    Some(s"""WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+        w AS (SELECT source, n_total,
+            CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wq
+          FROM c),
+        ws AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum FROM w),
+        t AS (SELECT source, n_total,
+            least((250 * wq) // wsum, n_total) AS n_target FROM w, ws),
+        kept AS (SELECT d.source, n_total, n_target, d.doc_id
+          FROM documents d JOIN t USING (source)
+          WHERE (${hSql("CAST(doc_id AS VARCHAR)")} % 1000000) * n_total
+            < n_target * 1000000)
+      SELECT source, n_total, n_target, COUNT(*) AS n_kept,
+        CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM kept GROUP BY source, n_total, n_target ORDER BY source"""))
+
+  // q161 — DSIR importance selection (Xie et al. 2023): score every
+  // non-English document by how English-like its hashed-unigram token
+  // distribution is (λ_f = ln p_en(f) − ln p_corpus(f) over B=256 hashed
+  // buckets, per-term 1e-6 rounding exactly as q138's LM), keep the
+  // top-20. The λ table is B rows — broadcast at ANY corpus scale, which
+  // is the entire point of hashed features over q138's vocabulary-sized
+  // probability table. Selection compiles to TakeOrderedAndProject.
+  private val q161 = Q(
+    "q161_dsir_select",
+    (s, dir) => graft.operators.Dsir.select(
+      tbl(s, dir, "documents"), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 20, buckets = 256,
+      keepCols = Seq("source", "lang")),
+    Some(s"""WITH tk AS (SELECT doc_id, source, lang, (lang = 'en') AS t,
+            ${hSql("u.tok")} % 256 AS f
+          FROM documents, unnest($toks) AS u(tok)),
+        cnts AS (SELECT f, COUNT(*) AS c_raw,
+            COUNT(CASE WHEN t THEN 1 END) AS c_tgt
+          FROM tk GROUP BY f),
+        tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+            CAST(SUM(c_tgt) AS BIGINT) AS n_tgt FROM cnts),
+        lam AS (SELECT f,
+            ${Det.roundAtSql("ln((c_tgt + 1.0) / (n_tgt + 256))", 6)} -
+            ${Det.roundAtSql("ln((c_raw + 1.0) / (n_raw + 256))", 6)} AS lam
+          FROM cnts, tot),
+        scored AS (SELECT doc_id, source, lang, COUNT(*) AS n_toks,
+            ${Det.roundAtSql("CAST(SUM(CAST(lam AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS logw
+          FROM tk JOIN lam USING (f) GROUP BY doc_id, source, lang)
+      SELECT doc_id, source, lang, n_toks, logw
+      FROM scored WHERE lang <> 'en'
+      ORDER BY logw DESC, doc_id LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
-    q144, q150, q158, q159)
+    q144, q150, q158, q159, q160, q161)
 }

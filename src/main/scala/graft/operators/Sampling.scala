@@ -99,6 +99,44 @@ object Sampling {
     * corpus-side membership test is a narrow filter. The only full-width
     * work is the final per-group summary. Returns
     * (group, n_total, n_target, n_kept, id_sum). */
+  /** Temperature-scaled domain rebalancing: target share of domain d is
+    * n_d^α / Σ n^α with α = 1/2 — the multilingual-corpus "temperature
+    * sampling" rule (Conneau et al. 2020 §3.1 use α∈[0.3,0.7] to keep
+    * head domains from drowning the tail). α is fixed at 1/2 because
+    * pow(x, 0.5) = sqrt(x) is IEEE-correctly-rounded, so the weights —
+    * and therefore the integer targets — are bit-identical across
+    * engines; other α go through libm pow and are not.
+    *
+    * Unlike [[mixtureRebalance]] (caller supplies target weights), the
+    * weights here are DERIVED from the corpus counts. Each weight is
+    * quantized to integer micro-units (floor(√n·10⁶ + ½)) so the weight
+    * SUM and the targets are exact integer arithmetic — no
+    * double-addition-order dependence anywhere. `budget` rows are
+    * allocated as target_d = budget·wq_d div Σwq, capped at n_d
+    * (sampling is without replacement), and membership is the same
+    * hash-threshold rule as mixtureRebalance: a narrow filter, no
+    * per-group sort. Scale shape: one tiny count aggregate broadcast
+    * back, one corpus filter, one summary aggregate.
+    *
+    * Returns (group, n_total, n_target, n_kept, id_sum) per group. */
+  def temperatureRebalance(df: DataFrame, groupCol: String, idCol: String,
+                           budget: Long): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_total"))
+      .withColumn("__wq",
+        floor(sqrt(col("n_total").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    val wsum = counts.agg(sum(col("__wq")).as("__wsum"))
+    val targets = counts.crossJoin(broadcast(wsum))
+      .withColumn("n_target",
+        least(expr(s"$budget * __wq div __wsum"), col("n_total")))
+      .select(col(groupCol), col("n_total"), col("n_target"))
+    df.join(broadcast(targets), groupCol)
+      .filter(pmod(TextFns.portableHash(col(idCol)), lit(1000000L)) *
+        col("n_total") < col("n_target") * lit(1000000L))
+      .groupBy(groupCol, "n_total", "n_target")
+      .agg(count(lit(1)).as("n_kept"), sum(col(idCol)).as("id_sum"))
+      .orderBy(groupCol)
+  }
+
   def mixtureRebalance(df: DataFrame, groupCol: String, idCol: String,
                        weights: Map[String, Int]): DataFrame = {
     val wSum = weights.values.sum

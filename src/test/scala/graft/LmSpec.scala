@@ -94,4 +94,26 @@ class LmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("temperatureRebalance flattens shares toward the tail, caps at n_total") {
+    // head domain 900 rows, tail domain 100 → proportional shares 90/10,
+    // √-scaled shares 75/25: the tail's share must grow, and no target
+    // may exceed its domain size or the budget.
+    val df = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (1001 to 1100).map(i => (i.toLong, "tail"))).toDF("id", "grp")
+    def run() = Sampling.temperatureRebalance(df, "grp", "id", budget = 200L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val rows = run()
+    val (headN, headT, _, _) = rows("head")
+    val (tailN, tailT, _, _) = rows("tail")
+    assert(headN == 900 && tailN == 100)
+    assert(headT + tailT <= 200)
+    assert(headT <= headN && tailT <= tailN)
+    // √900=30, √100=10 → targets 200·30/40=150 and 200·10/40=50
+    assert(headT == 150 && tailT == 50, s"got $headT/$tailT")
+    // deterministic: an identical second run selects the identical rows
+    assert(run() == rows)
+  }
 }
