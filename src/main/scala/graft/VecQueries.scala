@@ -536,6 +536,110 @@ object VecQueries {
       SELECT query_id, kind, vec_id, cos, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, kind, rank"""))
 
+  /** Shared CTE chain mirroring Similarity.pqCodebooks(m=4, k=16,
+    * dims=64, iters=1) + pqEncode: hash-init codes → per-subspace
+    * codebook means (1e-6-quantized) → argmin reassign → refined
+    * codebook → final codes `enc(vec_id, s, code, d)` with integer
+    * 1e-12-unit squared-L2 distances. Used by q162/q163 so both oracles
+    * derive the IDENTICAL quantizer. */
+  private val pqCtes: String = {
+    val r6 = (e: String) => Det.roundAtSql(e, 6)
+    s"""sub AS (SELECT vec_id, r.range // 16 AS s, r.range % 16 AS sd_i,
+          CAST(embedding[r.range + 1] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN range(0, 64) r),
+      init AS (SELECT vec_id,
+          ${graft.functions.TextFns.portableHashSql("CAST(vec_id AS VARCHAR)")} % 16 AS code
+        FROM embeddings),
+      cb0 AS (SELECT s, code, sd_i, COUNT(*) AS n,
+          CAST(SUM(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        FROM sub JOIN init USING (vec_id) GROUP BY s, code, sd_i),
+      cb0c AS (SELECT s, code, sd_i,
+          ${r6("CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)")} AS c
+        FROM cb0),
+      d1 AS (SELECT sub.vec_id, sub.s, cb.code,
+          CAST(SUM(CAST(floor((v - c) * (v - c) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+        FROM sub JOIN cb0c cb ON sub.s = cb.s AND sub.sd_i = cb.sd_i
+        GROUP BY sub.vec_id, sub.s, cb.code),
+      codes1 AS (SELECT vec_id, s, code FROM (
+          SELECT vec_id, s, code,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+          FROM d1) WHERE rn = 1),
+      cb1 AS (SELECT sub.s, c1.code, sd_i, COUNT(*) AS n,
+          CAST(SUM(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        FROM sub JOIN codes1 c1 ON sub.vec_id = c1.vec_id AND sub.s = c1.s
+        GROUP BY sub.s, c1.code, sd_i),
+      cb1c AS (SELECT s, code, sd_i,
+          ${r6("CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)")} AS c
+        FROM cb1),
+      d2 AS (SELECT sub.vec_id, sub.s, cb.code,
+          CAST(SUM(CAST(floor((v - c) * (v - c) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+        FROM sub JOIN cb1c cb ON sub.s = cb.s AND sub.sd_i = cb.sd_i
+        GROUP BY sub.vec_id, sub.s, cb.code),
+      enc AS (SELECT vec_id, s, code, d FROM (
+          SELECT vec_id, s, code, d,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+          FROM d2) WHERE rn = 1)"""
+  }
+
+  // q162 — PRODUCT-QUANTIZATION encode (Jégou et al. 2011): 4 subspaces
+  // × 16 codewords trained by hash init + one Lloyd round, every vector
+  // compressed to 4 codes (4 bytes vs 256 raw — the layout that makes
+  // billion-vector ANN memory-feasible). Codebook training is one tiny
+  // aggregate per round; assignment is a shuffle-free broadcast scan.
+  // Output: per-vector codes + integer quantization distance.
+  private val q162 = Q(
+    "q162_pq_encode",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, m = 4, k = 16, dims = 64, iters = 1)
+      Similarity.pqEncode(emb, cb, m = 4, dims = 64)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"),
+          element_at(col("codes"), 4).as("c3"),
+          col("qdist_q"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $pqCtes
+      SELECT vec_id,
+        MAX(CASE WHEN s = 0 THEN code END) AS c0,
+        MAX(CASE WHEN s = 1 THEN code END) AS c1,
+        MAX(CASE WHEN s = 2 THEN code END) AS c2,
+        MAX(CASE WHEN s = 3 THEN code END) AS c3,
+        CAST(SUM(d) AS BIGINT) AS qdist_q
+      FROM enc GROUP BY vec_id ORDER BY vec_id"""))
+
+  // q163 — PQ ADC top-k (asymmetric distance computation): each query
+  // builds a 4×16 lookup table of subspace distances to every codeword;
+  // a corpus vector's approximate distance is FOUR table lookups on its
+  // codes — raw vectors are never read at query time. The LUT is
+  // broadcast; scoring is one shuffle-free pass over the code table.
+  // The compressed-domain sibling of q28 (exact brute) and q29 (IVF).
+  private val q163 = Q(
+    "q163_pq_adc",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, m = 4, k = 16, dims = 64, iters = 1)
+      Similarity.pqAdcTopK(emb, emb.filter(expr(isQuery)), cb,
+        m = 4, dims = 64, topK = 10)
+    },
+    Some(s"""WITH $pqCtes,
+      lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+          CAST(SUM(CAST(floor((q.v - cb.c) * (q.v - cb.c) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+        FROM (SELECT * FROM sub WHERE $isQuery) q
+        JOIN cb1c cb ON q.s = cb.s AND q.sd_i = cb.sd_i
+        GROUP BY q.vec_id, cb.s, cb.code),
+      adist AS (SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist_q
+        FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id),
+      r AS (SELECT query_id, vec_id, adist_q,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS rank
+        FROM adist)
+      SELECT query_id, vec_id, adist_q, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85, q95, q112, q123, q141, q142)
+    q78, q85, q95, q112, q123, q141, q142, q162, q163)
 }

@@ -418,4 +418,131 @@ object Similarity {
     (0 until dims).map(i => (i.toLong, x(i).toLong, lambda))
       .toDF("dim", "eig_q", "lambda")
   }
+
+  // ── product quantization (Jégou et al., TPAMI 2011) ──────────────────
+  // Split the embedding into m contiguous subspaces and vector-quantize
+  // each independently with its own k-codeword codebook: a vector
+  // compresses to m small codes (4 bytes here vs 256 raw), and distances
+  // are approximated from per-subspace lookup tables (ADC) without ever
+  // touching the raw vectors — the memory layout that makes
+  // billion-vector ANN feasible. All distances are per-dimension-
+  // quantized integer squared-L2 (floor(Δ²·10¹² + ½) summed as longs),
+  // centroids are 1e-6-rounded means of 1e-6-quantized components — every
+  // intermediate is engine-portable, so a SQL oracle reproduces codes,
+  // codebooks and ADC rankings bit-for-bit.
+
+  /** Per-subspace codebook means of the current assignment, long form
+    * (subspace, code, subdim, centroid). `codes` must hold one code per
+    * subspace. One map-combinable aggregate; output is m·k·(dims/m) rows
+    * — broadcastable by construction. */
+  private def pqCbFrom(assigned: DataFrame, m: Int, dims: Int): DataFrame = {
+    val sd = dims / m
+    assigned.select(col("codes"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(expr(s"dim div $sd").cast("int").as("subspace"), (col("dim") % sd).as("subdim"),
+        col("v").cast(DoubleType).as("v"), col("codes"))
+      .withColumn("code", element_at(col("codes"), col("subspace") + 1))
+      .groupBy("subspace", "code", "subdim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * lit(1e6) + lit(0.5)).cast(LongType)).as("sq"))
+      .select(col("subspace"), col("code"), col("subdim"),
+        Det.roundAt(col("sq").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(1e6)), 6).as("centroid"))
+  }
+
+  /** Collapse a long-form codebook to ONE broadcastable row:
+    * array of (subspace, code, c: dense array<double>[sd]). */
+  private def pqCbRow(codebooks: DataFrame, sd: Int): DataFrame =
+    codebooks.groupBy("subspace", "code")
+      .agg(map_from_entries(collect_list(struct(col("subdim"), col("centroid")))).as("mm"))
+      .select(struct(col("subspace"), col("code"),
+        transform(sequence(lit(0), lit(sd - 1)), d => element_at(col("mm"), d)).as("c")).as("e"))
+      .agg(collect_list(col("e")).as("cbs"))
+
+  /** Per-subspace argmin structs (d, code) for one row's embedding
+    * against the broadcast codebook column `cbs`. */
+  private def pqMins(emb: Column, cbs: Column, m: Int, sd: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      array_min(transform(filter(cbs, e => e.getField("subspace") === s), e =>
+        struct(
+          aggregate(
+            zip_with(slice(emb, s * lit(sd) + 1, lit(sd)), e.getField("c"), (x, c) => {
+              val diff = x.cast(DoubleType) - c
+              floor(diff * diff * lit(1e12) + lit(0.5)).cast(LongType)
+            }),
+            lit(0L), (acc, v) => acc + v).as("d"),
+          e.getField("code").as("code")))))
+
+  /** Train PQ codebooks: hash-seeded init (portable md5 of the id, one
+    * shared init code per subspace) then `iters` Lloyd rounds of
+    * reassign → recompute means. Per round: one shuffle-free broadcast
+    * assignment scan + one map-combinable codebook aggregate — corpus
+    * cost is independent of k. Returns long form
+    * (subspace, code, subdim, centroid). */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, dims: Int,
+                  iters: Int = 1): DataFrame = {
+    val sd = dims / m
+    val init = corpus.withColumn("codes",
+      transform(sequence(lit(0), lit(m - 1)), _ =>
+        pmod(graft.functions.TextFns.portableHash(col("vec_id")), lit(k.toLong))))
+    var cb = pqCbFrom(init, m, dims)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(pqCbRow(cb, sd)))
+        .withColumn("codes",
+          transform(pqMins(col("embedding"), col("cbs"), m, sd), _.getField("code")))
+        .drop("cbs")
+      cb = pqCbFrom(assigned, m, dims)
+    }
+    cb
+  }
+
+  /** Encode every vector against trained codebooks: per-subspace argmin
+    * code + total quantization distance. Shuffle-free (one broadcast
+    * scan). Returns corpus columns + `codes` array<long>[m] +
+    * `qdist_q` (Σ per-subspace integer distances). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+               dims: Int): DataFrame = {
+    val sd = dims / m
+    corpus.crossJoin(broadcast(pqCbRow(codebooks, sd)))
+      .withColumn("__mins", pqMins(col("embedding"), col("cbs"), m, sd))
+      .withColumn("codes", transform(col("__mins"), _.getField("code")))
+      .withColumn("qdist_q",
+        aggregate(col("__mins"), lit(0L), (acc, e) => acc + e.getField("d")))
+      .drop("cbs", "__mins")
+  }
+
+  /** ADC (asymmetric distance computation) top-k: each query builds a
+    * per-subspace lookup table of distances to every codeword; a corpus
+    * vector's approximate distance is the sum of m table lookups on its
+    * CODES — the raw corpus vectors are never read at query time. The
+    * LUT is (queries · m · k) rows — broadcast — so scoring is one
+    * shuffle-free pass over the code table followed by a per-query
+    * rank-limited window. Returns (query_id, vec_id, adist_q, rank). */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+                m: Int, dims: Int, topK: Int): DataFrame = {
+    val sd = dims / m
+    val enc = pqEncode(corpus, codebooks, m, dims)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+    val lutD = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(pqCbRow(codebooks, sd)))
+      .select(col("query_id"), col("q_emb"), explode(col("cbs")).as("e"))
+      .select(col("query_id"), col("e.subspace").as("subspace"), col("e.code").as("code"),
+        aggregate(
+          zip_with(slice(col("q_emb"), col("e.subspace") * sd + 1, lit(sd)),
+            col("e.c"), (x, c) => {
+              val diff = x.cast(DoubleType) - c
+              floor(diff * diff * lit(1e12) + lit(0.5)).cast(LongType)
+            }),
+          lit(0L), (acc, v) => acc + v).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_q"), col("vec_id"))
+    enc.join(broadcast(lutD), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d")).as("adist_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("adist_q").cast(LongType).as("adist_q"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -201,4 +201,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSeq == got.toSeq)
   }
+
+  test("PQ recovers planted per-subspace clusters; ADC ranks within-cluster first") {
+    // Two planted clusters that DISAGREE per subspace: group A is
+    // (1,1,1,1 | 5,5,5,5), group B is (9,9,9,9 | 2,2,2,2) + a tiny
+    // deterministic per-vector offset. A correct per-subspace quantizer
+    // gives all of A one (code₀, code₁) pair and all of B another.
+    def v(a: Float, b: Float, eps: Float) =
+      Array(a + eps, a - eps, a + eps, a - eps, b + eps, b - eps, b + eps, b - eps)
+    val rows = (0 until 20).map(i => (i.toLong, v(1f, 5f, i * 0.01f))) ++
+      (20 until 40).map(i => (i.toLong, v(9f, 2f, (i - 20) * 0.01f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, m = 2, k = 4, dims = 8, iters = 2)
+    val enc = Similarity.pqEncode(df, cb, m = 2, dims = 8)
+      .select("vec_id", "codes", "qdist_q")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toSeq, r.getLong(2))).toSeq
+    val aCodes = enc.filter(_._1 < 20).map(_._2).distinct
+    val bCodes = enc.filter(_._1 >= 20).map(_._2).distinct
+    assert(aCodes.size == 1 && bCodes.size == 1 && aCodes != bCodes,
+      s"planted clusters must map to two distinct code pairs: $aCodes / $bCodes")
+    // distortion after a Lloyd round must not exceed the hash-init one
+    val cb0 = Similarity.pqCodebooks(df, m = 2, k = 4, dims = 8, iters = 0)
+    val q0 = Similarity.pqEncode(df, cb0, m = 2, dims = 8)
+      .agg(org.apache.spark.sql.functions.sum("qdist_q")).collect()(0).getLong(0)
+    val q2 = enc.map(_._3).sum
+    assert(q2 <= q0, s"Lloyd must not increase distortion: $q2 > $q0")
+    // ADC from vector 0 (group A) must rank only group-A vectors in its top-10
+    val top = Similarity.pqAdcTopK(df, df.filter($"vec_id" === 0L), cb,
+      m = 2, dims = 8, topK = 10)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top.size == 10 && top.forall(_ < 20), s"cross-cluster leak in ADC top-k: $top")
+  }
 }
