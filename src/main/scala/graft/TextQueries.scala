@@ -1903,9 +1903,65 @@ object TextQueries {
       FROM scored WHERE lang <> 'en'
       ORDER BY logw DESC, doc_id LIMIT 20"""))
 
+  // q164 — INCREMENTAL ingest dedup: a new crawl batch (hash-split half
+  // of the corpus) is near-dup-checked against the existing INDEX half
+  // only — candidates are index×incoming, never index×index, which is
+  // what keeps per-batch cost proportional to the batch (not the corpus)
+  // in a steady-state pipeline. Same signature space / cap / verify as
+  // q22, so flags here are a subset of the full self-join's. Report per
+  // incoming language: batch size, dups vs index, surviving chars.
+  private val q164 = Q(
+    "q164_incremental_dedup",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val isIdx = pmod(TextFns.portableHash(col("doc_id")), lit(100L)) < 50
+      val dupIds = Dedup.crossLshPairs(
+          docs.filter(isIdx), docs.filter(!isIdx), "doc_id", "text",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        .select(col("id_new").as("doc_id")).distinct()
+        .withColumn("__dup", lit(1))
+      docs.filter(!isIdx)
+        .join(dupIds, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_incoming"),
+          count(when(col("__dup").isNotNull, lit(1))).as("n_dup"),
+          sum(when(col("__dup").isNull, col("n_chars")).otherwise(lit(0L)))
+            .as("kept_chars"))
+        .orderBy("lang")
+    },
+    Some {
+      val p = Dedup.MinhashP
+      val sigList = Dedup.minhashSeeds(32).map { case (a, b) =>
+        s"list_min(list_transform(hb, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
+      val bandHash = hSql(
+        "CAST(b AS VARCHAR) || '-' || array_to_string(list_transform(sig[4*b+1:4*b+4], s -> CAST(s AS VARCHAR)), '-')")
+      val isIdxSql = s"${hSql("CAST(doc_id AS VARCHAR)")} % 100 < 50"
+      s"""WITH docs AS (SELECT doc_id, $isIdxSql AS is_idx,
+            ${wordShinglesSql(3)} AS sh FROM documents),
+        hashed AS (SELECT doc_id, is_idx, sh,
+          list_transform(sh, x -> ${hSql("x")} % $p) AS hb FROM docs),
+        signed AS (SELECT doc_id, is_idx, sh, $sigList AS sig FROM hashed),
+        keyed AS (SELECT doc_id, is_idx, sh,
+          list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
+        banded AS (SELECT doc_id, is_idx, sh, bb.range AS band, keys[bb.range + 1] AS key
+          FROM keyed CROSS JOIN range(0, 8) AS bb),
+        cand AS (SELECT DISTINCT n.doc_id AS id_new, n.sh AS sh_n,
+            i.doc_id AS id_idx, i.sh AS sh_i
+          FROM banded n JOIN banded i
+            ON n.band = i.band AND n.key = i.key AND NOT n.is_idx AND i.is_idx),
+        dup AS (SELECT DISTINCT id_new FROM cand
+          WHERE ${jaccardSql("sh_n", "sh_i")} >= 0.5)
+      SELECT lang, COUNT(*) AS n_incoming,
+        CAST(COUNT(CASE WHEN p.id_new IS NOT NULL THEN 1 END) AS BIGINT) AS n_dup,
+        CAST(SUM(CASE WHEN p.id_new IS NULL THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM documents d LEFT JOIN dup p ON d.doc_id = p.id_new
+      WHERE NOT ($isIdxSql) GROUP BY lang ORDER BY lang"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
-    q144, q150, q158, q159, q160, q161)
+    q144, q150, q158, q159, q160, q161, q164)
 }

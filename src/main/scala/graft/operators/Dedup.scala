@@ -213,6 +213,60 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental LSH near-dup join of a NEW batch against an existing
+    * corpus INDEX: band buckets are computed on both sides and candidates
+    * are only index×incoming — never index×index, which is the point: in
+    * a steady-state ingest pipeline the index dwarfs each batch, and
+    * re-enumerating its internal pairs per batch would dominate cost.
+    * (At 100 TB the index side's banded relation is exactly the
+    * band-bucket INDEX a production pipeline keeps materialized between
+    * batches — here it is recomputed because the testdata has no
+    * persisted index.) Same signature space, cap, and verify as
+    * [[minhashLshPairs]], so an incoming doc flagged here would also be
+    * flagged by the full self-join. Returns (id_new, id_idx, jaccard ≥
+    * `threshold`). */
+  def crossLshPairs(index: DataFrame, incoming: DataFrame,
+                    idCol: String, textCol: String,
+                    numHashes: Int = 32, bands: Int = 8,
+                    shingleN: Int = 3, threshold: Double = 0.5,
+                    maxBucket: Int = 100000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def bandedOf(df: DataFrame, isIdx: Boolean) = df.select(
+        col(idCol).as("id"), lit(isIdx).as("is_idx"),
+        minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+      .select(col("id"), col("is_idx"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+    // One union-side cap: a mega-bucket floods pairs regardless of which
+    // side its rows came from, so the size that matters is the COMBINED
+    // bucket population.
+    val (lhs, rhs) = capBuckets(
+      bandedOf(index, isIdx = true).union(bandedOf(incoming, isIdx = false)),
+      maxBucket, "cross_lsh")
+    val cand = Ckpt.local(
+      lhs.filter(col("is_idx")).select(col("band"), col("key"), col("id").as("id_idx"))
+        .join(rhs.filter(!col("is_idx"))
+          .select(col("band"), col("key"), col("id").as("id_new")), Seq("band", "key"))
+        .select("id_new", "id_idx")
+        .dropDuplicates("id_new", "id_idx"))
+    def candSh(src: DataFrame, side: String) = {
+      val ids = cand.select(col(side).as("id")).distinct()
+      src.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .join(broadcast(ids), "id")
+        .select(col("id"), TextFns.wordShingles(col("__text"), shingleN).as("sh"))
+    }
+    cand
+      .join(candSh(incoming, "id_new")
+        .select(col("id").as("id_new"), col("sh").as("sh_n")), "id_new")
+      .join(candSh(index, "id_idx")
+        .select(col("id").as("id_idx"), col("sh").as("sh_i")), "id_idx")
+      .withColumn("jaccard", Det.roundAt(
+        size(array_intersect(col("sh_n"), col("sh_i"))).cast(DoubleType) /
+          size(array_union(col("sh_n"), col("sh_i"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_idx", "jaccard")
+      .orderBy("id_new", "id_idx")
+  }
+
   /** 32-bit SimHash over distinct word `shingleN`-shingles: bit i is set
     * when at least half the shingle hashes have bit i set (2·ones ≥ n). */
   def simhash(text: Column, shingleN: Int = 3, bits: Int = 32): Column =

@@ -39,6 +39,29 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0).getAs[Long]("sh") == sigs(1).getAs[Long]("sh"))
   }
 
+  test("crossLshPairs equals the full self-join restricted to cross pairs") {
+    // Split 1,3 → index and 2,4 → incoming: the asymmetric join must
+    // return EXACTLY the full self-join's pairs that straddle the split
+    // (same signatures, same band space, same verify) and none within a
+    // side (1-4 is an exact dup pair but both... 1 is index, 4 incoming —
+    // straddles; the within-incoming near pair 2-4 must be absent).
+    val index = docs.filter($"doc_id".isin(1L, 3L))
+    val incoming = docs.filter($"doc_id".isin(2L, 4L))
+    val cross = Dedup.crossLshPairs(index, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val idx = Set(1L, 3L)
+    val expected = full.collect {
+      case (a, b, j) if idx(a) && !idx(b) => (b, a, j)
+      case (a, b, j) if !idx(a) && idx(b) => (a, b, j)
+    }.toSet
+    assert(cross == expected, s"cross=$cross expected=$expected")
+    assert(cross.exists(p => p._1 == 4L && p._2 == 1L)) // exact dup straddles
+    assert(!cross.exists(p => p._1 == 2L && p._2 == 4L)) // within-side absent
+    graft.operators.Ckpt.release(spark)
+  }
+
   test("simhashPairs: exact dups at hamming 0; unrelated docs excluded") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
