@@ -3,6 +3,9 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension wiring for the engine's native expressions, usable
   * two ways:
@@ -38,7 +41,34 @@ object GraftExtensions {
     (FunctionIdentifier("graft_jaro_winkler"),
       info("graft_jaro_winkler",
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity over utf8 bytes (p=0.1, prefix<=4, boost iff jaro>0.7)."),
-      (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))))
+      (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(hashes, n) - n-element minhash signature over an array<bigint> of base " +
+          "hashes: element i is min((h*a_i + b_i) mod p) with the engine's fixed seed family."),
+      (args: Seq[Expression]) =>
+        MinhashSigExpr(args(0), foldToInt(args(1), "graft_minhash", "n"))),
+    (FunctionIdentifier("graft_wordpiece"),
+      info("graft_wordpiece",
+        "graft_wordpiece(word, vocab) - greedy longest-match subword split of `word` against a " +
+          "constant array<string> vocabulary; unmatched positions emit '[UNK]' and advance one char."),
+      (args: Seq[Expression]) =>
+        WordPieceExpr(args(0), foldToStrings(args(1), "graft_wordpiece", "vocab"))))
+
+  /** SQL-surface scalar params arrive as expressions; the native exprs
+    * take them as constructor constants (seed-family size, compiled vocab
+    * table) — fold them at resolution time and reject non-literals. */
+  private def foldToInt(e: Expression, fn: String, arg: String): Int =
+    if (e.foldable) e.eval() match {
+      case n: Number => n.intValue
+      case v => throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got $v")
+    } else throw new IllegalArgumentException(s"$fn: $arg must be a literal, got ${e.sql}")
+
+  private def foldToStrings(e: Expression, fn: String, arg: String): Seq[String] =
+    if (e.foldable) e.eval() match {
+      case a: ArrayData => a.toArray[UTF8String](StringType).map(_.toString).toSeq
+      case v => throw new IllegalArgumentException(s"$fn: $arg must be an array<string> literal, got $v")
+    } else throw new IllegalArgumentException(s"$fn: $arg must be a literal, got ${e.sql}")
 
   /** Register into an existing session. The optimizer rule goes through
     * `experimental.extraOptimizations` (a built session's rule batches
