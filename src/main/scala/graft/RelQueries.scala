@@ -2497,11 +2497,86 @@ object RelQueries {
       FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     })
 
+  // q167 — T-CLOSENESS privacy audit (the successor to q149's
+  // k-anonymity/l-diversity): per quasi-identifier group, the total
+  // variation distance between the group's sensitive-attribute
+  // distribution and the GLOBAL one — a group can be k-large and
+  // l-diverse yet still leak (e.g. 95% one band where the population is
+  // 33%). QI = order status × priority, sensitive = fixed price band.
+  // Determinism: TVD per group is assembled from INTEGER numerators
+  // (|c_gs·N − c_s·n_g|, plus n_g·(N − Σ_covered c_s) for bands absent
+  // from the group) over the common denominator 2·n_g·N, so there is
+  // exactly ONE double division per group, then order-independent
+  // max/count reductions. Aggregation runs at cell grain (QI × band
+  // domain, ~45 rows regardless of row count); the global band counts
+  // and the grand total join back as broadcast stat frames. At 100 TB
+  // the only full-data pass is the first cell-count groupBy; integer
+  // products bound at c·N — switch the numerators to decimal(38,0) past
+  // ~10^9 rows per band.
+  private val q167 = Q(
+    "q167_t_closeness",
+    (s, dir) => {
+      val band = when(col("o_totalprice") < 100000.0, "low")
+        .when(col("o_totalprice") < 300000.0, "mid").otherwise("high")
+      val cells = tbl(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+          band.as("band"))
+        .groupBy("st", "pr", "band").agg(count(lit(1)).as("c"))
+      val glob = cells.groupBy("band").agg(sum(col("c")).as("cs"))
+      val tot = glob.agg(sum(col("cs")).as("n_total"))
+      val w = Window.partitionBy("st", "pr")
+      val grp = cells
+        .withColumn("n_g", sum(col("c")).over(w))
+        .join(broadcast(glob), "band")
+        .crossJoin(broadcast(tot))
+        .groupBy("st", "pr")
+        .agg(max(col("n_g")).as("n_g"), max(col("n_total")).as("n"),
+          sum(abs(col("c") * col("n_total") - col("cs") * col("n_g"))).as("s_present"),
+          sum(col("cs")).as("cs_covered"),
+          max(col("c")).as("c_max"))
+        .withColumn("tvd",
+          (col("s_present") + col("n_g") * (col("n") - col("cs_covered")))
+            .cast("double") / (lit(2.0) * col("n_g").cast("double") * col("n").cast("double")))
+        .withColumn("max_share", col("c_max").cast("double") / col("n_g").cast("double"))
+      grp.agg(
+        count(lit(1)).as("n_groups"),
+        Det.roundAt(max(col("tvd")), 6).as("t_max"),
+        count(when(col("tvd") > 0.15, lit(1))).as("n_t_over"),
+        Det.roundAt(max(col("max_share")), 6).as("max_sens_share"),
+        sum(when(col("max_share") > 0.5, col("n_g")).otherwise(0L)).as("rows_skewed"))
+    },
+    Some(s"""WITH cells AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+          (CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                WHEN o_totalprice < 300000.0 THEN 'mid' ELSE 'high' END) AS band,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2, 3),
+        gband AS (SELECT band, CAST(SUM(c) AS BIGINT) AS cs FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS n_total FROM gband),
+        grp AS (SELECT st, pr,
+          MAX(n_g) AS n_g, MAX(n_total) AS n,
+          CAST(SUM(abs(c * n_total - cs * n_g)) AS BIGINT) AS s_present,
+          CAST(SUM(cs) AS BIGINT) AS cs_covered,
+          MAX(c) AS c_max
+        FROM (SELECT cells.*, SUM(c) OVER (PARTITION BY st, pr) AS n_g FROM cells) AS cw
+          JOIN gband USING (band) CROSS JOIN tot
+        GROUP BY st, pr),
+        m AS (SELECT st, pr, n_g,
+          CAST(s_present + n_g * (n - cs_covered) AS DOUBLE)
+            / (2.0 * CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)) AS tvd,
+          CAST(c_max AS DOUBLE) / CAST(n_g AS DOUBLE) AS max_share
+        FROM grp)
+        SELECT COUNT(*) AS n_groups,
+          ${Det.roundAtSql("MAX(tvd)", 6)} AS t_max,
+          CAST(COUNT(CASE WHEN tvd > 0.15 THEN 1 END) AS BIGINT) AS n_t_over,
+          ${Det.roundAtSql("MAX(max_share)", 6)} AS max_sens_share,
+          CAST(SUM(CASE WHEN max_share > 0.5 THEN n_g ELSE 0 END) AS BIGINT) AS rows_skewed
+        FROM m"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
-    q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157)
+    q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167)
 }

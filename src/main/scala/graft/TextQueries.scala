@@ -1959,9 +1959,232 @@ object TextQueries {
       WHERE NOT ($isIdxSql) GROUP BY lang ORDER BY lang"""
     })
 
+  // q165 — HTML → text extraction (the first step of every web-corpus
+  // ingest: reference analogue is the notebook's raw-text cleanup, scaled
+  // to markup). Each document's text is wrapped in a deterministic page —
+  // head/title, a style block, a script block whose body contains
+  // markup-looking code, an entity-encoded body, per-doc links, an
+  // entity-only footer — and then recovered with a codegen'd regex chain:
+  // script/style block removal → tag strip → entity decode (lt/gt before
+  // amp, the standard order that never double-decodes) → whitespace
+  // collapse. Regexes are restricted to the RE2-compatible subset (no
+  // backreferences) so the DuckDB oracle runs the IDENTICAL patterns.
+  // Per-source totals assert the whole chain: chars in/out, links seen,
+  // titles recovered.
+  private val q165 = Q(
+    "q165_html_extract",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val body = regexp_replace(col("text"), "value", "v&amp;lue")
+      val extraLink = when(pmod(col("doc_id"), lit(2L)) === 0L,
+        lit("<a href=\"#top\">top</a>")).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style>body { margin:0; }</style>"),
+        lit("<script>if (1 < 2) { emit(\"&amp;\"); }</script></head><body><h1>"),
+        col("lang"), lit("</h1><p>"), body,
+        lit("</p><a href=\"/doc/"), col("doc_id").cast("string"), lit("\">next</a>"),
+        extraLink, lit("<p>&lt;c&gt; 2026 &amp; graft</p></body></html>"))
+      val noBlocks = regexp_replace(
+        regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+        "(?s)<style[^>]*>.*?</style>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(noBlocks, "<[^>]+>", " "),
+        "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+      val textOut = trim(regexp_replace(decoded, "\\s+", " "))
+      d.select(col("source"),
+          length(html).as("ch"), length(textOut).as("ct"),
+          regexp_count(html, lit("<a ")).as("lk"),
+          regexp_extract(html, "<title>([^<]*)</title>", 1).as("title"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("lk").cast("long")).as("links"),
+          sum(col("ch").cast("long")).as("chars_html"),
+          sum(col("ct").cast("long")).as("chars_text"),
+          Det.roundAt(sum(col("ct")).cast("double") / sum(col("ch")).cast("double"), 6)
+            .as("retention"),
+          sum(when(col("title") === col("source"), 1L).otherwise(0L)).as("titles_ok"))
+        .orderBy("source")
+    },
+    Some(s"""WITH h AS (SELECT source,
+          '<html><head><title>' || source || '</title><style>body { margin:0; }</style>'
+          || '<script>if (1 < 2) { emit("&amp;"); }</script></head><body><h1>' || lang || '</h1><p>'
+          || replace(text, 'value', 'v&amp;lue')
+          || '</p><a href="/doc/' || CAST(doc_id AS VARCHAR) || '">next</a>'
+          || (CASE WHEN doc_id % 2 = 0 THEN '<a href="#top">top</a>' ELSE '' END)
+          || '<p>&lt;c&gt; 2026 &amp; graft</p></body></html>' AS html
+        FROM documents),
+        t AS (SELECT source, html,
+          trim(regexp_replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&amp;', '&'), '\\s+', ' ', 'g')) AS txt,
+          len(regexp_extract_all(html, '<a ')) AS links,
+          regexp_extract(html, '<title>([^<]*)</title>', 1) AS title
+        FROM h)
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(links) AS BIGINT) AS links,
+          CAST(SUM(len(html)) AS BIGINT) AS chars_html,
+          CAST(SUM(len(txt)) AS BIGINT) AS chars_text,
+          ${Det.roundAtSql("SUM(len(txt)) * 1.0 / SUM(len(html))", 6)} AS retention,
+          CAST(SUM(CASE WHEN title = source THEN 1 ELSE 0 END) AS BIGINT) AS titles_ok
+        FROM t GROUP BY source ORDER BY source"""))
+
+  // q166 — URL parse + per-registered-domain stats (web-corpus curation
+  // runs per-domain quality/robots policy, so host extraction and domain
+  // rollup are the grain everything downstream keys on). Deterministic
+  // URLs are synthesized per doc from a 7-host pool; the Spark side
+  // parses with the codegen'd Hive-style `parse_url` builtin (HOST /
+  // PATH / QUERY / per-key QUERY), the oracle re-derives the identical
+  // parts with anchored regexes. Registered domain = last two host
+  // labels — the per-domain rollup merges the www/news/bare-apex hosts,
+  // which is exactly what it must do at corpus scale.
+  private val q166 = Q(
+    "q166_url_stats",
+    (s, dir) => {
+      val hosts = array(lit("news.example.com"), lit("blog.example.org"),
+        lit("docs.example.net"), lit("www.example.com"), lit("cdn.example.io"),
+        lit("shop.example.mx"), lit("example.com"))
+      val url = concat(lit("https://"),
+        element_at(hosts, (pmod(col("doc_id"), lit(7L)) + 1L).cast("int")),
+        lit("/"), col("source"), lit("/"), col("lang"),
+        lit("/page-"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, lit("?ref=rss&utm=mail"))
+          .otherwise(lit("")))
+      val host = parse_url(url, lit("HOST"))
+      val path = parse_url(url, lit("PATH"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"), host.as("host"),
+          regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+          (size(split(regexp_replace(path, "^/", ""), "/"))).as("depth"),
+          parse_url(url, lit("QUERY")).isNotNull.as("has_q"),
+          (parse_url(url, lit("QUERY"), lit("ref")) === "rss").as("ref_rss"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("depth").cast("long")).as("depth_sum"),
+          Det.roundAt(sum(col("depth")).cast("double") / count(lit(1)), 6).as("avg_depth"),
+          sum(when(col("has_q"), 1L).otherwise(0L)).as("with_query"),
+          sum(when(col("ref_rss"), 1L).otherwise(0L)).as("ref_rss"))
+        .orderBy("domain")
+    },
+    Some(s"""WITH u AS (SELECT doc_id,
+          'https://' || (['news.example.com', 'blog.example.org', 'docs.example.net',
+            'www.example.com', 'cdn.example.io', 'shop.example.mx', 'example.com'])[(doc_id % 7) + 1]
+          || '/' || source || '/' || lang || '/page-' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0 THEN '?ref=rss&utm=mail' ELSE '' END) AS url
+        FROM documents),
+        p AS (SELECT doc_id, url,
+          regexp_extract(url, '^https://([^/]+)', 1) AS host,
+          regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+          contains(url, '?') AS has_q,
+          regexp_extract(url, '[?&]ref=([^&]*)', 1) = 'rss' AS ref_rss
+        FROM u)
+        SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+          COUNT(*) AS n_docs,
+          CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+          CAST(SUM(len(string_split(substr(path, 2), '/'))) AS BIGINT) AS depth_sum,
+          ${Det.roundAtSql("SUM(len(string_split(substr(path, 2), '/'))) * 1.0 / COUNT(*)", 6)} AS avg_depth,
+          CAST(SUM(CASE WHEN has_q THEN 1 ELSE 0 END) AS BIGINT) AS with_query,
+          CAST(SUM(CASE WHEN ref_rss THEN 1 ELSE 0 END) AS BIGINT) AS ref_rss
+        FROM p GROUP BY 1 ORDER BY 1"""))
+
+  // q168 — MIXED-CONTAINER dimension parsing (q122 widened to the real
+  // zoo): per doc one of a real PNG (IHDR), a real JPEG (SOI + APP0 +
+  // SOF0 — dimensions only reachable by WALKING the length-prefixed
+  // marker chain), or a real GIF89a (little-endian logical screen
+  // descriptor). The sniffed format dispatches to the matching
+  // byte-level parser, recovering (width, height) regardless of
+  // container; the oracle recomputes the
+  // dimension formulas arithmetically, so equality proves each parser
+  // inverts its builder bit-for-bit across byte orders and offsets. All
+  // narrow per-row column ops; the aggregate is format-grain.
+  private val q168 = Q(
+    "q168_container_dims",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val w = (lit(16) + col("doc_id") % 2000).cast("int")
+      val h = (lit(12) + col("doc_id") % 1200).cast("int")
+      val payload = when(pmod(col("doc_id"), lit(3L)) === 0L, Multimodal.pngPayload(w, h))
+        .when(pmod(col("doc_id"), lit(3L)) === 1L, Multimodal.jpegPayload(w, h))
+        .otherwise(Multimodal.gifPayload(w, h))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), payload.as("bytes"))
+        .select(Multimodal.sniffFormat(col("bytes")).as("fmt"), col("bytes"))
+        .select(col("fmt"),
+          when(col("fmt") === "png", Multimodal.pngDims(col("bytes")))
+            .when(col("fmt") === "jpeg", Multimodal.jpegDims(col("bytes")))
+            .when(col("fmt") === "gif", Multimodal.gifDims(col("bytes")))
+            .as("dims"))
+        .groupBy("fmt")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("dims.width")).as("w_sum"),
+          sum(col("dims.height")).as("h_sum"),
+          max(col("dims.width")).as("w_max"),
+          max(col("dims.height")).as("h_max"),
+          count(when(col("dims").isNull || col("dims.width").isNull, lit(1)))
+            .as("parse_fails"))
+        .orderBy("fmt")
+    },
+    Some("""WITH m AS (SELECT doc_id,
+          (CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END) AS fmt,
+          16 + doc_id % 2000 AS w, 12 + doc_id % 1200 AS h
+        FROM documents)
+        SELECT fmt, COUNT(*) AS cnt,
+          CAST(SUM(w) AS BIGINT) AS w_sum, CAST(SUM(h) AS BIGINT) AS h_sum,
+          CAST(MAX(w) AS BIGINT) AS w_max, CAST(MAX(h) AS BIGINT) AS h_max,
+          CAST(0 AS BIGINT) AS parse_fails
+        FROM m GROUP BY fmt ORDER BY fmt"""))
+
+  // q169 — BEST-WINDOW SNIPPET EXTRACTION (the RAG context step: given a
+  // query, return not just the matching doc but WHERE in it to read):
+  // for each doc, the query-term hit positions, then the 8-token window
+  // holding the most hits — computed entirely with nested array lambdas
+  // (filter/transform over the token sequence, no explode, no UDF), so
+  // each doc is one narrow row-local evaluation. The (count, earliest
+  // start) argmax is encoded into ONE integer (cnt·10⁶ − start) so a
+  // single array_max resolves both the max and its tie-break — an
+  // associative trick any engine reduces identically. Top 20 docs via
+  // orderBy+limit → TakeOrdered, never a global sort.
+  private val q169 = Q(
+    "q169_snippet",
+    (s, dir) => {
+      val W = 8
+      val toks = TextFns.tokens(col("text"))
+      val isHit = (t: Column) => t === "join" || t === "merge"
+      val positions = filter(
+        sequence(lit(0), size(col("toks")) - 1),
+        i => isHit(element_at(col("toks"), i + 1)))
+      val enc = array_max(transform(col("pos"), p =>
+        size(filter(col("pos"), q => q >= p && q < p + W)).cast("long") * 1000000L - p))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), positions.as("pos"))
+        .filter(size(col("pos")) > 0)
+        .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"), enc.as("enc"))
+        .select(col("doc_id"), col("n_hits"),
+          floor((col("enc") + 999999L) / lit(1000000L)).cast("long").as("best_cnt"),
+          (floor((col("enc") + 999999L) / lit(1000000L)).cast("long") * 1000000L
+            - col("enc")).as("best_start"))
+        .orderBy(desc("best_cnt"), asc("doc_id")).limit(20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        p AS (SELECT doc_id,
+            list_filter(range(0, len(toks)), i -> toks[i + 1] IN ('join', 'merge')) AS pos
+          FROM t),
+        h AS (SELECT doc_id, CAST(len(pos) AS BIGINT) AS n_hits,
+            list_max(list_transform(pos, p ->
+              CAST(len(list_filter(pos, q -> q >= p AND q < p + 8)) AS BIGINT) * 1000000 - p)) AS enc
+          FROM p WHERE len(pos) > 0)
+        SELECT doc_id, n_hits,
+          CAST((enc + 999999) // 1000000 AS BIGINT) AS best_cnt,
+          CAST(((enc + 999999) // 1000000) * 1000000 - enc AS BIGINT) AS best_start
+        FROM h ORDER BY best_cnt DESC, doc_id ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
-    q144, q150, q158, q159, q160, q161, q164)
+    q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169)
 }

@@ -114,6 +114,7 @@ object Multimodal {
     when(hex(substring(bytes, 1, 8)) === "89504E470D0A1A0A", "png")
       .when(hex(substring(bytes, 1, 3)) === "FFD8FF", "jpeg")
       .when(hex(substring(bytes, 1, 4)) === "52494646", "riff")
+      .when(substring(bytes, 1, 3).cast(StringType) === "GIF", "gif")
       .otherwise("unknown")
 
   /** Serialize an int column as 4 big-endian bytes (the byte order every
@@ -165,6 +166,88 @@ object Multimodal {
     when(hex(substring(bytes, 1, 4)) === "52494646" &&
          hex(substring(bytes, 9, 8)) === "57415645666D7420",
       leInt32At(bytes, 25))
+
+  /** Serialize an int column as 2 big-endian bytes (JPEG segment fields). */
+  def beInt16(v: Column): Column = unhex(lpad(hex(v.cast(LongType)), 4, "0"))
+
+  /** Read 2 big-endian bytes at a DYNAMIC 1-based position — marker scans
+    * land on data-dependent offsets, so `pos` is a column. */
+  def beInt16At(bytes: Column, pos: Column): Column =
+    conv(hex(bytes.substr(pos, lit(2))), 16, 10).cast(LongType)
+
+  /** Build a minimal REAL JPEG: SOI, a full 16-byte APP0/JFIF segment,
+    * an SOF0 frame header carrying (height, width), EOI. The dimensions
+    * sit in the THIRD segment — a parser must walk the marker chain to
+    * find them, exactly like a real file. */
+  def jpegPayload(width: Column, height: Column): Column =
+    concat(
+      lit(Array(0xFF, 0xD8).map(_.toByte)),                    // SOI
+      lit(Array(0xFF, 0xE0).map(_.toByte)), beInt16(lit(16)),  // APP0, len 16
+      lit("JFIF".getBytes("US-ASCII")),
+      lit(Array[Byte](0, 1, 1, 0)),                            // \0, version 1.1, units 0
+      beInt16(lit(1)), beInt16(lit(1)),                        // x/y density
+      lit(Array[Byte](0, 0)),                                  // no thumbnail
+      lit(Array(0xFF, 0xC0).map(_.toByte)), beInt16(lit(11)),  // SOF0, len 8+3*1
+      lit(Array[Byte](8)),                                     // precision
+      beInt16(height), beInt16(width),
+      lit(Array[Byte](1, 0x11, 0)),                            // 1 component
+      lit(Array(0xFF, 0xD9).map(_.toByte)))                    // EOI
+
+  /** Parse (width, height) from a JPEG by WALKING THE MARKER CHAIN — the
+    * real shape of JPEG metadata: segments are length-prefixed and the
+    * SOF frame header can sit anywhere, so the scan hops `pos → pos +
+    * 2 + len` until it lands on an SOF0/1/2 marker, then reads height
+    * (offset +5) and width (+7), both big-endian. The bounded recursion
+    * unrolls into one nested codegen'd expression — `maxSegments` hops,
+    * no UDF, no decode; null dims for non-JPEG or SOF-not-found. */
+  def jpegDims(bytes: Column, maxSegments: Int = 8): Column = {
+    def scan(pos: Column, k: Int): Column =
+      if (k == 0)
+        lit(null).cast("struct<width:bigint,height:bigint>")
+      else {
+        val marker = hex(bytes.substr(pos, lit(2)))
+        val segLen = beInt16At(bytes, pos + lit(2))
+        when(marker.isin("FFC0", "FFC1", "FFC2"),
+          struct(
+            beInt16At(bytes, pos + lit(7)).as("width"),
+            beInt16At(bytes, pos + lit(5)).as("height")))
+          .otherwise(scan(pos + segLen + lit(2), k - 1))
+      }
+    when(hex(substring(bytes, 1, 3)) === "FFD8FF", scan(lit(3), maxSegments))
+      .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
+  }
+
+  /** Read 2 LITTLE-endian bytes at 1-based `pos` (GIF byte order). */
+  def leInt16At(bytes: Column, pos: Int): Column =
+    (0 until 2).map(i =>
+      conv(hex(substring(bytes, pos + i, 1)), 16, 10).cast(LongType) *
+        lit(1L << (8 * i))).reduce(_ + _)
+
+  /** Serialize an int column as 2 little-endian bytes: byte-swap the
+    * big-endian hex before unhex. */
+  def leInt16(v: Column): Column = {
+    val he = lpad(hex(v.cast(LongType)), 4, "0")
+    unhex(concat(substring(he, 3, 2), substring(he, 1, 2)))
+  }
+
+  /** Build a minimal REAL GIF89a: signature + logical screen descriptor
+    * (width/height little-endian at offsets 7/9) + trailer. */
+  def gifPayload(width: Column, height: Column): Column =
+    concat(
+      lit("GIF89a".getBytes("US-ASCII")),
+      leInt16(width), leInt16(height),
+      lit(Array[Byte](0, 0, 0)),                               // flags/bg/aspect
+      lit(Array(0x3B).map(_.toByte)))                          // trailer
+
+  /** Parse (width, height) from a GIF logical screen descriptor —
+    * little-endian u16s right after the 6-byte signature; null for
+    * payloads that aren't GIF87a/GIF89a. */
+  def gifDims(bytes: Column): Column = {
+    val sig = substring(bytes, 1, 6).cast(StringType)
+    when(sig === "GIF87a" || sig === "GIF89a",
+      struct(leInt16At(bytes, 7).as("width"), leInt16At(bytes, 9).as("height")))
+      .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
+  }
 
   /** Frame/segment sampling: slice the payload into up to `n` fixed-size
     * chunks (video frame-sampling shape), one output row per chunk. Pure

@@ -108,4 +108,47 @@ class MultimodalSpec extends SparkSpec {
     val short = Multimodal.frameSample(media.filter($"media_id" === 2L), 3, 5).collect()
     assert(short.length == 1 && new String(short(0).getAs[Array[Byte]]("frame"), "UTF-8") == "xy")
   }
+
+  test("jpegDims walks the marker chain to SOF0, wherever it sits") {
+    val df = Seq((640, 480), (2000, 1), (1, 2000)).toDF("w", "h")
+      .select(Multimodal.jpegPayload(col("w"), col("h")).as("bytes"),
+        col("w"), col("h"))
+    val parsed = df.select(Multimodal.jpegDims(col("bytes")).as("d"), col("w"), col("h"))
+      .collect()
+    parsed.foreach { r =>
+      val d = r.getStruct(0)
+      assert(d.getLong(0) == r.getInt(1) && d.getLong(1) == r.getInt(2))
+    }
+    // insert an extra COM segment between APP0 and SOF0 — the parser must
+    // HOP it via the length prefix, not assume a fixed offset
+    val withCom = df.select(concat(
+      expr("substring(bytes, 1, 20)"),                        // SOI + APP0
+      lit(Array(0xFF, 0xFE).map(_.toByte)),                   // COM marker
+      Multimodal.beInt16(lit(7)),                             // len 7
+      lit("hello".getBytes("US-ASCII")),                      // 5 payload bytes
+      expr("substring(bytes, 21)")).as("bytes"), col("w"), col("h"))
+    val parsed2 = withCom
+      .select(Multimodal.jpegDims(col("bytes")).as("d"), col("w"), col("h")).collect()
+    parsed2.foreach { r =>
+      val d = r.getStruct(0)
+      assert(d.getLong(0) == r.getInt(1) && d.getLong(1) == r.getInt(2))
+    }
+    // non-jpeg and marker-chain-exhausted payloads yield null dims
+    assert(Seq(Tuple1("GIF89a junk")).toDF("t")
+      .select(Multimodal.jpegDims(encode(col("t"), "US-ASCII"))).collect()(0).isNullAt(0))
+  }
+
+  test("gifDims reads the little-endian logical screen descriptor") {
+    val r = Seq((320, 200)).toDF("w", "h")
+      .select(Multimodal.gifDims(Multimodal.gifPayload(col("w"), col("h"))).as("d"))
+      .collect()(0).getStruct(0)
+    assert(r.getLong(0) == 320L && r.getLong(1) == 200L)
+    // little-endian proof: 258 = 0x0102 must round-trip (bytes 02 01)
+    val r2 = Seq((258, 513)).toDF("w", "h")
+      .select(Multimodal.gifDims(Multimodal.gifPayload(col("w"), col("h"))).as("d"))
+      .collect()(0).getStruct(0)
+    assert(r2.getLong(0) == 258L && r2.getLong(1) == 513L)
+    assert(Seq(Tuple1("NOTGIF")).toDF("t")
+      .select(Multimodal.gifDims(encode(col("t"), "US-ASCII"))).collect()(0).isNullAt(0))
+  }
 }
