@@ -1199,7 +1199,8 @@ object RelQueries {
       SELECT COUNT(*) AS n_entities, COUNT(t1) AS n_signup,
         COUNT(t2) AS n_view, COUNT(t3) AS n_click, COUNT(t4) AS n_purchase
       FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        LEFT JOIN s4 USING (user_id)"""))
+        LEFT JOIN s4 USING (user_id)"""),
+    headline = true)
 
   // q98 — cohort retention (operators/Funnel.cohortRetention): users
   // bucketed by first-active ISO week, counted in every week they were
@@ -1580,7 +1581,8 @@ object RelQueries {
       SELECT user_id, COUNT(*) AS n_hours,
         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
         CAST(SUM(CAST(filled AS DECIMAL(28,2))) AS DOUBLE) AS filled_sum
-      FROM f GROUP BY user_id ORDER BY user_id"""))
+      FROM f GROUP BY user_id ORDER BY user_id"""),
+    headline = true)
 
   // q126 — time-series resample + LINEAR INTERPOLATION (pandas
   // `resample('1h').interpolate('linear')`): same dense grid as q125,

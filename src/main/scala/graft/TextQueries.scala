@@ -2029,7 +2029,8 @@ object TextQueries {
           CAST(SUM(len(txt)) AS BIGINT) AS chars_text,
           ${Det.roundAtSql("SUM(len(txt)) * 1.0 / SUM(len(html))", 6)} AS retention,
           CAST(SUM(CASE WHEN title = source THEN 1 ELSE 0 END) AS BIGINT) AS titles_ok
-        FROM t GROUP BY source ORDER BY source"""))
+        FROM t GROUP BY source ORDER BY source"""),
+    headline = true)
 
   // q166 — URL parse + per-registered-domain stats (web-corpus curation
   // runs per-domain quality/robots policy, so host extraction and domain
@@ -2182,9 +2183,389 @@ object TextQueries {
           CAST(((enc + 999999) // 1000000) * 1000000 - enc AS BIGINT) AS best_start
         FROM h ORDER BY best_cnt DESC, doc_id ASC LIMIT 20"""))
 
+  // q170 — CCNet-STYLE PERPLEXITY PARTITION: split each language's
+  // corpus into head/middle/tail terciles by LM cross-entropy (q138's
+  // self-trained unigram model) — the curation step that keeps the
+  // fluent third, samples the middle, drops the tail. Exact ntile(3)
+  // over (xent, doc_id) keeps the oracle bit-exact; at corpus scale the
+  // identical downstream shape runs off one-pass approx-percentile
+  // thresholds instead of the per-lang sort (the partition boundaries
+  // are the only thing the sort is buying here). Reported per (lang,
+  // bucket): doc count and the xent bounds — i.e. the thresholds a
+  // production run would publish.
+  private val q170 = Q(
+    "q170_ccnet_buckets",
+    (s, dir) => {
+      val xent = graft.operators.Lm
+        .unigramXent(tbl(s, dir, "documents"), "doc_id", "text", Seq("lang"))
+      val w = Window.partitionBy("lang").orderBy(col("doc_xent"), col("doc_id"))
+      xent.withColumn("b", ntile(3).over(w))
+        .withColumn("bucket",
+          element_at(lit(Array("head", "middle", "tail")), col("b")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_xent")).as("xent_lo"),
+          max(col("doc_xent")).as("xent_hi"))
+        .orderBy("lang", "bucket")
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, lang, u.tok AS tok
+          FROM documents, unnest($toks) AS u(tok)),
+        cnts AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total, COUNT(*) AS vocab
+          FROM cnts),
+        probs AS (SELECT tok,
+            ${Det.roundAtSql("-ln((cnt + 1.0) / (n_total + vocab))", 6)} AS xent
+          FROM cnts, tot),
+        docx AS (SELECT doc_id, lang,
+            ${Det.roundAtSql("CAST(SUM(CAST(xent AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 4)} AS dx
+          FROM tk JOIN probs USING (tok) GROUP BY doc_id, lang),
+        bk AS (SELECT lang, dx,
+            (['head', 'middle', 'tail'])[NTILE(3) OVER (PARTITION BY lang ORDER BY dx, doc_id)] AS bucket
+          FROM docx)
+        SELECT lang, bucket, COUNT(*) AS n_docs,
+          MIN(dx) AS xent_lo, MAX(dx) AS xent_hi
+        FROM bk GROUP BY lang, bucket ORDER BY lang, bucket"""))
+
+  // q171 — DATASET CARD rollup: the per-(source, lang) summary a corpus
+  // release ships — doc counts, token mass, mean quality, exact-dup
+  // share, mean length — with rollup subtotals so the corpus-wide line
+  // and per-source lines come out of ONE aggregation pass. The dup flag
+  // is the q21 exact-dedup grain (fingerprint groupBy, the only extra
+  // shuffle, expressed as a count-over-fingerprint window). Quality
+  // is pre-rounded per doc (1e-6) and summed in exact decimal, so every
+  // mean is order-independent; all remaining measures are integers.
+  private val q171 = Q(
+    "q171_dataset_card",
+    (s, dir) => {
+      val base = tbl(s, dir, "documents").select(
+        col("source"), col("lang"), col("doc_id"),
+        TextFns.qualityScore(col("text")).as("q"),
+        TextFns.tokenCount(col("text")).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        TextFns.portableHash(TextFns.normText(col("text"))).as("fp"))
+      base.withColumn("c", count(lit(1)).over(Window.partitionBy("fp")))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("tokens"),
+          Det.roundAt(Det.dsum(col("q"), 6) / count(lit(1)), 6).as("avg_quality"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_docs"),
+          Det.roundAt(sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("dup_rate"),
+          Det.roundAt(sum(col("nc")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_chars"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("tokens"), col("avg_quality"),
+          col("dup_docs"), col("dup_rate"), col("avg_chars"))
+        .orderBy("source", "lang")
+    },
+    Some(s"""WITH base AS (SELECT source, lang, doc_id,
+          $qualityScoreSql AS q, CAST(len($toks) AS BIGINT) AS nt,
+          CAST(len(text) AS BIGINT) AS nc,
+          ${hSql(norm)} AS fp
+        FROM documents),
+        fpc AS (SELECT fp, COUNT(*) AS c FROM base GROUP BY fp)
+        SELECT COALESCE(source, '(all)') AS source, COALESCE(lang, '(all)') AS lang,
+          COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS tokens,
+          ${Det.roundAtSql("CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)} AS avg_quality,
+          CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+          ${Det.roundAtSql(
+            "CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS dup_rate,
+          ${Det.roundAtSql("CAST(SUM(nc) AS DOUBLE) / COUNT(*)", 6)} AS avg_chars
+        FROM base JOIN fpc USING (fp)
+        GROUP BY ROLLUP(source, lang) ORDER BY source, lang"""),
+    headline = true)
+
+  // q172 — PMI CO-OCCURRENCE over a ±2 token window (the collocation
+  // statistic behind phrase mining and word-vector objectives — bigram
+  // counts (q88) only see ADJACENT tokens). Pair building is row-local
+  // array lambdas (each position pairs with +1/+2, unordered pair
+  // canonicalized lexically), ONE explode at pair grain, one groupBy —
+  // never a token-stream self-join. PMI = ln(c_ab·N²/(P·c_a·c_b)) is
+  // written with the identical operand order in both engines (integer
+  // counts → double products → one ln), rounded at 1e-6. Support floor
+  // c_ab ≥ 40 keeps the output the stable head of the distribution.
+  private val q172 = Q(
+    "q172_pmi_cooc",
+    (s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      def pairAt(i: Column, d: Int): Column = {
+        val a = element_at(col("toks"), i + 1)
+        val b = element_at(col("toks"), i + 1 + d)
+        when(i + d <= size(col("toks")) - 1,
+          struct(least(a, b).as("a"), greatest(a, b).as("b")))
+      }
+      val pairs = flatten(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
+        i => filter(array(pairAt(i, 1), pairAt(i, 2)), p => p.isNotNull)))
+      val d = tbl(s, dir, "documents").select(toks.as("toks"))
+        .filter(size(col("toks")) > 1)
+      val pc = d.select(explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c_ab"))
+      val uc = d.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val nTot = uc.agg(sum(col("c")).as("n_tok"))
+      val pTot = pc.agg(sum(col("c_ab")).as("n_pair"))
+      pc.filter(col("c_ab") >= 40)
+        .join(broadcast(uc).withColumnRenamed("tok", "a").withColumnRenamed("c", "c_a"), "a")
+        .join(broadcast(uc).withColumnRenamed("tok", "b").withColumnRenamed("c", "c_b"), "b")
+        .crossJoin(broadcast(nTot)).crossJoin(broadcast(pTot))
+        .select(col("a"), col("b"), col("c_ab"),
+          Det.roundAt(log(
+            col("c_ab").cast("double") * col("n_tok").cast("double") * col("n_tok").cast("double")
+              / (col("n_pair").cast("double") * col("c_a").cast("double") * col("c_b").cast("double"))),
+            6).as("pmi"))
+        .orderBy(desc("pmi"), asc("a"), asc("b")).limit(20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        d AS (SELECT doc_id, toks FROM t WHERE len(toks) > 1),
+        pr AS (SELECT u.p AS p FROM d, unnest(
+            flatten(list_transform(range(0, greatest(len(toks) - 1, 1)),
+              i -> list_filter([
+                CASE WHEN i + 1 <= len(toks) - 1 THEN
+                  {'a': least(toks[i + 1], toks[i + 2]), 'b': greatest(toks[i + 1], toks[i + 2])} END,
+                CASE WHEN i + 2 <= len(toks) - 1 THEN
+                  {'a': least(toks[i + 1], toks[i + 3]), 'b': greatest(toks[i + 1], toks[i + 3])} END],
+                x -> x IS NOT NULL)))) AS u(p)),
+        pc AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM pr GROUP BY 1, 2),
+        uc AS (SELECT u.tok AS tok, COUNT(*) AS c FROM d, unnest(toks) AS u(tok) GROUP BY 1),
+        nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc),
+        np AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pair FROM pc)
+        SELECT a, b, c_ab,
+          ${Det.roundAtSql(
+            "ln(CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)" +
+            " / (CAST(n_pair AS DOUBLE) * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))", 6)} AS pmi
+        FROM pc JOIN uc ca ON pc.a = ca.tok JOIN uc cb ON pc.b = cb.tok
+          CROSS JOIN nt CROSS JOIN np
+        WHERE c_ab >= 40
+        ORDER BY pmi DESC, a ASC, b ASC LIMIT 20"""),
+    headline = true)
+
+  // q173 — TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test between two sources'
+  // quality-score distributions — the distribution-shape complement to
+  // q144's binned PSI (KS needs no bin choice and catches shifts PSI's
+  // bins smear). Exact: per distinct score the per-source counts, one
+  // cumulative window ordered by score, D = max |F̂₁ − F̂₂| — integers
+  // until a single division per distinct value, so both engines agree
+  // bitwise. The window runs at SCORE grain (distinct rounded values ≪
+  // rows); the critical value c(α)·√((n₁+n₂)/(n₁n₂)) at α = 0.05 ships
+  // with the verdict bit.
+  private val q173 = Q(
+    "q173_ks_drift",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), TextFns.qualityScore(col("text")).as("v"))
+      val cell = d.groupBy("v").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cell.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cell
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"),
+          abs(col("cuma").cast("double") / col("na").cast("double")
+            - col("cumb").cast("double") / col("nb").cast("double")).as("diff"))
+        .groupBy("na", "nb")
+        .agg(Det.roundAt(max(col("diff")), 6).as("ks_d"))
+        .select(col("na"), col("nb"), col("ks_d"),
+          Det.roundAt(lit(1.358) * sqrt((col("na") + col("nb")).cast("double")
+            / (col("na") * col("nb")).cast("double")), 6).as("crit_05"),
+          (col("ks_d") > lit(1.358) * sqrt((col("na") + col("nb")).cast("double")
+            / (col("na") * col("nb")).cast("double"))).as("drifted"))
+    },
+    Some(s"""WITH d AS (SELECT source, $qualityScoreSql AS v FROM documents
+          WHERE source IN ('src0', 'src1')),
+        cell AS (SELECT v,
+            CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM d GROUP BY v),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cell),
+        cum AS (SELECT v, SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+          FROM cell WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        diffs AS (SELECT na, nb,
+            abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS diff
+          FROM cum CROSS JOIN tot),
+        agg AS (SELECT na, nb, ${Det.roundAtSql("MAX(diff)", 6)} AS ks_d
+          FROM diffs GROUP BY na, nb)
+        SELECT na, nb, ks_d,
+          ${Det.roundAtSql(
+            "1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))", 6)} AS crit_05,
+          ks_d > 1.358 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS drifted
+        FROM agg"""))
+
+  // q174 — GINI CONCENTRATION of the token frequency distribution (the
+  // Zipf-shape audit: how much of the corpus the head owns — a
+  // vocabulary-collapse red flag when it spikes between snapshots).
+  // G = (2·Σᵢ i·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) over counts ranked ascending:
+  // every term is an INTEGER sum (tie-blocks contribute identically
+  // under any permutation because tied counts are equal), one division
+  // at the end. Rank runs at vocab grain, not corpus grain; top-100
+  // share uses the deterministic (count desc, token asc) cut.
+  private val q174 = Q(
+    "q174_token_gini",
+    (s, dir) => {
+      val uc = tbl(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val ranked = uc.withColumn("i",
+        row_number().over(Window.orderBy(col("c"), col("tok"))).cast("long"))
+      val top100 = uc.orderBy(desc("c"), asc("tok")).limit(100)
+        .agg(sum(col("c")).as("top_c"))
+      ranked.agg(
+          count(lit(1)).as("n_vocab"),
+          sum(col("c")).as("n_tokens"),
+          sum(col("i") * col("c")).as("ric"))
+        .crossJoin(broadcast(top100))
+        .select(col("n_vocab"), col("n_tokens"),
+          Det.roundAt((lit(2.0) * col("ric").cast("double")
+            - (col("n_vocab") + 1L).cast("double") * col("n_tokens").cast("double"))
+            / (col("n_vocab").cast("double") * col("n_tokens").cast("double")), 6).as("gini"),
+          Det.roundAt(col("top_c").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("top100_share"))
+    },
+    Some(s"""WITH uc AS (SELECT u.tok AS tok, COUNT(*) AS c
+          FROM documents, unnest($toks) AS u(tok) GROUP BY 1),
+        ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, tok) AS i FROM uc),
+        t100 AS (SELECT CAST(SUM(c) AS BIGINT) AS top_c
+          FROM (SELECT c FROM uc ORDER BY c DESC, tok ASC LIMIT 100)),
+        agg AS (SELECT COUNT(*) AS n_vocab, CAST(SUM(c) AS BIGINT) AS n_tokens,
+            CAST(SUM(i * c) AS BIGINT) AS ric
+          FROM ranked)
+        SELECT n_vocab, n_tokens,
+          ${Det.roundAtSql(
+            "(2.0 * CAST(ric AS DOUBLE) - CAST(n_vocab + 1 AS DOUBLE) * CAST(n_tokens AS DOUBLE))" +
+            " / (CAST(n_vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))", 6)} AS gini,
+          ${Det.roundAtSql("CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS top100_share
+        FROM agg CROSS JOIN t100"""))
+
+  // q175 — DOMAIN-SHRUNK QUALITY PRIOR (empirical-Bayes shrinkage): a
+  // host with 3 docs shouldn't live or die on its own mean — shrink each
+  // host's quality toward its registered domain's mean with pseudo-count
+  // k = 20 (q_host·n + q̄_domain·k)/(n + k), the per-host admission prior
+  // a web-corpus filter actually thresholds on. Sums are decimal-exact
+  // over pre-rounded per-doc scores; the shrinkage mix is written with
+  // identical operand order in both engines. Two tiny host/domain-grain
+  // aggregations after one corpus pass.
+  private val q175 = Q(
+    "q175_domain_prior",
+    (s, dir) => {
+      val hosts = array(lit("news.example.com"), lit("blog.example.org"),
+        lit("docs.example.net"), lit("www.example.com"), lit("cdn.example.io"),
+        lit("shop.example.mx"), lit("example.com"))
+      val host = element_at(hosts, (pmod(col("doc_id"), lit(7L)) + 1L).cast("int"))
+      val base = tbl(s, dir, "documents").select(
+        host.as("host"),
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+        TextFns.qualityScore(col("text")).as("q"))
+      val hostAgg = base.groupBy("domain", "host")
+        .agg(count(lit(1)).as("n_h"), Det.dsum(col("q"), 6).as("qs_h"))
+      val domAgg = hostAgg.groupBy("domain")
+        .agg(sum(col("n_h")).as("n_d"), sum(col("qs_h")).as("qs_d"))
+      hostAgg.join(broadcast(domAgg), "domain")
+        .select(col("domain"), col("host"), col("n_h").as("n_docs"),
+          Det.roundAt(col("qs_h") / col("n_h").cast("double"), 6).as("q_raw"),
+          Det.roundAt((col("qs_h") + lit(20.0) * (col("qs_d") / col("n_d").cast("double")))
+            / (col("n_h") + lit(20L)).cast("double"), 6).as("q_shrunk"))
+        .orderBy("domain", "host")
+    },
+    Some(s"""WITH base AS (SELECT
+          (['news.example.com', 'blog.example.org', 'docs.example.net',
+            'www.example.com', 'cdn.example.io', 'shop.example.mx', 'example.com'])[(doc_id % 7) + 1] AS host,
+          $qualityScoreSql AS q
+        FROM documents),
+        h AS (SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain, host,
+            CAST(COUNT(*) AS BIGINT) AS n_h,
+            CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS qs_h
+          FROM base GROUP BY 1, 2),
+        d AS (SELECT domain, CAST(SUM(n_h) AS BIGINT) AS n_d, SUM(qs_h) AS qs_d
+          FROM h GROUP BY 1)
+        SELECT domain, host, n_h AS n_docs,
+          ${Det.roundAtSql("qs_h / CAST(n_h AS DOUBLE)", 6)} AS q_raw,
+          ${Det.roundAtSql(
+            "(qs_h + 20.0 * (qs_d / CAST(n_d AS DOUBLE))) / CAST(n_h + 20 AS DOUBLE)", 6)} AS q_shrunk
+        FROM h JOIN d USING (domain) ORDER BY domain, host"""))
+
+  // q176 — QUALITY-AWARE DEDUP SURVIVORS: q63 keeps each cluster's MIN
+  // id; a curation pipeline keeps its BEST doc. Same LSH pairs → same
+  // connected components, but the survivor is argmax (quality, then min
+  // id) per cluster — one row_number window at cluster grain over the
+  // clustered minority. The per-lang id_sum pins exactly which docs
+  // survive, so the oracle proves the argmax choice, not just counts
+  // (and differs from q63's id_sum wherever best ≠ min-id).
+  private val q176 = Q(
+    "q176_dedup_best",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val cl = Dedup.clusters(pairs)
+      val q = docs.select(col("doc_id"), col("lang"),
+        TextFns.qualityScore(col("text")).as("q"))
+      val member = q.join(cl, q("doc_id") === cl("id"), "left")
+        .select(col("doc_id"), col("lang"), col("q"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val w = Window.partitionBy("cluster").orderBy(desc("q"), asc("doc_id"))
+      member.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          Det.roundAt(Det.dsum(col("q"), 6), 6).as("q_sum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $minhashCtes, $ccCtes,
+        qd AS (SELECT doc_id, lang, $qualityScoreSql AS q FROM documents),
+        m AS (SELECT qd.doc_id, qd.lang, qd.q,
+            COALESCE(cc.cluster, qd.doc_id) AS cluster
+          FROM qd LEFT JOIN cc ON qd.doc_id = cc.id),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY q DESC, doc_id) AS rn FROM m)
+        SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+          ${Det.roundAtSql("CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS q_sum
+        FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang"""))
+
+  // q177 — CROSS-SOURCE DUPLICATION MATRIX: how much identical content
+  // each source pair shares (the dataset-card's provenance-overlap page,
+  // and the first question when two crawls are merged). Exact-dup
+  // fingerprints → distinct (fp, source) → fp-grain self-join with
+  // source < source — the join runs at DISTINCT-CONTENT grain, so its
+  // cost is bounded by content cardinality, not rows; the upper-triangle
+  // predicate halves it. Reported per ordered pair: shared distinct
+  // contents and each side's distinct total.
+  private val q177 = Q(
+    "q177_source_overlap",
+    (s, dir) => {
+      val fps = tbl(s, dir, "documents")
+        .select(col("source"),
+          TextFns.portableHash(TextFns.normText(col("text"))).as("fp"))
+        .distinct()
+      val tot = fps.groupBy("source").agg(count(lit(1)).as("n_fp"))
+      val a = fps.toDF("src_a", "fp")
+      val b = fps.toDF("src_b", "fp")
+      a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+        .join(broadcast(tot.toDF("src_a", "n_a")), "src_a")
+        .join(broadcast(tot.toDF("src_b", "n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH fps AS (SELECT DISTINCT source, ${hSql(norm)} AS fp FROM documents),
+        tot AS (SELECT source, COUNT(*) AS n_fp FROM fps GROUP BY 1)
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared,
+          MAX(ta.n_fp) AS n_a, MAX(tb.n_fp) AS n_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+          JOIN tot ta ON ta.source = a.source
+          JOIN tot tb ON tb.source = b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
-    q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169)
+    q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
+    q171, q172, q173, q174, q175, q176, q177)
 }
