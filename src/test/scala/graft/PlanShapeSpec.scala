@@ -113,4 +113,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
       s"scan reads more than the projected column:\n$p")
   }
+
+  test("PMI joins its unigram counts broadcast, never a token-stream self-join") {
+    val p = plan("q172_pmi_cooc")
+    assert(p.contains("BroadcastHashJoin"), s"q172 lost the vocab broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q172 shuffles a join side:\n$p")
+  }
+
+  test("dataset card runs one fingerprint window + one rollup, nothing more") {
+    val p = plan("q171_dataset_card")
+    assert(p.contains("Expand"), "q171 lost the rollup Expand")
+    // shuffles: fp window, rollup re-agg, final order — anything beyond
+    // that means a join or dedup crept in
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 3, s"q171 plans $exchanges exchanges:\n$p")
+  }
+
+  test("quality-aware dedup survivor filter compiles to WindowGroupLimit") {
+    assert(plan("q176_dedup_best").contains("WindowGroupLimit"),
+      "q176 rn=1 filter not pushed into the window")
+    graft.operators.Ckpt.release(spark)
+  }
+
+  test("source-overlap totals join broadcast; the fp join carries slim columns") {
+    val p = plan("q177_source_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"q177 totals not broadcast:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string,source:string>") ||
+      p.contains("ReadSchema: struct<source:string,text:string>"),
+      s"q177 scans more than (source, text):\n$p")
+  }
+
+  test("HTML extract and URL stats scan only the columns they use") {
+    val p165 = plan("q165_html_extract")
+    assert(!p165.contains("n_chars"), s"q165 reads n_chars it never uses:\n$p165")
+    val p166 = plan("q166_url_stats")
+    assert(p166.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>") ||
+      !p166.contains("text"), s"q166 reads text it never uses:\n$p166")
+  }
 }
