@@ -2562,10 +2562,106 @@ object TextQueries {
           JOIN tot tb ON tb.source = b.source
         GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // q178 — LSH CONFIG TUNER: evaluate the S-curve p(s) = 1−(1−s^r)^b of
+  // every (bands, rows) split of the 32-hash signature against the
+  // OBSERVED candidate-pair similarity histogram — the capacity-planning
+  // question ("what recall/false-candidate trade does each banding buy
+  // on MY corpus?") answered from data the current banding already
+  // produced, conditional on that candidate set. Histogram is 0.05-bin
+  // at candidate-pair grain; p(s) is built by REPEATED SQUARING (all
+  // b, r here are powers of two), so both engines execute the identical
+  // IEEE multiplication tree — no libm pow. Per-bin masses quantize at
+  // 1e-6 before the decimal-exact sum.
+  private val q178 = Q(
+    "q178_lsh_tune",
+    (s, dir) => {
+      def powChain(base: Column, e: Int): Column =
+        if (e == 1) base else { val h = powChain(base, e / 2); h * h }
+      val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"),
+        "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.0)
+      val hist = pairs
+        .select((least(floor(col("jaccard") * 20), lit(19.0)) / 20 + 0.025).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("n"))
+      val configs = Seq((4, 8), (8, 4), (16, 2), (32, 1))
+      val scored = configs.map { case (b, r) =>
+        hist.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("c"), col("n"),
+          (lit(1.0) - powChain(lit(1.0) - powChain(col("c"), r), b)).as("p"))
+      }.reduce(_ unionAll _)
+      scored.groupBy("bands", "rows_per_band")
+        .agg(
+          sum(when(col("c") >= 0.5, col("n")).otherwise(0L)).as("true_pairs"),
+          Det.roundAt(Det.dsum(when(col("c") >= 0.5,
+            Det.roundAt(col("n") * col("p"), 6)).otherwise(lit(0.0)), 6), 4)
+            .as("exp_detected"),
+          Det.roundAt(Det.dsum(when(col("c") >= 0.5,
+            Det.roundAt(col("n") * col("p"), 6)).otherwise(lit(0.0)), 6)
+            / sum(when(col("c") >= 0.5, col("n")).otherwise(0L)).cast("double"), 6)
+            .as("est_recall"),
+          Det.roundAt(Det.dsum(when(col("c") < 0.5,
+            Det.roundAt(col("n") * col("p"), 6)).otherwise(lit(0.0)), 6), 4)
+            .as("false_cand_mass"))
+        .orderBy("bands")
+    },
+    Some {
+      def powSql(b: String, e: Int): String =
+        if (e == 1) b else { val h = powSql(b, e / 2); s"($h * $h)" }
+      val cfg = Seq((4, 8), (8, 4), (16, 2), (32, 1)).map { case (b, r) =>
+        val p = s"(1.0 - ${powSql(s"(1.0 - ${powSql("c", r)})", b)})"
+        s"""SELECT $b AS bands, $r AS rows_per_band, c, n, $p AS p FROM jac"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH $minhashCtes,
+        jp AS (SELECT least(floor(${jaccardSql("sh_a", "sh_b")} * 20), 19) / 20 + 0.025 AS c
+          FROM cand),
+        jac AS (SELECT c, COUNT(*) AS n FROM jp GROUP BY 1),
+        cfgs AS ($cfg)
+        SELECT bands, rows_per_band,
+          CAST(SUM(CASE WHEN c >= 0.5 THEN n ELSE 0 END) AS BIGINT) AS true_pairs,
+          ${Det.roundAtSql("CAST(SUM(CAST(CASE WHEN c >= 0.5 THEN " +
+            Det.roundAtSql("n * p", 6) + " ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS exp_detected,
+          ${Det.roundAtSql("CAST(SUM(CAST(CASE WHEN c >= 0.5 THEN " +
+            Det.roundAtSql("n * p", 6) + " ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)" +
+            " / CAST(SUM(CASE WHEN c >= 0.5 THEN n ELSE 0 END) AS DOUBLE)", 6)} AS est_recall,
+          ${Det.roundAtSql("CAST(SUM(CAST(CASE WHEN c < 0.5 THEN " +
+            Det.roundAtSql("n * p", 6) + " ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS false_cand_mass
+        FROM cfgs GROUP BY bands, rows_per_band ORDER BY bands"""
+    })
+
+  // q179 — DUP-CLUSTER SIZE HISTOGRAM (log₂ buckets): the shape of the
+  // duplication graph — many pairs vs a few mega-clusters — decides
+  // dedup strategy (mega-clusters mean boilerplate, not true dups).
+  // Bucketing is an integer CASE chain on exact sizes (no ln/floor
+  // boundary risk); all measures integer. Cluster sizes come from q39's
+  // components at cluster grain.
+  private val q179 = Q(
+    "q179_cluster_hist",
+    (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"),
+        "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val sizes = Dedup.clusters(pairs).groupBy("cluster").agg(count(lit(1)).as("sz"))
+      val bucket = when(col("sz") >= 64, 64L).when(col("sz") >= 32, 32L)
+        .when(col("sz") >= 16, 16L).when(col("sz") >= 8, 8L)
+        .when(col("sz") >= 4, 4L).otherwise(2L)
+      sizes.select(bucket.as("bucket_lo"), col("sz"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          max(col("sz")).as("max_size"))
+        .orderBy("bucket_lo")
+    },
+    Some(s"""WITH $minhashCtes, $ccCtes,
+        sz AS (SELECT cluster, COUNT(*) AS sz FROM cc GROUP BY cluster),
+        bk AS (SELECT sz,
+            (CASE WHEN sz >= 64 THEN 64 WHEN sz >= 32 THEN 32 WHEN sz >= 16 THEN 16
+                  WHEN sz >= 8 THEN 8 WHEN sz >= 4 THEN 4 ELSE 2 END) AS bucket_lo
+          FROM sz)
+        SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo, COUNT(*) AS n_clusters,
+          CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(MAX(sz) AS BIGINT) AS max_size
+        FROM bk GROUP BY bucket_lo ORDER BY bucket_lo"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179)
 }
