@@ -2579,9 +2579,11 @@ object TextQueries {
         if (e == 1) base else { val h = powChain(base, e / 2); h * h }
       val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"),
         "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.0)
-      val hist = pairs
+      // the 4 config branches union over this ≤20-row histogram —
+      // checkpoint it so the LSH pass runs once, not once per branch
+      val hist = graft.operators.Ckpt.local(pairs
         .select((least(floor(col("jaccard") * 20), lit(19.0)) / 20 + 0.025).as("c"))
-        .groupBy("c").agg(count(lit(1)).as("n"))
+        .groupBy("c").agg(count(lit(1)).as("n")))
       val configs = Seq((4, 8), (8, 4), (16, 2), (32, 1))
       val scored = configs.map { case (b, r) =>
         hist.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
@@ -2658,10 +2660,48 @@ object TextQueries {
           CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(MAX(sz) AS BIGINT) AS max_size
         FROM bk GROUP BY bucket_lo ORDER BY bucket_lo"""))
 
+  // q180 — DIFFERENTIALLY-PRIVATE COUNT RELEASE (ε = 1, sensitivity 1):
+  // per-lang doc counts with Laplace noise drawn by INVERSE CDF over the
+  // engine's deterministic hash uniform (q139's trick aimed at privacy
+  // release instead of sampling) — retry- and engine-stable noise, so
+  // the released table is reproducible AND the oracle can replay it
+  // bit-for-bit. The true count never appears in the output; negatives
+  // clamp to 0 post-noise. One group-grain aggregate + a narrow noise
+  // projection — nothing about the mechanism changes at corpus scale.
+  // (A production release would key the hash on a secret salt; the
+  // mechanism here demonstrates the plumbing, not a privacy guarantee —
+  // a public salt leaks the noise.)
+  private val q180 = Q(
+    "q180_dp_release",
+    (s, dir) => {
+      val u = (pmod(TextFns.portableHash(concat(lit("dp:"), col("lang"))),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      val lap = when(u >= 0.5, lit(-1.0)).otherwise(lit(1.0)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      tbl(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"),
+          Det.roundAt(greatest(col("n").cast("double") + lap, lit(0.0)), 6)
+            .as("released"),
+          lit(1.0).as("epsilon"))
+        .orderBy("lang")
+    },
+    Some {
+      val uSql = s"((${hSql("'dp:' || lang")} % 1000000) + 0.5) / 1000000.0"
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        z AS (SELECT lang, n, $uSql AS u FROM c)
+        SELECT lang,
+          ${Det.roundAtSql(
+            "greatest(CAST(n AS DOUBLE) + (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)" +
+            " * ln(1.0 - 2.0 * abs(u - 0.5)), 0.0)", 6)} AS released,
+          1.0 AS epsilon
+        FROM z ORDER BY lang"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }
