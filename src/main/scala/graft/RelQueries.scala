@@ -2574,11 +2574,98 @@ object RelQueries {
           CAST(SUM(CASE WHEN max_share > 0.5 THEN n_g ELSE 0 END) AS BIGINT) AS rows_skewed
         FROM m"""))
 
+  // q181 — SORTED-NEIGHBORHOOD entity resolution (the THIRD blocking
+  // family next to FastSS deletion neighborhoods (q100) and Jaro-Winkler
+  // soundex blocks (q154)): sort records on a blocking key within each
+  // partition-friendly segment, pair each record with its next w = 3
+  // neighbors via lead(), verify with exact edit distance — candidate
+  // count is w·n by construction, independent of block-size skew (the
+  // failure mode of equality blocking on hot keys). The sort is a
+  // per-segment range sort (partitioned window, no global single
+  // partition); pairs are narrow lead() projections. id_sum pins the
+  // exact matched pair set.
+  private val q181 = Q(
+    "q181_sorted_neighborhood",
+    (s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_name", "c_custkey")
+      val neighbors = (1 to 3).map(k =>
+        struct(lead(col("c_name"), k).over(w).as("nn"),
+          lead(col("c_custkey"), k).over(w).as("nk")))
+      tbl(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_name"), col("c_custkey"),
+          array(neighbors: _*).as("ns"))
+        .select(col("c_mktsegment"), col("c_name"), col("c_custkey"),
+          explode(col("ns")).as("nb"))
+        .filter(col("nb.nn").isNotNull)
+        .withColumn("dist", levenshtein(col("c_name"), col("nb.nn")))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("dist") <= 1, col("c_custkey") + col("nb.nk"))
+            .otherwise(0L)).as("id_sum"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH s AS (SELECT c_mktsegment, c_name, c_custkey FROM customer),
+        nb AS (SELECT c_mktsegment, c_name, c_custkey,
+            u.p.nn AS nn, u.p.nk AS nk
+          FROM (SELECT c_mktsegment, c_name, c_custkey,
+              [{'nn': lead(c_name, 1) OVER w, 'nk': lead(c_custkey, 1) OVER w},
+               {'nn': lead(c_name, 2) OVER w, 'nk': lead(c_custkey, 2) OVER w},
+               {'nn': lead(c_name, 3) OVER w, 'nk': lead(c_custkey, 3) OVER w}] AS ns
+            FROM s
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_name, c_custkey)) t,
+            unnest(ns) AS u(p)
+          WHERE u.p.nn IS NOT NULL)
+        SELECT c_mktsegment, COUNT(*) AS n_cand,
+          CAST(SUM(CASE WHEN levenshtein(c_name, nn) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          CAST(SUM(CASE WHEN levenshtein(c_name, nn) <= 1 THEN c_custkey + nk ELSE 0 END) AS BIGINT) AS id_sum
+        FROM nb GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // q182 — WEIGHT-OF-EVIDENCE encoding + information value (the
+  // credit-scoring feature audit; the supervised counterpart of q157's
+  // target encoding): per category, WOE = ln((pos/POS)/(neg/NEG)) from
+  // INTEGER counts (one ln per category at the end), and the IV term
+  // (p_pos − p_neg)·WOE quantized at 1e-6 before any cross-category sum
+  // — so the per-category rows are engine-exact. One groupBy at category
+  // grain + a broadcast totals frame.
+  private val q182 = Q(
+    "q182_woe_encoding",
+    (s, dir) => {
+      val lbl = (col("o_orderstatus") === "F").cast("long")
+      val cat = tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("cat"), lbl.as("y"))
+        .groupBy("cat")
+        .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      val tot = cat.agg(sum(col("pos")).as("tp"), sum(col("neg")).as("tn"))
+      cat.crossJoin(broadcast(tot))
+        .select(col("cat"), col("pos"), col("neg"),
+          Det.roundAt(log((col("pos").cast("double") * col("tn").cast("double"))
+            / (col("neg").cast("double") * col("tp").cast("double"))), 6).as("woe"),
+          Det.roundAt((col("pos").cast("double") / col("tp").cast("double")
+            - col("neg").cast("double") / col("tn").cast("double"))
+            * log((col("pos").cast("double") * col("tn").cast("double"))
+              / (col("neg").cast("double") * col("tp").cast("double"))), 6).as("iv_term"))
+        .orderBy("cat")
+    },
+    Some(s"""WITH c AS (SELECT o_orderpriority AS cat,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        FROM orders GROUP BY 1),
+        t AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn FROM c)
+        SELECT cat, pos, neg,
+          ${Det.roundAtSql(
+            "ln((CAST(pos AS DOUBLE) * CAST(tn AS DOUBLE)) / (CAST(neg AS DOUBLE) * CAST(tp AS DOUBLE)))", 6)} AS woe,
+          ${Det.roundAtSql(
+            "(CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE) - CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE))" +
+            " * ln((CAST(pos AS DOUBLE) * CAST(tn AS DOUBLE)) / (CAST(neg AS DOUBLE) * CAST(tp AS DOUBLE)))", 6)} AS iv_term
+        FROM c CROSS JOIN t ORDER BY cat"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
     q76, q77, q79, q80, q81, q84, q86, q87, q89, q90, q91, q92, q93, q94,
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
-    q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167)
+    q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
+    q181, q182)
 }
