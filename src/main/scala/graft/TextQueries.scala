@@ -32,6 +32,20 @@ object TextQueries {
   private def charShinglesSql(n: Int) =
     s"""list_distinct(list_transform(range(1, greatest(length($norm) - ${n - 1}, 1) + 1),
         i -> substr($norm, i, $n)))"""
+  // ── synthetic URL host pool (shared by q166 / q175) ──────────────────
+  private val hostPoolNames = Seq("news.example.com", "blog.example.org",
+    "docs.example.net", "www.example.com", "cdn.example.io",
+    "shop.example.mx", "example.com")
+  /** host for a doc: pool[(doc_id % 7)] — same formula both engines. */
+  private def hostOf(id: Column): Column =
+    element_at(array(hostPoolNames.map(lit): _*), (pmod(id, lit(7L)) + 1L).cast("int"))
+  private def hostOfSql(id: String): String =
+    s"(${hostPoolNames.map(h => s"'$h'").mkString("[", ", ", "]")})[($id % 7) + 1]"
+  /** registered domain = last two host labels. */
+  private def regDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  private val regDomainSqlRe = "'([^.]+\\.[^.]+)$'"
+
   private def jaccardSql(a: String, b: String) =
     Det.roundAtSql(s"len(list_intersect($a, $b)) * 1.0 / len(list_distinct(list_concat($a, $b)))", 6)
 
@@ -2044,11 +2058,7 @@ object TextQueries {
   private val q166 = Q(
     "q166_url_stats",
     (s, dir) => {
-      val hosts = array(lit("news.example.com"), lit("blog.example.org"),
-        lit("docs.example.net"), lit("www.example.com"), lit("cdn.example.io"),
-        lit("shop.example.mx"), lit("example.com"))
-      val url = concat(lit("https://"),
-        element_at(hosts, (pmod(col("doc_id"), lit(7L)) + 1L).cast("int")),
+      val url = concat(lit("https://"), hostOf(col("doc_id")),
         lit("/"), col("source"), lit("/"), col("lang"),
         lit("/page-"), col("doc_id").cast("string"),
         when(pmod(col("doc_id"), lit(3L)) === 0L, lit("?ref=rss&utm=mail"))
@@ -2057,7 +2067,7 @@ object TextQueries {
       val path = parse_url(url, lit("PATH"))
       tbl(s, dir, "documents")
         .select(col("doc_id"), url.as("url"), host.as("host"),
-          regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+          regDomain(host).as("domain"),
           (size(split(regexp_replace(path, "^/", ""), "/"))).as("depth"),
           parse_url(url, lit("QUERY")).isNotNull.as("has_q"),
           (parse_url(url, lit("QUERY"), lit("ref")) === "rss").as("ref_rss"))
@@ -2071,8 +2081,7 @@ object TextQueries {
         .orderBy("domain")
     },
     Some(s"""WITH u AS (SELECT doc_id,
-          'https://' || (['news.example.com', 'blog.example.org', 'docs.example.net',
-            'www.example.com', 'cdn.example.io', 'shop.example.mx', 'example.com'])[(doc_id % 7) + 1]
+          'https://' || ${hostOfSql("doc_id")}
           || '/' || source || '/' || lang || '/page-' || CAST(doc_id AS VARCHAR)
           || (CASE WHEN doc_id % 3 = 0 THEN '?ref=rss&utm=mail' ELSE '' END) AS url
         FROM documents),
@@ -2082,7 +2091,7 @@ object TextQueries {
           contains(url, '?') AS has_q,
           regexp_extract(url, '[?&]ref=([^&]*)', 1) = 'rss' AS ref_rss
         FROM u)
-        SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+        SELECT regexp_extract(host, $regDomainSqlRe, 1) AS domain,
           COUNT(*) AS n_docs,
           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
           CAST(SUM(len(string_split(substr(path, 2), '/'))) AS BIGINT) AS depth_sum,
@@ -2146,8 +2155,13 @@ object TextQueries {
   // each doc is one narrow row-local evaluation. The (count, earliest
   // start) argmax is encoded into ONE integer (cnt·10⁶ − start) so a
   // single array_max resolves both the max and its tie-break — an
-  // associative trick any engine reduces identically. Top 20 docs via
-  // orderBy+limit → TakeOrdered, never a global sort.
+  // associative trick any engine reduces identically (precondition:
+  // docs under 10⁶ tokens, or the -p term bleeds into the count field —
+  // far above any chunked-corpus doc; raise the constant for book-length
+  // inputs). Top 20 docs via orderBy+limit → TakeOrdered, never a
+  // global sort. Zero-token docs are filtered BEFORE the position
+  // sequence is built — sequence(0, -1) runs descending and would probe
+  // index 0.
   private val q169 = Q(
     "q169_snippet",
     (s, dir) => {
@@ -2161,6 +2175,7 @@ object TextQueries {
         size(filter(col("pos"), q => q >= p && q < p + W)).cast("long") * 1000000L - p))
       tbl(s, dir, "documents")
         .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
         .select(col("doc_id"), positions.as("pos"))
         .filter(size(col("pos")) > 0)
         .select(col("doc_id"), size(col("pos")).cast("long").as("n_hits"), enc.as("enc"))
@@ -2454,40 +2469,43 @@ object TextQueries {
   private val q175 = Q(
     "q175_domain_prior",
     (s, dir) => {
-      val hosts = array(lit("news.example.com"), lit("blog.example.org"),
-        lit("docs.example.net"), lit("www.example.com"), lit("cdn.example.io"),
-        lit("shop.example.mx"), lit("example.com"))
-      val host = element_at(hosts, (pmod(col("doc_id"), lit(7L)) + 1L).cast("int"))
+      import org.apache.spark.sql.types.DecimalType
+      val host = hostOf(col("doc_id"))
       val base = tbl(s, dir, "documents").select(
-        host.as("host"),
-        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+        host.as("host"), regDomain(host).as("domain"),
         TextFns.qualityScore(col("text")).as("q"))
+      // host sums stay DECIMAL through the domain re-aggregation — a
+      // double sum at domain grain would reintroduce aggregation-order
+      // dependence exactly where hosts merge
       val hostAgg = base.groupBy("domain", "host")
-        .agg(count(lit(1)).as("n_h"), Det.dsum(col("q"), 6).as("qs_h"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("q").cast(DecimalType(28, 6))).as("qs_dec"))
       val domAgg = hostAgg.groupBy("domain")
-        .agg(sum(col("n_h")).as("n_d"), sum(col("qs_h")).as("qs_d"))
+        .agg(sum(col("n_h")).as("n_d"), sum(col("qs_dec")).as("qsd_dec"))
       hostAgg.join(broadcast(domAgg), "domain")
         .select(col("domain"), col("host"), col("n_h").as("n_docs"),
-          Det.roundAt(col("qs_h") / col("n_h").cast("double"), 6).as("q_raw"),
-          Det.roundAt((col("qs_h") + lit(20.0) * (col("qs_d") / col("n_d").cast("double")))
+          Det.roundAt(col("qs_dec").cast("double") / col("n_h").cast("double"), 6)
+            .as("q_raw"),
+          Det.roundAt((col("qs_dec").cast("double")
+            + lit(20.0) * (col("qsd_dec").cast("double") / col("n_d").cast("double")))
             / (col("n_h") + lit(20L)).cast("double"), 6).as("q_shrunk"))
         .orderBy("domain", "host")
     },
-    Some(s"""WITH base AS (SELECT
-          (['news.example.com', 'blog.example.org', 'docs.example.net',
-            'www.example.com', 'cdn.example.io', 'shop.example.mx', 'example.com'])[(doc_id % 7) + 1] AS host,
+    Some(s"""WITH base AS (SELECT ${hostOfSql("doc_id")} AS host,
           $qualityScoreSql AS q
         FROM documents),
-        h AS (SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain, host,
+        h AS (SELECT regexp_extract(host, $regDomainSqlRe, 1) AS domain, host,
             CAST(COUNT(*) AS BIGINT) AS n_h,
-            CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS qs_h
+            SUM(CAST(q AS DECIMAL(28,6))) AS qs_dec
           FROM base GROUP BY 1, 2),
-        d AS (SELECT domain, CAST(SUM(n_h) AS BIGINT) AS n_d, SUM(qs_h) AS qs_d
+        d AS (SELECT domain, CAST(SUM(n_h) AS BIGINT) AS n_d,
+            SUM(qs_dec) AS qsd_dec
           FROM h GROUP BY 1)
         SELECT domain, host, n_h AS n_docs,
-          ${Det.roundAtSql("qs_h / CAST(n_h AS DOUBLE)", 6)} AS q_raw,
+          ${Det.roundAtSql("CAST(qs_dec AS DOUBLE) / CAST(n_h AS DOUBLE)", 6)} AS q_raw,
           ${Det.roundAtSql(
-            "(qs_h + 20.0 * (qs_d / CAST(n_d AS DOUBLE))) / CAST(n_h + 20 AS DOUBLE)", 6)} AS q_shrunk
+            "(CAST(qs_dec AS DOUBLE) + 20.0 * (CAST(qsd_dec AS DOUBLE) / CAST(n_d AS DOUBLE)))" +
+            " / CAST(n_h + 20 AS DOUBLE)", 6)} AS q_shrunk
         FROM h JOIN d USING (domain) ORDER BY domain, host"""))
 
   // q176 — QUALITY-AWARE DEDUP SURVIVORS: q63 keeps each cluster's MIN
