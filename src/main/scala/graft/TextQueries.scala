@@ -2716,10 +2716,79 @@ object TextQueries {
         FROM z ORDER BY lang"""
     })
 
+  // q183 — CROSS-SOURCE QUANTILE NORMALIZATION (score calibration when
+  // crawls merge: source A's "0.7 quality" is not source B's — map each
+  // source-local score to the GLOBAL score at the same quantile, then
+  // measure how far each source's scale sits from the pooled one). Both
+  // CDFs live at distinct-score grain (quality is 6-dp, domain ≤ 10⁶
+  // values regardless of corpus size); the quantile lookup "smallest
+  // global score whose CDF ≥ the source-local CDF" IS a forward as-of
+  // join, so the q70/q124 operator is reused on (constant key, CDF
+  // value) — one union + one running window, no inequality join. CDF
+  // values are exact integer ratios, so the as-of match points are
+  // engine-identical; shifts are 6-dp quantized before the decimal sum.
+  private val q183 = Q(
+    "q183_quantile_norm",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val base = tbl(s, dir, "documents")
+        .select(col("source"), TextFns.qualityScore(col("text")).as("q"))
+      val srcCell = base.groupBy("source", "q").agg(count(lit(1)).as("n"))
+      val wS = Window.partitionBy("source").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val srcCdf = srcCell
+        .withColumn("cum", sum(col("n")).over(wS))
+        .withColumn("n_src", sum(col("n")).over(Window.partitionBy("source")))
+        .select(col("source"), col("q"), col("n"),
+          (col("cum").cast("double") / col("n_src").cast("double")).as("pr"),
+          lit(1).as("k"))
+      val wG = Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val globCdf = base.groupBy("q").agg(count(lit(1)).as("ng"))
+        .withColumn("cum", sum(col("ng")).over(wG))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_tot"))))
+        .select(col("q").as("gq"),
+          (col("cum").cast("double") / col("n_tot").cast("double")).as("pr"),
+          lit(1).as("k"))
+      graft.operators.AsOf.forward(srcCdf, globCdf, "k", "k", "pr", "pr", Seq("gq"))
+        .select(col("source"), col("n"),
+          Det.roundAt(abs(col("asof.gq") - col("q")), 6).as("shift"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("n_docs"),
+          Det.roundAt(sum((col("shift") * col("n").cast("double"))
+            .cast(DecimalType(28, 6))).cast("double")
+            / sum(col("n")).cast("double"), 6).as("mean_shift"),
+          max(col("shift")).as("max_shift"))
+        .orderBy("source")
+    },
+    Some(s"""WITH base AS (SELECT source, $qualityScoreSql AS q FROM documents),
+        sc AS (SELECT source, q, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2),
+        scdf AS (SELECT source, q, n,
+            CAST(SUM(n) OVER (PARTITION BY source ORDER BY q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) AS pr
+          FROM sc),
+        gc AS (SELECT q AS gq, CAST(COUNT(*) AS BIGINT) AS ng FROM base GROUP BY 1),
+        gcdf AS (SELECT gq,
+            CAST(SUM(ng) OVER (ORDER BY gq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST((SELECT SUM(ng) FROM gc) AS DOUBLE) AS pr
+          FROM gc),
+        j AS (SELECT s.source, s.n,
+            ${Det.roundAtSql("abs(g.gq - s.q)", 6)} AS shift
+          FROM scdf s ASOF LEFT JOIN gcdf g ON s.pr <= g.pr)
+        SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+          ${Det.roundAtSql(
+            "CAST(SUM(CAST(shift * CAST(n AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)" +
+            " / CAST(SUM(n) AS DOUBLE)", 6)} AS mean_shift,
+          MAX(shift) AS max_shift
+        FROM j GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183)
 }
