@@ -143,6 +143,25 @@ class PlanShapeSpec extends SparkSpec {
       s"q177 scans more than (source, text):\n$p")
   }
 
+  test("quantile normalization plans as union+window, never an inequality join") {
+    val p = plan("q183_quantile_norm")
+    // the one BroadcastNestedLoopJoin allowed is the 1-row totals frame
+    // (broadcast-of-scalar crossJoin); the CDF↔CDF lookup itself must be
+    // the union+window as-of shape, not a join
+    assert(!p.contains("CartesianProduct"), s"q183 plans a cartesian:\n$p")
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"q183's quantile lookup degraded to an inequality join:\n$p")
+    assert(p.contains("Union") && p.contains("Window"),
+      s"q183 lost the as-of union+window shape:\n$p")
+  }
+
+  test("sorted-neighborhood ER pairs come from lead windows, not a self-join") {
+    val p = plan("q181_sorted_neighborhood")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q181 plans a join where lead() windows suffice:\n$p")
+  }
+
   test("HTML extract and URL stats scan only the columns they use") {
     val p165 = plan("q165_html_extract")
     assert(!p165.contains("n_chars"), s"q165 reads n_chars it never uses:\n$p165")
