@@ -2785,10 +2785,65 @@ object TextQueries {
           MAX(shift) AS max_shift
         FROM j GROUP BY source ORDER BY source"""))
 
+  // q184 — IMAGE NEAR-DUP via perceptual dHash LSH: synthesize per-doc
+  // 8×9 grayscale tiles as binary payloads (200 shared base patterns +
+  // sparse per-variant pixel perturbations — the byte-level stand-in for
+  // a decoder's resized output), fingerprint each with the native 64-bit
+  // difference hash ([[graft.plans.DHashExpr]]), band 4×16 bits, bucket
+  // self-join, verify hamming ≤ 10. Same-pattern variants differ in a few
+  // gradient bits and pair up; unrelated patterns sit at ~32 bits apart
+  // and never match. The hamming histogram + id_sum pins every surviving
+  // pair. Oracle recomputes tile bytes AND hash arithmetically (the build
+  // formula is pure doc_id arithmetic), so equality proves the byte
+  // build → native hash → banding → verify chain bit-for-bit. Scale: the
+  // shuffle carries 8-byte fingerprints, never payload bytes; mega-
+  // buckets capped deterministically (observe-audited) like every LSH
+  // path in the engine.
+  private val q184 = Q(
+    "q184_phash_neardup",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val grp = col("doc_id") % 200
+      val v = floor(col("doc_id") / 200).cast("long")
+      val delta = when(v % 3 === 1, 60L).when(v % 3 === 2, 35L).otherwise(0L)
+      val media = tbl(s, dir, "documents").select(col("doc_id"),
+        Multimodal.grayTilePayload(72) { i =>
+          (grp * 37 + i * 29 + (i * i * 13 + grp * i * 7) % 97) % 150 + lit(20) +
+            when((v + i) % 19 === 0, delta).otherwise(0L)
+        }.as("bytes"))
+      Multimodal.phashPairs(media, "doc_id", "bytes", maxHamming = 10)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_sum"))
+        .orderBy("hamming")
+    },
+    Some("""WITH px AS (SELECT doc_id, doc_id % 200 AS grp, doc_id // 200 AS v FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, 72), i ->
+            (grp*37 + i*29 + (i*i*13 + grp*i*7) % 97) % 150 + 20 +
+            CASE WHEN (v + i) % 19 = 0
+                 THEN CASE WHEN v % 3 = 1 THEN 60 WHEN v % 3 = 2 THEN 35 ELSE 0 END
+                 ELSE 0 END) AS gray
+          FROM px),
+        hb AS (SELECT doc_id, list_transform(range(0, 4), b ->
+            CAST(list_sum(list_transform(range(0, 16), j ->
+              CASE WHEN gray[((b*16+j) // 8) * 9 + ((b*16+j) % 8) + 2]
+                      > gray[((b*16+j) // 8) * 9 + ((b*16+j) % 8) + 1]
+                   THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS bands
+          FROM g),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(bit_count(xor(a.bands[1], b.bands[1])) + bit_count(xor(a.bands[2], b.bands[2]))
+               + bit_count(xor(a.bands[3], b.bands[3])) + bit_count(xor(a.bands[4], b.bands[4]))
+              AS BIGINT) AS hamming
+          FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+            AND (a.bands[1] = b.bands[1] OR a.bands[2] = b.bands[2]
+              OR a.bands[3] = b.bands[3] OR a.bands[4] = b.bands[4]))
+      SELECT hamming, COUNT(*) AS n_pairs, CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum
+      FROM cand WHERE hamming <= 10 GROUP BY hamming ORDER BY hamming"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184)
 }

@@ -249,6 +249,53 @@ object Multimodal {
       .otherwise(lit(null).cast("struct<width:bigint,height:bigint>"))
   }
 
+  /** Serialize a gray tile as raw bytes: `gray(i)` (an int column in
+    * 0..255) per pixel index, hex-encoded then unhexed once — a binary
+    * payload built from codegen'd builtins, standing in for a decoder's
+    * resized-grayscale output so the byte-level fingerprint path below is
+    * exercised end-to-end without codec libraries. */
+  def grayTilePayload(n: Int)(gray: Column => Column): Column =
+    unhex(concat_ws("",
+      transform(sequence(lit(0), lit(n - 1)), i => lpad(hex(gray(i)), 2, "0"))))
+
+  /** 64-bit perceptual difference hash of a `width×height` gray tile
+    * riding in a binary column — one native fused pass
+    * ([[graft.plans.DHashExpr]]); null for truncated payloads. */
+  def dhash64(bytes: Column, width: Int = 9, height: Int = 8): Column =
+    graft.plans.DHashExpr(bytes, width, height)
+
+  /** Image near-duplicate pairs via dHash LSH: band the 64-bit
+    * fingerprint into 4×16-bit slices; payloads sharing any slice at the
+    * same position are candidates (pigeonhole: full recall for
+    * hamming ≤ 3, high recall far beyond — near-identical images agree on
+    * almost every gradient bit); verify `bit_count(xor) ≤ maxHamming`.
+    * Identical shuffle shape to [[Dedup.simhashPairs]]: one banding
+    * shuffle of width 4×rows, mega-buckets (flat-color images all hash to
+    * 0) bounded by [[Dedup.capBuckets]]'s deterministic, observe-audited
+    * cap, then one bucket-local self-join — no O(n²) stage, nothing
+    * collects. This is the whole-corpus image-dedup path: fingerprints
+    * are 8 bytes/row however large the payloads, so the shuffle carries
+    * ~1/10⁶ of the corpus bytes at 100 TB. */
+  def phashPairs(df: DataFrame, idCol: String, bytesCol: String,
+                 width: Int = 9, height: Int = 8,
+                 maxHamming: Int = 10, maxBucket: Int = 100000): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("id"), dhash64(col(bytesCol), width, height).as("ph"))
+      .filter(col("ph").isNotNull)
+      .select(col("id"), col("ph"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("ph"), 16 * b).bitwiseAND(65535L)): _*)).as(Seq("band", "key")))
+    val (l, r) = Dedup.capBuckets(banded, maxBucket, "phash")
+    val lhs = l.select(col("band"), col("key"), col("id").as("id_a"), col("ph").as("ph_a"))
+    val rhs = r.select(col("band"), col("key"), col("id").as("id_b"), col("ph").as("ph_b"))
+    lhs.join(rhs, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame/segment sampling: slice the payload into up to `n` fixed-size
     * chunks (video frame-sampling shape), one output row per chunk. Pure
     * column ops — `substring` works on binary. */

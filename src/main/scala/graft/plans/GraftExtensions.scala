@@ -48,6 +48,14 @@ object GraftExtensions {
           "hashes: element i is min((h*a_i + b_i) mod p) with the engine's fixed seed family."),
       (args: Seq[Expression]) =>
         MinhashSigExpr(args(0), foldToInt(args(1), "graft_minhash", "n"))),
+    (FunctionIdentifier("graft_dhash"),
+      info("graft_dhash",
+        "graft_dhash(bytes, width, height) - 64-bit perceptual difference hash of a row-major " +
+          "width x height grayscale tile in a binary column; null if the payload is shorter " +
+          "than width*height."),
+      (args: Seq[Expression]) =>
+        DHashExpr(args(0), foldToInt(args(1), "graft_dhash", "width"),
+          foldToInt(args(2), "graft_dhash", "height"))),
     (FunctionIdentifier("graft_wordpiece"),
       info("graft_wordpiece",
         "graft_wordpiece(word, vocab) - greedy longest-match subword split of `word` against a " +

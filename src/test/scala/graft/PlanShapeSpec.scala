@@ -162,6 +162,21 @@ class PlanShapeSpec extends SparkSpec {
       s"q181 plans a join where lead() windows suffice:\n$p")
   }
 
+  test("phash near-dup verifies candidates with an equi-join on band buckets") {
+    val p = plan("q184_phash_neardup")
+    assert(!p.contains("NestedLoop"),
+      s"q184 degraded to an all-pairs (nested-loop) join:\n$p")
+    // fingerprints ride the candidate join, payload bytes must not: the
+    // checkpointed banded relation is the slim (id, ph, band, key)
+    // projection — the dhash ran BEFORE the checkpoint, bytes never
+    // reach the self-join or any shuffle
+    assert(p.contains("Scan ExistingRDD[id#"), s"q184 lost the slim banded checkpoint:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("bytes")),
+      s"q184 carries payload bytes into the candidate join:\n$p")
+    // the mega-bucket cap audit is wired
+    assert(p.contains("CollectMetrics phash"), s"q184 lost the bucket-cap audit:\n$p")
+  }
+
   test("HTML extract and URL stats scan only the columns they use") {
     val p165 = plan("q165_html_extract")
     assert(!p165.contains("n_chars"), s"q165 reads n_chars it never uses:\n$p165")
