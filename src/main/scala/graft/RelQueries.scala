@@ -948,6 +948,41 @@ object RelQueries {
       SELECT item_a, item_b, pair_support FROM pairs
       ORDER BY pair_support DESC, item_a ASC, item_b ASC LIMIT 20"""))
 
+  // q185 — ASSOCIATION RULES over q84's frequent pairs: each surviving
+  // (a, b) emits both directed rules with confidence = pair/s(ante) and
+  // lift = pair·n_baskets/(s(a)·s(b)) from exact integer counts, rounded
+  // at 6 dp. Item supports and the basket total are broadcast onto the
+  // pair list — the market-basket completion (support → confidence →
+  // lift) as one oracle row set, top-20 by lift with full tie-break.
+  private val q185 = Q(
+    "q185_assoc_rules",
+    (s, dir) => graft.operators.Itemsets.associationRules(
+        tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minItemSupport = 20L, minPairSupport = 2L)
+      .orderBy(desc("lift"), desc("pair_support"),
+        asc("antecedent"), asc("consequent"))
+      .limit(20),
+    Some(s"""WITH baskets AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT b) AS n FROM baskets),
+        freq AS (SELECT i, COUNT(*) AS s FROM baskets GROUP BY i HAVING COUNT(*) >= 20),
+        pruned AS (SELECT b, i FROM baskets JOIN freq USING (i)),
+        pairs AS (SELECT x.i AS ia, y.i AS ib, COUNT(*) AS ps
+          FROM pruned x JOIN pruned y ON x.b = y.b AND x.i < y.i
+          GROUP BY x.i, y.i HAVING COUNT(*) >= 2),
+        dirs AS (SELECT ia AS antecedent, ib AS consequent, ps FROM pairs
+          UNION ALL SELECT ib, ia, ps FROM pairs),
+        r AS (SELECT d.antecedent, d.consequent,
+            CAST(d.ps AS BIGINT) AS pair_support,
+            CAST(fa.s AS BIGINT) AS s_ante, CAST(fc.s AS BIGINT) AS s_cons,
+            ${Det.roundAtSql("d.ps * 1.0 / fa.s", 6)} AS confidence,
+            ${Det.roundAtSql("d.ps * 1.0 * (SELECT n FROM nb) / (fa.s * fc.s)", 6)} AS lift
+          FROM dirs d
+          JOIN freq fa ON fa.i = d.antecedent
+          JOIN freq fc ON fc.i = d.consequent)
+      SELECT * FROM r
+      ORDER BY lift DESC, pair_support DESC, antecedent ASC, consequent ASC
+      LIMIT 20"""))
+
   // q86 — Z-order (Morton) curve values (Layout.zorder2): the layout key
   // behind multi-dimensional data skipping. Each 1024-wide Z-range is a
   // bounded rectangle of the (part, supp) plane — the per-bucket min/max
@@ -2667,5 +2702,5 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182)
+    q181, q182, q185)
 }

@@ -49,4 +49,55 @@ object Itemsets {
       .agg(count(lit(1)).as("pair_support"))
       .filter(col("pair_support") >= minPairSupport)
   }
+
+  /** Directed association rules from the frequent pairs: each surviving
+    * pair emits `a→b` and `b→a` with
+    * `confidence = support(a,b)/support(a)` and
+    * `lift = support(a,b)·n_baskets/(support(a)·support(b))`, both
+    * rounded at 6 dp from exact integer counts (engine-portable).
+    *
+    * Scale shape: the deduped basket relation is checkpointed once and
+    * feeds the support aggregate and both self-join sides; item supports
+    * and the basket total are catalog-bounded/scalar and BROADCAST onto
+    * the pair list — the only corpus-scale shuffles are the basket
+    * distinct and the pair count, same as [[frequentPairs]]. */
+  def associationRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minItemSupport: Long,
+      minPairSupport: Long): DataFrame = {
+    import graft.functions.Det
+    val baskets = Ckpt.local(
+      df.select(col(basketCol).as("_b"), col(itemCol).as("_i")).distinct())
+    val nBaskets = baskets.select(col("_b")).distinct()
+      .select(count(lit(1)).as("n_baskets"))
+    val supports = baskets.groupBy("_i").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minItemSupport)
+    val pruned = baskets.join(broadcast(supports.select("_i")), "_i")
+    val pairs = pruned.select(col("_b"), col("_i").as("item_a"))
+      .join(pruned.select(col("_b"), col("_i").as("item_b")), "_b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_support"))
+      .filter(col("pair_support") >= minPairSupport)
+    val directed = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("pair_support"))
+      .union(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("pair_support")))
+    directed
+      .join(broadcast(supports.select(col("_i").as("antecedent"), col("s").as("s_ante"))),
+        "antecedent")
+      .join(broadcast(supports.select(col("_i").as("consequent"), col("s").as("s_cons"))),
+        "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence",
+        Det.roundAt(col("pair_support").cast("double") / col("s_ante"), 6))
+      .withColumn("lift",
+        Det.roundAt(col("pair_support").cast("double") * col("n_baskets") /
+          (col("s_ante") * col("s_cons")), 6))
+      .select("antecedent", "consequent", "pair_support", "s_ante", "s_cons",
+        "confidence", "lift")
+  }
 }
