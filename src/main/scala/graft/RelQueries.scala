@@ -983,6 +983,89 @@ object RelQueries {
       ORDER BY lift DESC, pair_support DESC, antecedent ASC, consequent ASC
       LIMIT 20"""))
 
+  // q187 — CUPED variance reduction (Deng et al. 2013, the standard
+  // experimentation adjustment): units = users, covariate x = pre-period
+  // mean event value (ts < Jan 16), metric y = post-period mean; users
+  // lacking either period drop. θ = cov(x,y)/var(x) and the variance
+  // reduction ρ² come from decimal-exact global moments of the 6-dp
+  // quantized per-user means; each arm (user_id % 2 — deterministic
+  // hash-style assignment) reports its raw and CUPED-adjusted post mean.
+  // Scale: one user-grain aggregate (the corpus shuffle), then a 2-row
+  // arm aggregate with the scalar moment frame BROADCAST on — no second
+  // pass over events, no collect.
+  private val q187 = Q(
+    "q187_cuped",
+    (s, dir) => {
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val per = tbl(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .groupBy("user_id").agg(
+          Det.dsum(when(col("ts") < cutoff, col("value"))).as("psx"),
+          count(when(col("ts") < cutoff, lit(1))).as("pnx"),
+          Det.dsum(when(col("ts") >= cutoff, col("value"))).as("psy"),
+          count(when(col("ts") >= cutoff, lit(1))).as("pny"))
+        .filter(col("pnx") > 0 && col("pny") > 0)
+        .select(col("user_id"), (col("user_id") % 2).as("arm"),
+          Det.roundAt(col("psx") / col("pnx"), 6).as("x"),
+          Det.roundAt(col("psy") / col("pny"), 6).as("y"))
+      val g = per.agg(
+        count(lit(1)).cast("double").as("n"),
+        Det.dsum(col("x"), 6).as("gsx"),
+        Det.dsum(col("y"), 6).as("gsy"),
+        Det.dsum(col("x") * col("y"), 12).as("gsxy"),
+        Det.dsum(col("x") * col("x"), 12).as("gsxx"),
+        Det.dsum(col("y") * col("y"), 12).as("gsyy"))
+      val covxy = col("n") * col("gsxy") - col("gsx") * col("gsy")
+      val varx = col("n") * col("gsxx") - col("gsx") * col("gsx")
+      val vary = col("n") * col("gsyy") - col("gsy") * col("gsy")
+      val theta = covxy / varx
+      val arms = per.groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        Det.dsum(col("x"), 6).as("asx"),
+        Det.dsum(col("y"), 6).as("asy"))
+      arms.crossJoin(broadcast(g))
+        .select(col("arm"), col("n_users"),
+          Det.roundAt(col("asy") / col("n_users"), 4).as("mean_y"),
+          Det.roundAt(col("asy") / col("n_users") -
+            theta * (col("asx") / col("n_users") - col("gsx") / col("n")), 4)
+            .as("mean_y_adj"),
+          Det.roundAt(theta, 6).as("theta"),
+          Det.roundAt(covxy * covxy / (varx * vary), 6).as("var_reduction"))
+        .orderBy("arm")
+    },
+    Some({
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      def d(e: String, sc: Int) = s"CAST(SUM(CAST(($e) AS DECIMAL(28,$sc))) AS DOUBLE)"
+      val (gsx, gsy) = (d("x", 6), d("y", 6))
+      val (gsxy, gsxx, gsyy) = (d("x * y", 12), d("x * x", 12), d("y * y", 12))
+      val covxy = s"($n * $gsxy - $gsx * $gsy)"
+      val varx = s"($n * $gsxx - $gsx * $gsx)"
+      val vary = s"($n * $gsyy - $gsy * $gsy)"
+      val theta = s"($covxy / $varx)"
+      s"""WITH per0 AS (SELECT user_id,
+            ${d("CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value END", 2)} AS psx,
+            COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) AS pnx,
+            ${d("CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END", 2)} AS psy,
+            COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) AS pny
+          FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        per AS (SELECT user_id, user_id % 2 AS arm,
+            ${Det.roundAtSql("psx / pnx", 6)} AS x,
+            ${Det.roundAtSql("psy / pny", 6)} AS y
+          FROM per0 WHERE pnx > 0 AND pny > 0),
+        g AS (SELECT $n AS n, $gsx AS gsx, $theta AS theta,
+            ${Det.roundAtSql(theta, 6)} AS theta_r,
+            ${Det.roundAtSql(s"$covxy * $covxy / ($varx * $vary)", 6)} AS vr
+          FROM per),
+        arms AS (SELECT arm, COUNT(*) AS n_users,
+            ${d("x", 6)} AS asx, ${d("y", 6)} AS asy
+          FROM per GROUP BY arm)
+      SELECT arm, n_users,
+        ${Det.roundAtSql("asy / n_users", 4)} AS mean_y,
+        ${Det.roundAtSql("asy / n_users - g.theta * (asx / n_users - g.gsx / g.n)", 4)} AS mean_y_adj,
+        g.theta_r AS theta, g.vr AS var_reduction
+      FROM arms CROSS JOIN g ORDER BY arm"""
+    }))
+
   // q86 — Z-order (Morton) curve values (Layout.zorder2): the layout key
   // behind multi-dimensional data skipping. Each 1024-wide Z-range is a
   // bounded rectangle of the (part, supp) plane — the per-bucket min/max
@@ -2702,5 +2785,5 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182, q185)
+    q181, q182, q185, q187)
 }

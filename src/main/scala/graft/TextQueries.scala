@@ -2840,10 +2840,51 @@ object TextQueries {
       SELECT hamming, COUNT(*) AS n_pairs, CAST(SUM(id_a + id_b) AS BIGINT) AS id_sum
       FROM cand WHERE hamming <= 10 GROUP BY hamming ORDER BY hamming"""))
 
+  // q186 — VIDEO SCENE-CHANGE detection over sampled frames: synthesize
+  // 8-frame payloads (16 bytes/frame, frame content a step function of
+  // doc_id arithmetic — the stand-in for decoded keyframes), slice with
+  // [[Multimodal.frameSample]] (the chunked frame-sampling operator),
+  // fingerprint each frame with codegen'd crc32, and count per-media
+  // fingerprint transitions with a lag window. The change-count histogram
+  // + id_sum pins every media's boundary count. Oracle recomputes the
+  // step function per frame directly — equality proves build → slice →
+  // fingerprint → lag-compare end-to-end. Scale: frames never leave
+  // their partition (narrow posexplode); the only shuffles are the
+  // per-media lag window (media-grain, 8 rows each) and the tiny final
+  // histogram.
+  private val q186 = Q(
+    "q186_scene_change",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val k = col("doc_id") % 3 + lit(1)
+      val media = tbl(s, dir, "documents").select(col("doc_id"),
+        Multimodal.grayTilePayload(128) { i =>
+          val f = floor(i / lit(16))
+          (col("doc_id") % 7 * 31 + floor(f * k / lit(3)) * 17) % 251
+        }.as("bytes"))
+      val frames = Multimodal.frameSample(media, n = 8, chunkBytes = 16)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      frames.select(col("doc_id"), col("frame_idx"), crc32(col("frame")).as("fp"))
+        .withColumn("chg", (col("fp") =!= lag("fp", 1).over(w)).cast("long"))
+        .groupBy("doc_id").agg(sum(col("chg")).as("n_changes"))
+        .groupBy("n_changes")
+        .agg(count(lit(1)).as("n_media"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("n_changes")
+    },
+    Some("""WITH v AS (SELECT doc_id,
+          CAST(len(list_filter(range(1, 8), f ->
+            (doc_id % 7 * 31 + ((f * (doc_id % 3 + 1)) // 3) * 17) % 251
+            <> (doc_id % 7 * 31 + (((f - 1) * (doc_id % 3 + 1)) // 3) * 17) % 251))
+          AS BIGINT) AS n_changes
+        FROM documents)
+      SELECT n_changes, COUNT(*) AS n_media, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM v GROUP BY n_changes ORDER BY n_changes"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
+    q186)
 }
