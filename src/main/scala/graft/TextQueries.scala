@@ -2880,11 +2880,55 @@ object TextQueries {
       SELECT n_changes, COUNT(*) AS n_media, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM v GROUP BY n_changes ORDER BY n_changes"""))
 
+  // q188 — BPE TOKENIZER TRAINING, 3 merge rounds (operators/Bpe.scala):
+  // the vocabulary is the ONLY corpus-scale aggregate; each round is a
+  // vocab-grain pair count with a deterministic (cnt DESC, pair ASC)
+  // argmax and a greedy left-to-right non-overlapping merge fold. Output
+  // = top-15 symbols of the final segmentation by weighted frequency —
+  // any divergence in ANY round's argmax or fold changes the symbol
+  // table, so the 15 rows pin the whole merge sequence. The oracle
+  // replays all 3 rounds with list_reduce folds and scalar-subquery
+  // argmaxes.
+  private val q188 = Q(
+    "q188_bpe_train",
+    (s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val (seg, _) = graft.operators.Bpe.train(words, "w", "freq", k = 3)
+      seg.select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("sym")).limit(15)
+    },
+    Some {
+      def round(r: Int) = s"""
+        p$r AS (SELECT u.pr AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM r${r - 1}, unnest(list_transform(range(1, len(syms)),
+            i -> syms[i] || ' ' || syms[i+1])) AS u(pr)
+          GROUP BY u.pr),
+        m$r AS (SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+          FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+        r$r AS (SELECT w, freq,
+            list_reduce(list_transform(syms, s -> [s]),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+                          THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+                          ELSE list_append(acc, x[1]) END) AS syms
+          FROM r${r - 1}, m$r m)"""
+      s"""WITH words AS (SELECT u.w AS w, COUNT(*) AS freq
+          FROM (SELECT $toks AS tk FROM documents), unnest(tk) AS u(w) GROUP BY u.w),
+        r0 AS (SELECT w, freq,
+          list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms FROM words),
+        ${round(1)}, ${round(2)}, ${round(3)}
+      SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM r3, unnest(syms) AS u(sym)
+      GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 15"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186)
+    q186, q188)
 }
