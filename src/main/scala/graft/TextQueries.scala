@@ -2924,11 +2924,70 @@ object TextQueries {
       GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 15"""
     })
 
+  // q189 — CALIBRATION METRICS for the quality-vs-dup signal that q137
+  // plots as a reliability diagram: expected calibration error (ECE,
+  // bin-weighted |confidence − accuracy|), max calibration error (MCE),
+  // and the Brier score, over the same 10 equal-width score bins. All
+  // three reduce to decimal-exact sums of 6-dp-quantized per-doc /
+  // per-bin terms, so the scalars are engine-exact. Scale: one
+  // fingerprint groupBy + one doc-grain pass + a 10-row bin aggregate.
+  private val q189 = Q(
+    "q189_ece_brier",
+    (s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("q"),
+        TextFns.portableHash(TextFns.normText(col("text"))).as("fp"))
+      val dupFp = scored.groupBy("fp").agg(count(lit(1)).as("fn"))
+        .filter(col("fn") > 1).select("fp")
+      val flagged = scored
+        .join(dupFp.withColumn("__d", lit(1L)), Seq("fp"), "left")
+        .withColumn("y", coalesce(col("__d"), lit(0L)))
+        .withColumn("bin", least(floor(col("q") * 10), lit(9.0)).cast("long"))
+      val bins = flagged.groupBy("bin").agg(
+        count(lit(1)).as("nb"),
+        Det.dsum(col("q"), 6).as("sq"),
+        sum(col("y")).as("sy"),
+        Det.dsum(Det.roundAt((col("q") - col("y")) * (col("q") - col("y")), 6), 6)
+          .as("sbrier"))
+      val gap = abs(col("sq") / col("nb") - col("sy").cast("double") / col("nb"))
+      bins.agg(
+          sum(col("nb")).as("n_docs"),
+          Det.dsum(Det.roundAt(gap * col("nb"), 6), 6).as("gapsum"),
+          max(Det.roundAt(gap, 6)).as("mce"),
+          Det.dsum(col("sbrier"), 6).as("briersum"))
+        .select(col("n_docs"),
+          Det.roundAt(col("gapsum") / col("n_docs"), 6).as("ece"),
+          col("mce"),
+          Det.roundAt(col("briersum") / col("n_docs"), 6).as("brier"))
+    },
+    Some(s"""WITH scored AS (SELECT doc_id, $qualityScoreSql AS q,
+          ${hSql(norm)} AS fp FROM documents),
+        dupfp AS (SELECT fp FROM scored GROUP BY fp HAVING COUNT(*) > 1),
+        flagged AS (SELECT q,
+            CASE WHEN fp IN (SELECT fp FROM dupfp) THEN 1 ELSE 0 END AS y,
+            CAST(least(floor(q * 10), 9.0) AS BIGINT) AS bin
+          FROM scored),
+        bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+            CAST(SUM(CAST(q AS DECIMAL(28,6))) AS DOUBLE) AS sq,
+            CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(CAST(${Det.roundAtSql("(q - y) * (q - y)", 6)} AS DECIMAL(28,6)))
+              AS DOUBLE) AS sbrier
+          FROM flagged GROUP BY bin)
+      SELECT CAST(SUM(nb) AS BIGINT) AS n_docs,
+        ${Det.roundAtSql(
+          s"CAST(SUM(CAST(${Det.roundAtSql(
+            "abs(sq / nb - CAST(sy AS DOUBLE) / nb) * nb", 6)} AS DECIMAL(28,6))) AS DOUBLE)" +
+          " / SUM(nb)", 6)} AS ece,
+        MAX(${Det.roundAtSql("abs(sq / nb - CAST(sy AS DOUBLE) / nb)", 6)}) AS mce,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(sbrier AS DECIMAL(28,6))) AS DOUBLE) / SUM(nb)", 6)} AS brier
+      FROM bins"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188)
+    q186, q188, q189)
 }
