@@ -2778,6 +2778,137 @@ object RelQueries {
             " * ln((CAST(pos AS DOUBLE) * CAST(tn AS DOUBLE)) / (CAST(neg AS DOUBLE) * CAST(tp AS DOUBLE)))", 6)} AS iv_term
         FROM c CROSS JOIN t ORDER BY cat"""))
 
+  // q191 — CHI-SQUARE TEST OF INDEPENDENCE + CRAMÉR'S V between two
+  // categoricals (order priority × order status) — the categorical
+  // complement to q10's Pearson (numeric×numeric) and q173's KS
+  // (numeric distribution drift): does fulfillment status depend on
+  // priority? Contingency cells stay INTEGER counts until the expected
+  // value E = rowTot·colTot/N; the full r×c grid is rebuilt from the
+  // marginals (r·c rows — tiny) so zero-observed cells still contribute
+  // their (0−E)²/E = E mass, which a group-by over observed rows alone
+  // would silently drop. Per-cell terms are 1e-6-rounded before the
+  // decimal-exact sum (q138's pattern), so double addition order never
+  // shows. At 100 TB: one shuffle to cell grain (r·c keys), marginals
+  // and grid are broadcast-sized — the plan is a groupBy plus
+  // broadcast crossJoins, nothing driver-side.
+  private val q191 = Q(
+    "q191_chi2_independence",
+    (s, dir) => {
+      val obs = tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("c"))
+      val rowsM = obs.groupBy("p").agg(sum(col("c")).as("rc"))
+      val colsM = obs.groupBy("st").agg(sum(col("c")).as("cc"))
+      val tot = obs.agg(sum(col("c")).as("n"))
+      val dims = rowsM.agg(count(lit(1)).cast("long").as("nr"))
+        .crossJoin(colsM.agg(count(lit(1)).cast("long").as("nc")))
+      val grid = rowsM.crossJoin(broadcast(colsM))
+        .join(obs, Seq("p", "st"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(tot))
+        .select(col("c"), (col("rc").cast("double") * col("cc").cast("double")
+          / col("n").cast("double")).as("e"), col("n"))
+      grid
+        .select(col("n"), Det.roundAt((col("c").cast("double") - col("e"))
+          * (col("c").cast("double") - col("e")) / col("e"), 6).as("term"))
+        .groupBy("n")
+        .agg(Det.roundAt(Det.dsum(col("term"), 6), 6).as("chi2"))
+        .crossJoin(broadcast(dims))
+        .select(col("n"), col("nr").as("n_row_cats"), col("nc").as("n_col_cats"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("chi2"),
+          Det.roundAt(sqrt(col("chi2") / (col("n").cast("double")
+            * (least(col("nr"), col("nc")) - lit(1)).cast("double"))), 6)
+            .as("cramers_v"))
+    },
+    Some(s"""WITH obs AS (SELECT o_orderpriority AS p, o_orderstatus AS st,
+            CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2),
+        rm AS (SELECT p, CAST(SUM(c) AS BIGINT) AS rc FROM obs GROUP BY 1),
+        cm AS (SELECT st, CAST(SUM(c) AS BIGINT) AS cc FROM obs GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs),
+        dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS nr,
+                        (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS nc),
+        grid AS (SELECT COALESCE(o.c, 0) AS c,
+            CAST(rc AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE) AS e, n
+          FROM rm CROSS JOIN cm
+          LEFT JOIN obs o ON o.p = rm.p AND o.st = cm.st
+          CROSS JOIN tot),
+        terms AS (SELECT n, ${Det.roundAtSql(
+            "(CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e", 6)} AS term
+          FROM grid),
+        agg AS (SELECT n, ${Det.roundAtSql(
+            "CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS chi2
+          FROM terms GROUP BY n)
+      SELECT n, nr AS n_row_cats, nc AS n_col_cats,
+        (nr - 1) * (nc - 1) AS dof, chi2,
+        ${Det.roundAtSql(
+          "sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE)))", 6)} AS cramers_v
+      FROM agg CROSS JOIN dims"""))
+
+  // q192 — WELCH'S T-TEST per event_type between the two hash-assigned
+  // experiment variants (user_id parity — the same deterministic
+  // assignment family as q187's CUPED, which reports effect size but no
+  // test statistic; this adds the inference step of an A/B readout).
+  // Unequal-variance t and Welch–Satterthwaite df are computed entirely
+  // from decimal-exact moments of 1e-6-rounded values (values carry 2
+  // decimals, so rounding is lossless), so every derived double is a
+  // fixed formula over exact sums — bit-identical in both engines. At
+  // 100 TB this is one map-side-combinable shuffle to (event_type)
+  // grain; variants are flags inside the aggregate, not a second
+  // shuffle.
+  private val q192 = Q(
+    "q192_welch_ttest",
+    (s, dir) => {
+      val v = Det.roundAt(col("value"), 6)
+      val isA = pmod(col("user_id"), lit(2)) === 0
+      val va = when(isA, v)
+      val vb = when(!isA, v)
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(va).as("na"), count(vb).as("nb"),
+          Det.dsum(va, 6).as("sa1"), Det.dsum(va * va, 12).as("sa2"),
+          Det.dsum(vb, 6).as("sb1"), Det.dsum(vb * vb, 12).as("sb2"))
+        .select(col("event_type"), col("na"), col("nb"),
+          Det.roundAt(col("sa1") / col("na"), 6).as("mean_a"),
+          Det.roundAt(col("sb1") / col("nb"), 6).as("mean_b"),
+          Det.roundAt(
+            (col("sa1") / col("na") - col("sb1") / col("nb"))
+              / sqrt(
+                ((col("sa2") - col("sa1") * col("sa1") / col("na")) / (col("na") - 1)) / col("na")
+                + ((col("sb2") - col("sb1") * col("sb1") / col("nb")) / (col("nb") - 1)) / col("nb")),
+            6).as("t_stat"),
+          Det.roundAt(
+            pow(((col("sa2") - col("sa1") * col("sa1") / col("na")) / (col("na") - 1)) / col("na")
+              + ((col("sb2") - col("sb1") * col("sb1") / col("nb")) / (col("nb") - 1)) / col("nb"), 2)
+            / (pow(((col("sa2") - col("sa1") * col("sa1") / col("na")) / (col("na") - 1)) / col("na"), 2) / (col("na") - 1)
+              + pow(((col("sb2") - col("sb1") * col("sb1") / col("nb")) / (col("nb") - 1)) / col("nb"), 2) / (col("nb") - 1)),
+            6).as("welch_df"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type,
+            ${Det.roundAtSql("\"value\"", 6)} AS v,
+            user_id % 2 = 0 AS is_a
+          FROM events),
+        m AS (SELECT event_type,
+            CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
+            CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb,
+            CAST(SUM(CASE WHEN is_a THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) AS sa1,
+            CAST(SUM(CASE WHEN is_a THEN CAST(v * v AS DECIMAL(28,12)) END) AS DOUBLE) AS sa2,
+            CAST(SUM(CASE WHEN NOT is_a THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) AS sb1,
+            CAST(SUM(CASE WHEN NOT is_a THEN CAST(v * v AS DECIMAL(28,12)) END) AS DOUBLE) AS sb2
+          FROM e GROUP BY 1)
+      SELECT event_type, na, nb,
+        ${Det.roundAtSql("sa1 / na", 6)} AS mean_a,
+        ${Det.roundAtSql("sb1 / nb", 6)} AS mean_b,
+        ${Det.roundAtSql(
+          "(sa1 / na - sb1 / nb) / sqrt(((sa2 - sa1 * sa1 / na) / (na - 1)) / na" +
+          " + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb)", 6)} AS t_stat,
+        ${Det.roundAtSql(
+          "pow(((sa2 - sa1 * sa1 / na) / (na - 1)) / na + ((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb, 2)" +
+          " / (pow(((sa2 - sa1 * sa1 / na) / (na - 1)) / na, 2) / (na - 1)" +
+          " + pow(((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb, 2) / (nb - 1))", 6)} AS welch_df
+      FROM m ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -2785,5 +2916,5 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182, q185, q187)
+    q181, q182, q185, q187, q191, q192)
 }

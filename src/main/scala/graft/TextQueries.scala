@@ -2983,11 +2983,178 @@ object TextQueries {
           "CAST(SUM(CAST(sbrier AS DECIMAL(28,6))) AS DOUBLE) / SUM(nb)", 6)} AS brier
       FROM bins"""))
 
+  // q190 — PER-COLUMN SHANNON ENTROPY PROFILE of the categorical columns
+  // (lang, source) — the information-content row of a dataset card
+  // (q171 reports counts; this reports concentration): H = ln N −
+  // (Σ cᵢ·ln cᵢ)/N from INTEGER category counts, plus H/ln(distinct)
+  // normalized to [0,1]. One stack() melt → one groupBy at (column,
+  // value) grain → one at column grain; per-category terms are
+  // 1e-6-rounded before the decimal-exact sum (q138's pattern). At
+  // 100 TB both shuffles key on low-cardinality category values —
+  // map-side combine does all the work.
+  private val q190 = Q(
+    "q190_entropy_profile",
+    (s, dir) => {
+      val melted = tbl(s, dir, "documents")
+        .selectExpr("stack(2, 'lang', lang, 'source', source) AS (col_name, val)")
+      melted
+        .groupBy("col_name", "val").agg(count(lit(1)).as("c"))
+        .groupBy("col_name")
+        .agg(
+          count(lit(1)).as("n_distinct"),
+          sum(col("c")).as("n_rows"),
+          Det.dsum(Det.roundAt(
+            col("c").cast("double") * log(col("c").cast("double")), 6), 6).as("sclnc"))
+        .select(col("col_name"), col("n_distinct"), col("n_rows"),
+          Det.roundAt(log(col("n_rows").cast("double"))
+            - col("sclnc") / col("n_rows").cast("double"), 6).as("entropy"),
+          Det.roundAt(when(col("n_distinct") === 1, lit(0.0))
+            .otherwise((log(col("n_rows").cast("double"))
+              - col("sclnc") / col("n_rows").cast("double"))
+              / log(col("n_distinct").cast("double"))), 6).as("norm_entropy"))
+        .orderBy("col_name")
+    },
+    Some(s"""WITH m AS (SELECT 'lang' AS col_name, lang AS val FROM documents
+          UNION ALL SELECT 'source', source FROM documents),
+        c AS (SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+          FROM m GROUP BY 1, 2),
+        a AS (SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            CAST(SUM(c) AS BIGINT) AS n_rows,
+            CAST(SUM(CAST(${Det.roundAtSql(
+              "CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS sclnc
+          FROM c GROUP BY 1)
+      SELECT col_name, n_distinct, n_rows,
+        ${Det.roundAtSql(
+          "ln(CAST(n_rows AS DOUBLE)) - sclnc / CAST(n_rows AS DOUBLE)", 6)} AS entropy,
+        ${Det.roundAtSql(
+          "CASE WHEN n_distinct = 1 THEN 0.0 ELSE (ln(CAST(n_rows AS DOUBLE))" +
+          " - sclnc / CAST(n_rows AS DOUBLE)) / ln(CAST(n_distinct AS DOUBLE)) END", 6)} AS norm_entropy
+      FROM a ORDER BY col_name"""))
+
+  // q193 — BLOCKING-QUALITY EVAL for entity resolution: how good is the
+  // cheap (lang, n_chars÷50) blocking key at finding the near-dup pairs
+  // the expensive LSH pass (q22's machinery, the ground truth here)
+  // certifies? Reports the three standard ER blocking metrics —
+  // reduction ratio (1 − candidate/total pairs), pairs completeness
+  // (recall of truth pairs co-blocked), pairs quality (precision) —
+  // all INTEGER counts until three final divisions. Candidate-pair
+  // count comes from Σ n·(n−1)/2 over block SIZES — the pairs are
+  // never materialized, so the metric itself is safe even when a
+  // blocking key is catastrophically skewed (the exact failure mode
+  // this query exists to catch before a fuzzy-join run at 100 TB).
+  private val q193 = Q(
+    "q193_blocking_eval",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val attrs = docs.select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / lit(50)).as("bkt"))
+      val nDocs = attrs.agg(count(lit(1)).as("n_docs"))
+      val nCand = attrs.groupBy("lang", "bkt").agg(count(lit(1)).as("nb"))
+        .agg(sum(expr("(nb * (nb - 1)) div 2")).as("n_cand"))
+      val truth = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val tstats = truth
+        .join(attrs.select(col("doc_id").as("id_a"), col("lang").as("la"),
+          col("bkt").as("ba")), Seq("id_a"))
+        .join(attrs.select(col("doc_id").as("id_b"), col("lang").as("lb"),
+          col("bkt").as("bb")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("la") === col("lb") && col("ba") === col("bb"), 1L)
+            .otherwise(0L)).as("n_coblocked"))
+      nDocs.crossJoin(nCand).crossJoin(tstats)
+        .select(col("n_docs"), col("n_cand"), col("n_truth"), col("n_coblocked"),
+          Det.roundAt(lit(1.0) - col("n_cand").cast("double")
+            / (col("n_docs") * (col("n_docs") - 1) / lit(2)).cast("double"), 6)
+            .as("reduction_ratio"),
+          Det.roundAt(col("n_coblocked").cast("double")
+            / col("n_truth").cast("double"), 6).as("pairs_completeness"),
+          Det.roundAt(col("n_coblocked").cast("double")
+            / col("n_cand").cast("double"), 6).as("pairs_quality"))
+    },
+    Some(s"""WITH $minhashCtes,
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        attrs AS (SELECT doc_id, lang,
+            CAST(floor(n_chars / 50) AS BIGINT) AS bkt FROM documents),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM attrs),
+        ncand AS (SELECT CAST(SUM((nb * (nb - 1)) // 2) AS BIGINT) AS n_cand
+          FROM (SELECT lang, bkt, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM attrs GROUP BY 1, 2)),
+        ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+            CAST(SUM(CASE WHEN a.lang = b.lang AND a.bkt = b.bkt
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_coblocked
+          FROM pairs p
+          JOIN attrs a ON a.doc_id = p.id_a
+          JOIN attrs b ON b.doc_id = p.id_b)
+      SELECT n_docs, n_cand, n_truth, n_coblocked,
+        ${Det.roundAtSql(
+          "1.0 - CAST(n_cand AS DOUBLE) / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)", 6)} AS reduction_ratio,
+        ${Det.roundAtSql(
+          "CAST(n_coblocked AS DOUBLE) / CAST(n_truth AS DOUBLE)", 6)} AS pairs_completeness,
+        ${Det.roundAtSql(
+          "CAST(n_coblocked AS DOUBLE) / CAST(n_cand AS DOUBLE)", 6)} AS pairs_quality
+      FROM nd CROSS JOIN ncand CROSS JOIN ts"""))
+
+  // q194 — JENSEN-SHANNON DIVERGENCE between two sources' token
+  // distributions — the bounded, symmetric distance the drift family
+  // still lacked (PSI q144 needs bins, KS q173 needs an ordered scalar;
+  // JSD compares the full unigram distribution and is what corpus-mix
+  // monitoring actually tracks). Per-token terms ½·p·ln(p/m) +
+  // ½·q·ln(q/m) (m = (p+q)/2; a side absent from a token contributes
+  // exactly ½·p·ln 2 via the CASE guard) are computed from INTEGER
+  // token counts over broadcast totals, 1e-9-rounded, then summed in
+  // exact decimal. One shuffle to token grain; vocabulary-sized, not
+  // corpus-sized, from the groupBy on.
+  private val q194 = Q(
+    "q194_jsd_drift",
+    (s, dir) => {
+      val tk = tbl(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val cnt = tk.groupBy("tok").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
+      val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val p = col("ca").cast("double") / col("na").cast("double")
+      val q = col("cb").cast("double") / col("nb").cast("double")
+      val m = (p + q) / lit(2.0)
+      cnt.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"),
+          Det.roundAt(
+            when(col("ca") > 0, p * log(p / m) / lit(2.0)).otherwise(lit(0.0))
+            + when(col("cb") > 0, q * log(q / m) / lit(2.0)).otherwise(lit(0.0)),
+            9).as("term"))
+        .groupBy("na", "nb")
+        .agg(count(lit(1)).as("n_vocab"),
+          Det.roundAt(Det.dsum(col("term"), 9), 6).as("jsd"))
+        .select(col("n_vocab"), col("na"), col("nb"), col("jsd"))
+    },
+    Some(s"""WITH tk AS (SELECT source, u.tok AS tok
+          FROM documents, unnest($toks) AS u(tok)
+          WHERE source IN ('src0', 'src1')),
+        cnt AS (SELECT tok,
+            CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+            CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM tk GROUP BY 1),
+        tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+            CAST(SUM(cb) AS BIGINT) AS nb FROM cnt),
+        terms AS (SELECT na, nb, ${Det.roundAtSql(
+            "CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na) * ln((CAST(ca AS DOUBLE) / na)" +
+            " / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0)) / 2.0 ELSE 0.0 END" +
+            " + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb) * ln((CAST(cb AS DOUBLE) / nb)" +
+            " / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2.0)) / 2.0 ELSE 0.0 END", 9)} AS term
+          FROM cnt CROSS JOIN tot)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab, na, nb,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE)", 6)} AS jsd
+      FROM terms GROUP BY na, nb"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189)
+    q186, q188, q189, q190, q193, q194)
 }

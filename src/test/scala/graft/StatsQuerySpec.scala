@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Closed-form sanity checks for the statistical queries on tiny hand
+  * computed fixtures — guards against the oracle gate's blind spot where
+  * the Spark plan and its SQL mirror are wrong in the same way. Expected
+  * values are hand-derived (Welch constants cross-checked against the
+  * textbook formulas), not re-derived from the implementation. */
+class StatsQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dir(): String =
+    java.nio.file.Files.createTempDirectory("statsq").toString
+
+  test("q191 chi-square matches the hand-computed 2x2 table") {
+    val d = dir()
+    val rows =
+      Seq.fill(10)(("A", "X")) ++ Seq.fill(20)(("A", "Y")) ++
+      Seq.fill(20)(("B", "X")) ++ Seq.fill(10)(("B", "Y"))
+    rows.toDF("o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Queries.byName("q191_chi2_independence").run(spark, d).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // E = 15 in every cell; term = 25/15 → 1.666667 rounded, ×4 cells
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("chi2") == 6.666668)
+    assert(r.getAs[Double]("cramers_v") == 0.333333)
+  }
+
+  test("q192 Welch t-test matches the textbook computation") {
+    val d = dir()
+    // variant A = even user_ids: values 1,2,3,4; B = odd: 2,4,6,8,10
+    val a = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf("2026-01-01 00:00:00"), 2L, "t", v, "{}") }
+    val b = Seq(2.0, 4.0, 6.0, 8.0, 10.0).zipWithIndex.map { case (v, i) =>
+      (100L + i, Timestamp.valueOf("2026-01-01 00:00:00"), 3L, "t", v, "{}") }
+    (a ++ b).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Queries.byName("q192_welch_ttest").run(spark, d).collect()(0)
+    assert(r.getAs[Long]("na") == 4L && r.getAs[Long]("nb") == 5L)
+    assert(r.getAs[Double]("mean_a") == 2.5 && r.getAs[Double]("mean_b") == 6.0)
+    assert(r.getAs[Double]("t_stat") == -2.251436)
+    assert(r.getAs[Double]("welch_df") == 5.520788)
+  }
+
+  private def docsDF(rows: Seq[(Long, String, String, String, Long)]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("q190 entropy: uniform 2-way column → ln 2, constant column → 0") {
+    val d = dir()
+    docsDF(Seq(
+      (1L, "x", "en", "s0", 1L), (2L, "x", "en", "s0", 1L),
+      (3L, "x", "fr", "s0", 1L), (4L, "x", "fr", "s0", 1L)))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Queries.byName("q190_entropy_profile").run(spark, d).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy"))).toMap
+    assert(out("lang") == ((0.693147, 1.0)))   // H = ln 2, fully uniform
+    assert(out("source") == ((0.0, 0.0)))      // single category
+  }
+
+  test("q194 JSD: disjoint vocabularies → ln 2, identical → 0") {
+    val d1 = dir()
+    docsDF(Seq(
+      (1L, "aa aa", "en", "src0", 5L), (2L, "bb bb", "en", "src1", 5L)))
+      .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val r1 = Queries.byName("q194_jsd_drift").run(spark, d1).collect()(0)
+    assert(r1.getAs[Double]("jsd") == 0.693147)
+    val d2 = dir()
+    docsDF(Seq(
+      (1L, "aa bb", "en", "src0", 5L), (2L, "aa bb", "en", "src1", 5L)))
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val r2 = Queries.byName("q194_jsd_drift").run(spark, d2).collect()(0)
+    assert(r2.getAs[Double]("jsd") == 0.0)
+  }
+
+  test("q193 blocking eval: counts pairs from block sizes, recall from truth") {
+    val d = dir()
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "one two three four five six seven eight nine"
+    docsDF(Seq(
+      (1L, tA, "en", "s0", 30L), (2L, tA, "en", "s0", 30L), // dup, co-blocked
+      (3L, tB, "en", "s0", 27L),
+      (4L, tB, "fr", "s0", 27L)))                           // dup, lang split
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Queries.byName("q193_blocking_eval").run(spark, d).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_cand") == 3L)     // en block of 3 → 3 pairs
+    assert(r.getAs[Long]("n_truth") == 2L)    // (1,2) and (3,4)
+    assert(r.getAs[Long]("n_coblocked") == 1L)
+    assert(r.getAs[Double]("reduction_ratio") == 0.5)      // 1 − 3/6
+    assert(r.getAs[Double]("pairs_completeness") == 0.5)
+    assert(r.getAs[Double]("pairs_quality") == 0.333333)   // 1/3
+  }
+}
