@@ -2909,6 +2909,104 @@ object RelQueries {
           " + pow(((sb2 - sb1 * sb1 / nb) / (nb - 1)) / nb, 2) / (nb - 1))", 6)} AS welch_df
       FROM m ORDER BY event_type"""))
 
+  // q197 — CORRELATED SCALAR SUBQUERY (TPC-H Q17 shape: lineitems below
+  // 20% of their part's average quantity). The ONE relational shape the
+  // registry didn't yet exercise: the query is written as naive
+  // correlated SQL (same string runs on Spark and DuckDB via the q145
+  // Catalog surface) and Catalyst's DecorrelateInnerQuery must rewrite
+  // the per-row subquery into a per-part aggregate + join — the
+  // difference between an O(n²) nested loop and two shuffles at 100 TB.
+  // PlanShapeSpec asserts the decorrelated plan (an Aggregate feeding a
+  // join, no per-row subplan). Money sums in exact decimal as usual.
+  private val sql197 =
+    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      CAST(COUNT(*) AS BIGINT) AS n_small_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1'
+        AND l.l_quantity < (
+          SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"""
+  private val q197 = Q(
+    "q197_correlated_subquery",
+    (s, dir) => { graft.Catalog.register(s, dir); s.sql(sql197) },
+    Some(sql197))
+
+  // q199 — TWO-FEATURE OLS per event_type: value ~ hour + weekday (the
+  // multivariate step past q129's single-x trend — "is the metric's
+  // hour-of-day effect real once the weekday effect is held fixed?").
+  // Normal equations on CENTERED features solved in closed form by
+  // Cramer's rule on the 2×2 Gram matrix: every input to the formulas is
+  // a decimal-exact sum of integer features × 2-decimal values, so
+  // coefficients, intercept, and R² are fixed double expressions over
+  // exact numbers — bit-identical in both engines. One
+  // map-side-combinable shuffle at event_type grain; the matrix algebra
+  // is per-group scalar arithmetic, never a driver-side solve.
+  private val q199 = Q(
+    "q199_ols_two_factor",
+    (s, dir) => {
+      val y = Det.roundAt(col("value"), 6)
+      val x1 = hour(col("ts")).cast("double")
+      val x2 = pmod(dayofweek(col("ts")) + 5, lit(7)).cast("double")
+      val m = tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Det.dsum(x1, 6).as("s1"), Det.dsum(x2, 6).as("s2"),
+          Det.dsum(y, 6).as("sy"),
+          Det.dsum(x1 * x1, 6).as("s11"), Det.dsum(x2 * x2, 6).as("s22"),
+          Det.dsum(x1 * x2, 6).as("s12"),
+          Det.dsum(x1 * y, 8).as("s1y"), Det.dsum(x2 * y, 8).as("s2y"),
+          Det.dsum(y * y, 12).as("syy"))
+      val c11 = col("s11") - col("s1") * col("s1") / col("n")
+      val c22 = col("s22") - col("s2") * col("s2") / col("n")
+      val c12 = col("s12") - col("s1") * col("s2") / col("n")
+      val c1y = col("s1y") - col("s1") * col("sy") / col("n")
+      val c2y = col("s2y") - col("s2") * col("sy") / col("n")
+      val cyy = col("syy") - col("sy") * col("sy") / col("n")
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c22 * c1y - c12 * c2y) / det
+      val b2 = (c11 * c2y - c12 * c1y) / det
+      m.select(col("event_type"), col("n").cast("long").as("n"),
+          Det.roundAt(col("sy") / col("n") - b1 * col("s1") / col("n")
+            - b2 * col("s2") / col("n"), 6).as("b0"),
+          Det.roundAt(b1, 6).as("b_hour"),
+          Det.roundAt(b2, 6).as("b_dow"),
+          Det.roundAt((b1 * c1y + b2 * c2y) / cyy, 6).as("r2"))
+        .orderBy("event_type")
+    },
+    Some {
+      val c11 = "(s11 - s1 * s1 / n)"; val c22 = "(s22 - s2 * s2 / n)"
+      val c12 = "(s12 - s1 * s2 / n)"; val c1y = "(s1y - s1 * sy / n)"
+      val c2y = "(s2y - s2 * sy / n)"; val cyy = "(syy - sy * sy / n)"
+      val det = s"($c11 * $c22 - $c12 * $c12)"
+      val b1 = s"(($c22 * $c1y - $c12 * $c2y) / $det)"
+      val b2 = s"(($c11 * $c2y - $c12 * $c1y) / $det)"
+      s"""WITH e AS (SELECT event_type,
+            CAST(hour(ts) AS DOUBLE) AS x1,
+            CAST(isodow(ts) - 1 AS DOUBLE) AS x2,
+            ${Det.roundAtSql("\"value\"", 6)} AS y
+          FROM events),
+        m AS (SELECT event_type,
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(SUM(CAST(x1 AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(x2 AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+            CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(x1 * x1 AS DECIMAL(28,6))) AS DOUBLE) AS s11,
+            CAST(SUM(CAST(x2 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS s22,
+            CAST(SUM(CAST(x1 * x2 AS DECIMAL(28,6))) AS DOUBLE) AS s12,
+            CAST(SUM(CAST(x1 * y AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+            CAST(SUM(CAST(x2 * y AS DECIMAL(28,8))) AS DOUBLE) AS s2y,
+            CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+          FROM e GROUP BY 1)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        ${Det.roundAtSql(s"sy / n - $b1 * s1 / n - $b2 * s2 / n", 6)} AS b0,
+        ${Det.roundAtSql(b1, 6)} AS b_hour,
+        ${Det.roundAtSql(b2, 6)} AS b_dow,
+        ${Det.roundAtSql(s"($b1 * $c1y + $b2 * $c2y) / $cyy", 6)} AS r2
+      FROM m ORDER BY event_type"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -2916,5 +3014,5 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182, q185, q187, q191, q192)
+    q181, q182, q185, q187, q191, q192, q197, q199)
 }

@@ -3150,11 +3150,68 @@ object TextQueries {
           "CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE)", 6)} AS jsd
       FROM terms GROUP BY na, nb"""))
 
+  // q198 — AUDIO RMS / PEAK / CLIPPING over the synthetic WAV payloads'
+  // PCM samples (media kind = audio, doc_id % 3 == 1, same dispatch as
+  // q31/q122): consecutive byte PAIRS of the payload read as int16-LE
+  // samples — the loudness/clipping audit an audio curation pipeline
+  // runs before training. The payload is the ASCII text byte stream
+  // (Multimodal.synthesizeMedia), so `ascii()` char reads ARE the byte
+  // reads in both engines; samples and Σs² stay INTEGER until the final
+  // rms/ratio divisions. Sample extraction is a row-local array
+  // transform exploded to sample grain — the natural 100 TB shape
+  // (decode-map, then one map-side-combinable rollup); clips shorter
+  // than one sample are dropped by both engines (length guard, which
+  // also keeps Spark's descending-sequence hazard out).
+  private val q198 = Q(
+    "q198_audio_rms",
+    (s, dir) => {
+      val clips = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 2)
+      val samples = clips.select(col("source"), col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, cast(floor(length(text) / 2) as int)),
+               i -> cast(ascii(substring(text, 2*i - 1, 1))
+                    + 256 * ascii(substring(text, 2*i, 1)) as bigint))"""))
+            .as("smp"))
+      samples.groupBy("source")
+        .agg(
+          countDistinct(col("doc_id")).as("n_clips"),
+          count(lit(1)).as("n_samples"),
+          max(col("smp")).as("peak"),
+          sum(col("smp") * col("smp")).as("sum_sq"),
+          sum(when(col("smp") >= 30000L, 1L).otherwise(0L)).as("n_clip"))
+        .select(col("source"), col("n_clips"), col("n_samples"), col("peak"),
+          Det.roundAt(sqrt(col("sum_sq").cast("double")
+            / col("n_samples").cast("double")), 6).as("rms"),
+          Det.roundAt(col("n_clip").cast("double")
+            / col("n_samples").cast("double"), 6).as("clip_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""WITH a AS (SELECT source, doc_id, text FROM documents
+          WHERE doc_id % 3 = 1 AND length(text) >= 2),
+        smp AS (SELECT source, doc_id, u.smp AS smp
+          FROM a, unnest(list_transform(
+            range(1, CAST(floor(length(text) / 2) AS BIGINT) + 1),
+            i -> CAST(ascii(substr(text, CAST(2*i - 1 AS INT), 1))
+                 + 256 * ascii(substr(text, CAST(2*i AS INT), 1)) AS BIGINT))) AS u(smp)),
+        g AS (SELECT source, COUNT(DISTINCT doc_id) AS n_clips,
+            CAST(COUNT(*) AS BIGINT) AS n_samples,
+            CAST(MAX(smp) AS BIGINT) AS peak,
+            CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+            CAST(SUM(CASE WHEN smp >= 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip
+          FROM smp GROUP BY 1)
+      SELECT source, n_clips, n_samples, peak,
+        ${Det.roundAtSql(
+          "sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))", 6)} AS rms,
+        ${Det.roundAtSql(
+          "CAST(n_clip AS DOUBLE) / CAST(n_samples AS DOUBLE)", 6)} AS clip_ratio
+      FROM g ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189, q190, q193, q194)
+    q186, q188, q189, q190, q193, q194, q198)
 }

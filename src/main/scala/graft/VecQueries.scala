@@ -581,6 +581,23 @@ object VecQueries {
           FROM d2) WHERE rn = 1)"""
   }
 
+  /** ADC ranking CTEs over [[pqCtes]] (query LUT → approximate distances →
+    * rank). Shared by q163 (which emits the ranks) and q195 (which
+    * evaluates their recall) so both oracles score the identical search. */
+  private val pqAdcRankCtes: String =
+    s"""lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
+          CAST(SUM(CAST(floor((q.v - cb.c) * (q.v - cb.c) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
+        FROM (SELECT * FROM sub WHERE $isQuery) q
+        JOIN cb1c cb ON q.s = cb.s AND q.sd_i = cb.sd_i
+        GROUP BY q.vec_id, cb.s, cb.code),
+      adist AS (SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist_q
+        FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY l.query_id, e.vec_id),
+      r AS (SELECT query_id, vec_id, adist_q,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS rank
+        FROM adist)"""
+
   // q162 — PRODUCT-QUANTIZATION encode (Jégou et al. 2011): 4 subspaces
   // × 16 codewords trained by hash init + one Lloyd round, every vector
   // compressed to 4 codes (4 bytes vs 256 raw — the layout that makes
@@ -625,21 +642,114 @@ object VecQueries {
         m = 4, dims = 64, topK = 10)
     },
     Some(s"""WITH $pqCtes,
-      lut AS (SELECT q.vec_id AS query_id, cb.s, cb.code,
-          CAST(SUM(CAST(floor((q.v - cb.c) * (q.v - cb.c) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d
-        FROM (SELECT * FROM sub WHERE $isQuery) q
-        JOIN cb1c cb ON q.s = cb.s AND q.sd_i = cb.sd_i
-        GROUP BY q.vec_id, cb.s, cb.code),
-      adist AS (SELECT l.query_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist_q
-        FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code
-        WHERE e.vec_id <> l.query_id
-        GROUP BY l.query_id, e.vec_id),
-      r AS (SELECT query_id, vec_id, adist_q,
-          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist_q, vec_id) AS rank
-        FROM adist)
+      $pqAdcRankCtes
       SELECT query_id, vec_id, adist_q, CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  // q195 — PQ RECALL@10: how much of the EXACT squared-L2 top-10 does the
+  // compressed-domain ADC search (q163) actually return? The eval that
+  // decides whether 4-byte codes are usable at 100 TB before anyone ships
+  // them — the PQ sibling of q53's LSH-vs-brute recall. Both sides rank by
+  // the SAME 1e-12-quantized integer distances with (dist, vec_id)
+  // tie-breaks, so the overlap count is exact in both engines: recall is
+  // INTEGER hits over 10·|queries|, divided once at the end. Exact side is
+  // a broadcast-query corpus pass; at 100 TB the eval runs over a sampled
+  // query set exactly like this one (50 queries), so the brute side stays
+  // bounded by design.
+  private val q195 = Q(
+    "q195_pq_recall",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cb = Similarity.pqCodebooks(emb, m = 4, k = 16, dims = 64, iters = 1)
+      val adc = Similarity.pqAdcTopK(emb, emb.filter(expr(isQuery)), cb,
+          m = 4, dims = 64, topK = 10)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      val exact = Similarity.l2TopK(emb, emb.filter(expr(isQuery)), 10)
+        .select("query_id", "vec_id")
+      exact.join(adc, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("h"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("n_hits"),
+          min(col("h")).as("min_hits"))
+        .select(col("n_queries"), col("n_hits"),
+          Det.roundAt(col("n_hits").cast("double")
+            / (lit(10.0) * col("n_queries").cast("double")), 6).as("recall_at_10"),
+          Det.roundAt(col("min_hits").cast("double") / lit(10.0), 6)
+            .as("min_query_recall"))
+    },
+    Some(s"""WITH $pqCtes,
+      $pqAdcRankCtes,
+      exact AS (SELECT q.vec_id AS query_id, c.vec_id,
+          CAST(SUM(CAST(floor((c.v - q.v) * (c.v - q.v) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS l2_q
+        FROM sub c JOIN (SELECT * FROM sub WHERE $isQuery) q
+          ON c.s = q.s AND c.sd_i = q.sd_i
+        WHERE c.vec_id <> q.vec_id GROUP BY 1, 2),
+      er AS (SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_q, vec_id) AS rn
+        FROM exact),
+      etop AS (SELECT query_id, vec_id FROM er WHERE rn <= 10),
+      atop AS (SELECT query_id, vec_id FROM r WHERE rank <= 10),
+      hits AS (SELECT e.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS h
+        FROM etop e LEFT JOIN atop a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        CAST(SUM(h) AS BIGINT) AS n_hits,
+        ${Det.roundAtSql(
+          "CAST(SUM(h) AS DOUBLE) / (10.0 * CAST(COUNT(*) AS DOUBLE))", 6)} AS recall_at_10,
+        ${Det.roundAtSql("CAST(MIN(h) AS DOUBLE) / 10.0", 6)} AS min_query_recall
+      FROM hits"""))
+
+  // q196 — IVF RECALL@10 vs exact cosine: the coarse-quantizer loss of
+  // q29's partition-pruned search measured against q28's exact ranking —
+  // completes the eval pair (every index family in the engine now carries
+  // its own recall audit: LSH→q53, PQ→q195, IVF→this). Cosines are the
+  // 1e-6-rounded quantized-dot values both engines share; overlap stays
+  // integer until two final divisions.
+  private val q196 = Q(
+    "q196_ivf_recall",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val ivf = Similarity.ivfTopK(emb, emb.filter(expr(isQuery)), "label", 10)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      val exact = Similarity.bruteTopK(emb, emb.filter(expr(isQuery)), 10)
+        .select("query_id", "vec_id")
+      exact.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("h"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("n_hits"),
+          min(col("h")).as("min_hits"))
+        .select(col("n_queries"), col("n_hits"),
+          Det.roundAt(col("n_hits").cast("double")
+            / (lit(10.0) * col("n_queries").cast("double")), 6).as("recall_at_10"),
+          Det.roundAt(col("min_hits").cast("double") / lit(10.0), 6)
+            .as("min_query_recall"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE $isQuery),
+      escore AS (SELECT query_id, e.vec_id, ${cos6("e.embedding", "q_emb")} AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+      er AS (SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM escore),
+      etop AS (SELECT query_id, vec_id FROM er WHERE rn <= 10),
+      iscore AS (SELECT query_id, e.vec_id, ${cos6("e.embedding", "q_emb")} AS cos
+        FROM embeddings e JOIN q ON e.label = q_label AND e.vec_id <> query_id),
+      ir AS (SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        FROM iscore),
+      itop AS (SELECT query_id, vec_id FROM ir WHERE rn <= 10),
+      hits AS (SELECT e.query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS h
+        FROM etop e LEFT JOIN itop i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY e.query_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        CAST(SUM(h) AS BIGINT) AS n_hits,
+        ${Det.roundAtSql(
+          "CAST(SUM(h) AS DOUBLE) / (10.0 * CAST(COUNT(*) AS DOUBLE))", 6)} AS recall_at_10,
+        ${Det.roundAtSql("CAST(MIN(h) AS DOUBLE) / 10.0", 6)} AS min_query_recall
+      FROM hits"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85, q95, q112, q123, q141, q142, q162, q163)
+    q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196)
 }

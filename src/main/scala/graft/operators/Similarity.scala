@@ -129,6 +129,31 @@ object Similarity {
       .orderBy("query_id", "kind", "rank")
   }
 
+  /** Exact squared-L2 top-k with per-dimension 1e-12-quantized integer
+    * distances (the same quantization as [[pqAdcTopK]]'s ADC, so recall
+    * evals compare like against like and both engines rank bitwise
+    * identically). Broadcast queries, one shuffle-free corpus pass, rank
+    * window per query. */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l2_q"), col("vec_id"))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"),
+        aggregate(
+          zip_with(col("emb"), col("q_emb"), (a, b) => {
+            val d = a.cast(DoubleType) - b.cast(DoubleType)
+            floor(d * d * lit(1e12) + lit(0.5)).cast(LongType)
+          }),
+          lit(0L), (acc, v) => acc + v).as("l2_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("l2_q"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact cosine top-k: broadcast the query rows, score every corpus row,
     * keep k per query. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

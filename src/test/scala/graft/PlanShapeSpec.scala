@@ -177,6 +177,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("CollectMetrics phash"), s"q184 lost the bucket-cap audit:\n$p")
   }
 
+  test("q197's correlated scalar subquery decorrelates to an aggregate join") {
+    val p = plan("q197_correlated_subquery")
+    // Catalyst must rewrite the per-row subquery into a per-part
+    // aggregate joined back — no per-row subplan, no nested loop over
+    // lineitem, and the probe side must be a real hash join
+    assert(!p.contains("Subquery"), s"q197 kept a per-row subquery:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"q197 degraded to a nested-loop/cartesian plan:\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin")),
+      s"q197 lost the decorrelated aggregate+join shape:\n$p")
+  }
+
   test("HTML extract and URL stats scan only the columns they use") {
     val p165 = plan("q165_html_extract")
     assert(!p165.contains("n_chars"), s"q165 reads n_chars it never uses:\n$p165")

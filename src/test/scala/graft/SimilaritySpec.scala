@@ -233,4 +233,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(top.size == 10 && top.forall(_ < 20), s"cross-cluster leak in ADC top-k: $top")
   }
+
+  test("l2TopK ranks by exact quantized squared-L2, excluding the query row") {
+    val df = Seq(
+      (0L, Array(0f, 0f), 0),
+      (1L, Array(1f, 0f), 0),   // d² = 1
+      (2L, Array(0f, 2f), 0),   // d² = 4
+      (3L, Array(3f, 4f), 0))   // d² = 25
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.l2TopK(df, df.filter($"vec_id" === 0L), 2).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1000000000000L), (2L, 4000000000000L)))
+  }
 }
