@@ -3007,6 +3007,72 @@ object RelQueries {
       FROM m ORDER BY event_type"""
     })
 
+  // q201 — HOUR-OF-DAY SEASONALITY STRENGTH per event_type: the one-way
+  // ANOVA decomposition SS_between/SS_total over the 24 hourly cells —
+  // "how much of the metric's variance is the daily cycle?" — plus the
+  // peak hour and its index vs the global mean (what an on-call engineer
+  // reads before trusting a threshold alert; the variance-share sibling
+  // of q146's ACF, which sees order, not share). Two nested aggregates:
+  // corpus → (type, hour) decimal-exact moments (map-side combined),
+  // then a 24-row rollup per type; peak hour via a deterministic
+  // (mean DESC, hour ASC) struct-max, all ratios fixed double formulas
+  // over exact sums. Nothing after the first shuffle is data-sized.
+  private val q201 = Q(
+    "q201_seasonal_strength",
+    (s, dir) => {
+      val y = Det.roundAt(col("value"), 6)
+      val cells = tbl(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("nh"), Det.dsum(y, 6).as("sh"),
+          Det.dsum(y * y, 12).as("sh2"))
+      val mh = col("sh") / col("nh").cast("double")
+      cells
+        .groupBy("event_type")
+        .agg(
+          sum(col("nh")).as("n"),
+          sum(col("sh").cast("decimal(28,6)")).cast("double").as("sy"),
+          sum(col("sh2").cast("decimal(28,12)")).cast("double").as("syy"),
+          Det.dsum(Det.roundAt(mh * mh * col("nh").cast("double"), 6), 6)
+            .as("ssb_raw"),
+          max(struct(Det.roundAt(mh, 6).as("m"), (-col("h")).as("negh")))
+            .as("pk"))
+        .select(col("event_type"), col("n"),
+          Det.roundAt(col("sy") / col("n").cast("double"), 6).as("mean"),
+          (-col("pk.negh")).cast("long").as("peak_hour"),
+          Det.roundAt(col("pk.m") / (col("sy") / col("n").cast("double")), 6)
+            .as("peak_index"),
+          Det.roundAt(
+            (col("ssb_raw") - col("sy") * col("sy") / col("n").cast("double"))
+            / (col("syy") - col("sy") * col("sy") / col("n").cast("double")), 6)
+            .as("seasonal_strength"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type, hour(ts) AS h,
+            ${Det.roundAtSql("\"value\"", 6)} AS y
+          FROM events),
+        cells AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS nh,
+            CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sh,
+            CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS sh2
+          FROM e GROUP BY 1, 2),
+        g AS (SELECT event_type, CAST(SUM(nh) AS BIGINT) AS n,
+            CAST(SUM(CAST(sh AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(sh2 AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(${Det.roundAtSql(
+              "(sh / nh) * (sh / nh) * CAST(nh AS DOUBLE)", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS ssb_raw
+          FROM cells GROUP BY 1),
+        pk AS (SELECT event_type, m AS pkm, h AS pkh FROM (
+            SELECT event_type, ${Det.roundAtSql("sh / nh", 6)} AS m, h,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ${Det.roundAtSql("sh / nh", 6)} DESC, h ASC) AS rn
+            FROM cells) WHERE rn = 1)
+      SELECT g.event_type, n,
+        ${Det.roundAtSql("sy / CAST(n AS DOUBLE)", 6)} AS mean,
+        CAST(pkh AS BIGINT) AS peak_hour,
+        ${Det.roundAtSql("pkm / (sy / CAST(n AS DOUBLE))", 6)} AS peak_index,
+        ${Det.roundAtSql(
+          "(ssb_raw - sy * sy / CAST(n AS DOUBLE)) / (syy - sy * sy / CAST(n AS DOUBLE))", 6)} AS seasonal_strength
+      FROM g JOIN pk ON pk.event_type = g.event_type ORDER BY g.event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3014,5 +3080,5 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182, q185, q187, q191, q192, q197, q199)
+    q181, q182, q185, q187, q191, q192, q197, q199, q201)
 }

@@ -2889,19 +2889,12 @@ object TextQueries {
   // table, so the 15 rows pin the whole merge sequence. The oracle
   // replays all 3 rounds with list_reduce folds and scalar-subquery
   // argmaxes.
-  private val q188 = Q(
-    "q188_bpe_train",
-    (s, dir) => {
-      val words = tbl(s, dir, "documents")
-        .select(explode(TextFns.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      val (seg, _) = graft.operators.Bpe.train(words, "w", "freq", k = 3)
-      seg.select(col("freq"), explode(col("syms")).as("sym"))
-        .groupBy("sym").agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), asc("sym")).limit(15)
-    },
-    Some {
-      def round(r: Int) = s"""
+  /** DuckDB replay of the 3-round BPE training loop (vocabulary build,
+    * per-round pair-count argmax, greedy list_reduce merge fold). Shared
+    * by q188 (emits the symbol table) and q200 (encodes the corpus with
+    * it) so both oracles derive the IDENTICAL segmentation `r3`. */
+  private val bpeTrainCtes: String = {
+    def round(r: Int) = s"""
         p$r AS (SELECT u.pr AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
           FROM r${r - 1}, unnest(list_transform(range(1, len(syms)),
             i -> syms[i] || ' ' || syms[i+1])) AS u(pr)
@@ -2914,15 +2907,68 @@ object TextQueries {
                           THEN list_append(acc[1:len(acc)-1], m.a || m.b)
                           ELSE list_append(acc, x[1]) END) AS syms
           FROM r${r - 1}, m$r m)"""
-      s"""WITH words AS (SELECT u.w AS w, COUNT(*) AS freq
+    s"""words AS (SELECT u.w AS w, COUNT(*) AS freq
           FROM (SELECT $toks AS tk FROM documents), unnest(tk) AS u(w) GROUP BY u.w),
         r0 AS (SELECT w, freq,
           list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms FROM words),
-        ${round(1)}, ${round(2)}, ${round(3)}
+        ${round(1)}, ${round(2)}, ${round(3)}"""
+  }
+
+  private val q188 = Q(
+    "q188_bpe_train",
+    (s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val (seg, _) = graft.operators.Bpe.train(words, "w", "freq", k = 3)
+      seg.select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("sym")).limit(15)
+    },
+    Some(s"""WITH $bpeTrainCtes
       SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM r3, unnest(syms) AS u(sym)
-      GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 15"""
-    })
+      GROUP BY sym ORDER BY cnt DESC, sym ASC LIMIT 15"""))
+
+  // q200 — BPE ENCODE: apply the q188-trained segmentation to the whole
+  // corpus and report per-source tokenizer-fit stats (subwords/word,
+  // chars/subword — the fertility numbers that decide whether a vocab
+  // ships). The trained segmentation IS the encoder for in-vocabulary
+  // words, so encoding is one corpus-grain word explode joined to the
+  // broadcast vocab-grain symbol table — no per-document merge replay.
+  // The oracle replays training via the shared q188 CTEs, then does the
+  // identical join, so any argmax/fold divergence surfaces here too.
+  private val q200 = Q(
+    "q200_bpe_encode",
+    (s, dir) => {
+      val tw = tbl(s, dir, "documents")
+        .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      val words = tw.groupBy("w").agg(count(lit(1)).as("freq"))
+      val (seg, _) = graft.operators.Bpe.train(words, "w", "freq", k = 3)
+      tw.join(broadcast(seg.select(col("w"), size(col("syms")).as("ns"))), Seq("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("ns").cast("long")).as("n_subwords"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .select(col("source"), col("n_words"), col("n_subwords"),
+          Det.roundAt(col("n_subwords").cast("double")
+            / col("n_words").cast("double"), 6).as("subwords_per_word"),
+          Det.roundAt(col("n_chars").cast("double")
+            / col("n_subwords").cast("double"), 6).as("chars_per_subword"))
+        .orderBy("source")
+    },
+    Some(s"""WITH $bpeTrainCtes,
+        tw AS (SELECT source, u.w AS w
+          FROM (SELECT source, $toks AS tk FROM documents), unnest(tk) AS u(w)),
+        enc AS (SELECT source, len(r3.syms) AS ns, length(tw.w) AS nc
+          FROM tw JOIN r3 ON r3.w = tw.w)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(ns) AS BIGINT) AS n_subwords,
+        ${Det.roundAtSql(
+          "CAST(SUM(ns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS subwords_per_word,
+        ${Det.roundAtSql(
+          "CAST(SUM(nc) AS DOUBLE) / CAST(SUM(ns) AS DOUBLE)", 6)} AS chars_per_subword
+      FROM enc GROUP BY source ORDER BY source"""))
 
   // q189 — CALIBRATION METRICS for the quality-vs-dup signal that q137
   // plots as a reliability diagram: expected calibration error (ECE,
@@ -3213,5 +3259,5 @@ object TextQueries {
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189, q190, q193, q194, q198)
+    q186, q188, q189, q190, q193, q194, q198, q200)
 }
