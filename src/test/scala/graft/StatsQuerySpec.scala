@@ -77,6 +77,54 @@ class StatsQuerySpec extends SparkSpec {
     assert(r2.getAs[Double]("jsd") == 0.0)
   }
 
+  test("q198 audio RMS: byte pairs read as int16-LE, short clips dropped") {
+    val d = dir()
+    // doc 1 is the audio kind (doc_id % 3 == 1): "ab" → one sample
+    // 97 + 98·256 = 25185; doc 4 is audio but 1 char → dropped; doc 2
+    // is the wrong kind and must not appear at all
+    docsDF(Seq(
+      (1L, "ab", "s0", "s0", 2L),
+      (4L, "x", "s0", "s0", 1L),
+      (2L, "zzzz", "s0", "s0", 4L)))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Queries.byName("q198_audio_rms").run(spark, d).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_clips") == 1L && r.getAs[Long]("n_samples") == 1L)
+    assert(r.getAs[Long]("peak") == 25185L)
+    assert(r.getAs[Double]("rms") == 25185.0)
+    assert(r.getAs[Double]("clip_ratio") == 0.0)
+  }
+
+  test("q200 BPE encode: merges collapse the toy vocab to whole-word symbols") {
+    val d = dir()
+    // vocab {aaaa:2, bb:1}; merges (a,a) → (aa,aa) → (b,b): every word
+    // becomes a single symbol after 3 rounds
+    docsDF(Seq((1L, "aaaa aaaa bb", "en", "s0", 12L)))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = Queries.byName("q200_bpe_encode").run(spark, d).collect()(0)
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("n_subwords") == 3L)
+    assert(r.getAs[Double]("subwords_per_word") == 1.0)
+    assert(r.getAs[Double]("chars_per_subword") == 3.333333) // 10 chars / 3
+  }
+
+  test("q201 seasonality: hand-computed ANOVA share, peak hour and index") {
+    val d = dir()
+    // hour 0 → values (1,1), hour 1 → (3,3): SS_between = SS_total = 4
+    def ev(id: Long, hh: String, v: Double) =
+      (id, Timestamp.valueOf(s"2026-01-01 $hh:00:00"), 1L, "t", v, "{}")
+    Seq(ev(1, "00", 1.0), ev(2, "00", 1.0), ev(3, "01", 3.0), ev(4, "01", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Queries.byName("q201_seasonal_strength").run(spark, d).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Long]("peak_hour") == 1L)
+    assert(r.getAs[Double]("peak_index") == 1.5)
+    assert(r.getAs[Double]("seasonal_strength") == 1.0)
+  }
+
   test("q193 blocking eval: counts pairs from block sizes, recall from truth") {
     val d = dir()
     val tA = "alpha beta gamma delta epsilon zeta eta theta"
