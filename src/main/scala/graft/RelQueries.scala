@@ -3073,6 +3073,95 @@ object RelQueries {
           "(ssb_raw - sy * sy / CAST(n AS DOUBLE)) / (syy - sy * sy / CAST(n AS DOUBLE))", 6)} AS seasonal_strength
       FROM g JOIN pk ON pk.event_type = g.event_type ORDER BY g.event_type"""))
 
+  // q202 — GROUP-MEDIAN IMPUTATION audit: a deterministic 10% MCAR mask
+  // (event_id % 10 — synthetic, since the testdata ships null-free)
+  // "loses" values; each event_type imputes with the exact median of its
+  // OBSERVED values and reports how the mean moves. The whole repair is
+  // ONE map-side-combinable aggregate — the imputed mean is
+  // (Σobs + n_miss·median)/n, algebra over the group's own aggregates,
+  // so no second pass rewrites rows (at 100 TB the fill itself is a
+  // broadcast join of this 5-row frame onto the scan — the audit decides
+  // whether it ships). Exact interpolated median (Spark `percentile` ⇔
+  // DuckDB `quantile_cont`, the q07-proven pairing) over 1e-6-quantized
+  // values; means from decimal-exact sums.
+  private val q202 = Q(
+    "q202_impute_median",
+    (s, dir) => {
+      val miss = col("event_id") % 10 === 0
+      val obs = when(!miss, Det.roundAt(col("value"), 6))
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(miss.cast("long")).as("n_missing"),
+          Det.roundAt(percentile(obs, lit(0.5)), 6).as("median_fill"),
+          Det.dsum(obs, 6).as("sobs"))
+        .select(col("event_type"), col("n"), col("n_missing"),
+          col("median_fill"),
+          Det.roundAt(col("sobs") / (col("n") - col("n_missing")).cast("double"), 6)
+            .as("mean_observed"),
+          Det.roundAt((col("sobs")
+            + col("n_missing").cast("double") * col("median_fill"))
+            / col("n").cast("double"), 6).as("mean_imputed"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type, event_id % 10 = 0 AS miss,
+            CASE WHEN event_id % 10 <> 0
+              THEN ${Det.roundAtSql("\"value\"", 6)} END AS obs
+          FROM events),
+        g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+            ${Det.roundAtSql("quantile_cont(obs, 0.5)", 6)} AS median_fill,
+            CAST(SUM(CAST(obs AS DECIMAL(28,6))) AS DOUBLE) AS sobs
+          FROM e GROUP BY 1)
+      SELECT event_type, n, n_missing, median_fill,
+        ${Det.roundAtSql("sobs / CAST(n - n_missing AS DOUBLE)", 6)} AS mean_observed,
+        ${Det.roundAtSql(
+          "(sobs + CAST(n_missing AS DOUBLE) * median_fill) / CAST(n AS DOUBLE)", 6)} AS mean_imputed
+      FROM g ORDER BY event_type"""))
+
+  // q203 — FUNCTIONAL-DEPENDENCY discovery audit (Metanome-style data
+  // profiling): does A determine B? For each candidate FD, the number of
+  // determinant groups carrying >1 distinct dependent value — the
+  // constraint-mining complement to q120's DECLARED PK/FK checks
+  // (q120 verifies constraints you assert; this measures ones you
+  // suspect). Each FD is one shuffle at determinant grain with a
+  // countDistinct that is itself a partial aggregate; the three 1-row
+  // audit frames union. Integers until the rate division.
+  private val q203 = Q(
+    "q203_fd_violations",
+    (s, dir) => {
+      def fd(df: org.apache.spark.sql.DataFrame, name: String,
+             a: String, b: String) =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nd"))
+          .agg(lit(name).as("fd"), count(lit(1)).as("n_groups"),
+            sum((col("nd") > 1).cast("long")).as("n_violating"),
+            max(col("nd")).as("max_distinct"))
+          .select(col("fd"), col("n_groups"), col("n_violating"),
+            col("max_distinct"),
+            Det.roundAt(col("n_violating").cast("double")
+              / col("n_groups").cast("double"), 6).as("violation_rate"))
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      fd(orders, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")
+        .unionAll(fd(orders, "o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus"))
+        .unionAll(fd(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .orderBy("fd")
+    },
+    Some {
+      def fd(tbl: String, name: String, a: String, b: String) =
+        s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+            CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+            CAST(MAX(nd) AS BIGINT) AS max_distinct,
+            ${Det.roundAtSql(
+              "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS violation_rate
+          FROM (SELECT $a, COUNT(DISTINCT $b) AS nd FROM $tbl GROUP BY $a)"""
+      s"""${fd("orders", "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")}
+        UNION ALL ${fd("orders", "o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus")}
+        UNION ALL ${fd("lineitem", "l_partkey->l_suppkey", "l_partkey", "l_suppkey")}
+        ORDER BY fd"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3080,5 +3169,5 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182, q185, q187, q191, q192, q197, q199, q201)
+    q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203)
 }

@@ -125,6 +125,21 @@ class StatsQuerySpec extends SparkSpec {
     assert(r.getAs[Double]("seasonal_strength") == 1.0)
   }
 
+  test("q202 imputation: median fill and shifted mean from one aggregate") {
+    val d = dir()
+    def ev(id: Long, v: Double) =
+      (id, Timestamp.valueOf("2026-01-01 00:00:00"), 1L, "t", v, "{}")
+    // id 10 is masked (event_id % 10 == 0); observed = 1, 2, 9
+    Seq(ev(1, 1.0), ev(2, 2.0), ev(3, 9.0), ev(10, 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Queries.byName("q202_impute_median").run(spark, d).collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_missing") == 1L)
+    assert(r.getAs[Double]("median_fill") == 2.0)
+    assert(r.getAs[Double]("mean_observed") == 4.0)
+    assert(r.getAs[Double]("mean_imputed") == 3.5)  // (12 + 2) / 4
+  }
+
   test("q193 blocking eval: counts pairs from block sizes, recall from truth") {
     val d = dir()
     val tA = "alpha beta gamma delta epsilon zeta eta theta"
