@@ -3162,6 +3162,82 @@ object RelQueries {
         ORDER BY fd"""
     })
 
+  // q204 — GRID-BLOCKED SPATIAL RADIUS JOIN (the geohash-blocking shape):
+  // customers and suppliers placed on a synthetic 1000×1000 plane
+  // (portable-hash coordinates in integer TENTHS, so geometry is pure
+  // int arithmetic both engines), pairs within radius 50.0 found by
+  // registering suppliers in radius-sized grid cells and probing each
+  // customer's 3×3 neighborhood — candidates shrink from |C|·|S| to the
+  // occupancy of 9 cells, then an exact integer distance² verify. The
+  // same plan at 100 TB: the explode is ×9 on the PROBE side only, the
+  // join is a plain equi-join on cell id (shuffle- or broadcast-hash,
+  // never nested-loop — the global cartesian guard covers this query
+  // too), and skewed cells behave like any hot equi-join key (salt or
+  // AQE). Summary grain output; distances stay integer until two final
+  // divisions.
+  private val q204 = Q(
+    "q204_spatial_radius_join",
+    (s, dir) => {
+      import graft.functions.TextFns.portableHash
+      val R = 500L // radius in tenths = 50.0 units; also the cell size
+      def pt(df: org.apache.spark.sql.DataFrame, key: String, salt: String) =
+        df.select(col(key).as("id"),
+          pmod(portableHash(concat(lit(salt + "x:"), col(key))), lit(10000L)).as("x"),
+          pmod(portableHash(concat(lit(salt + "y:"), col(key))), lit(10000L)).as("y"))
+      val cust = pt(tbl(s, dir, "customer"), "c_custkey", "cu")
+      val supp = pt(tbl(s, dir, "supplier"), "s_suppkey", "su")
+        .select(col("id").as("sid"), col("x").as("sx"), col("y").as("sy"),
+          expr(s"x div $R").as("cx"), expr(s"y div $R").as("cy"))
+      val probe = cust
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("id"), col("x"), col("y"),
+          (expr(s"x div $R") + col("dx")).as("cx"),
+          (expr(s"y div $R") + col("dy")).as("cy"))
+      val pairs = probe.join(supp, Seq("cx", "cy"))
+        .withColumn("d2", (col("x") - col("sx")) * (col("x") - col("sx"))
+          + (col("y") - col("sy")) * (col("y") - col("sy")))
+        .filter(col("d2") <= lit(R * R))
+      pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("id")).as("n_customers_matched"),
+          countDistinct(col("sid")).as("n_suppliers_matched"),
+          min(col("d2")).as("min_d2"),
+          sum(col("d2")).as("sum_d2"))
+        .select(col("n_pairs"), col("n_customers_matched"),
+          col("n_suppliers_matched"), col("min_d2"),
+          Det.roundAt(sqrt(col("sum_d2").cast("double")
+            / col("n_pairs").cast("double")) / lit(10.0), 6).as("rms_dist"))
+    },
+    Some {
+      import graft.functions.TextFns.portableHashSql
+      val R = 500L
+      def h(salt: String, key: String) =
+        s"${portableHashSql(s"'$salt' || CAST($key AS VARCHAR)")} % 10000"
+      s"""WITH cust AS (SELECT c_custkey AS id,
+            ${h("cux:", "c_custkey")} AS x, ${h("cuy:", "c_custkey")} AS y
+          FROM customer),
+        supp AS (SELECT s_suppkey AS sid,
+            ${h("sux:", "s_suppkey")} AS sx, ${h("suy:", "s_suppkey")} AS sy
+          FROM supplier),
+        sg AS (SELECT sid, sx, sy, sx // $R AS cx, sy // $R AS cy FROM supp),
+        probe AS (SELECT id, x, y, x // $R + dx.o AS cx, y // $R + dy.o AS cy
+          FROM cust
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) dx
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) dy),
+        pairs AS (SELECT id, sid,
+            (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2
+          FROM probe JOIN sg USING (cx, cy)
+          WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= ${R * R})
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT id) AS BIGINT) AS n_customers_matched,
+        CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_suppliers_matched,
+        CAST(MIN(d2) AS BIGINT) AS min_d2,
+        ${Det.roundAtSql(
+          "sqrt(CAST(SUM(d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 10.0", 6)} AS rms_dist
+      FROM pairs"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3169,5 +3245,5 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203)
+    q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204)
 }

@@ -191,6 +191,14 @@ class PlanShapeSpec extends SparkSpec {
       s"q197 lost the decorrelated aggregate+join shape:\n$p")
   }
 
+  test("q204's spatial radius join is a cell-id hash join, never a nested loop") {
+    val p = plan("q204_spatial_radius_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"q204 lost the grid equi-join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"q204 degraded to an all-pairs distance scan:\n$p")
+  }
+
   test("HTML extract and URL stats scan only the columns they use") {
     val p165 = plan("q165_html_extract")
     assert(!p165.contains("n_chars"), s"q165 reads n_chars it never uses:\n$p165")
