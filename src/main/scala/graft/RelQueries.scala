@@ -3238,6 +3238,59 @@ object RelQueries {
       FROM pairs"""
     })
 
+  // q205 — SEQUENCE-PATTERN MATCHING over per-user event histories (the
+  // MATCH_RECOGNIZE/CEP shape, reduced to map-reduce): each user's
+  // events collapse — ordered by (ts, event_id) — into a one-char-per-
+  // event string (first letters of the 5 event types are distinct), and
+  // patterns become regexes counted per user: `v[^ep]*p` = a view
+  // converting to purchase with no error between; `e[^v]*e` = repeated
+  // errors with no recovering view. The regex class is deliberately
+  // backtrack-free (negated-class runs), so Java regex (Spark) and RE2
+  // (DuckDB) agree on non-overlapping leftmost matches. Scale: ONE
+  // shuffle to user grain; the per-user history string is bounded by
+  // per-user activity (the session-history invariant every CEP engine
+  // needs) — pattern counting is then row-local codegen'd string work.
+  // q37/q97/q101 cover fixed funnels; this is the arbitrary-pattern
+  // generalization.
+  private val q205 = Q(
+    "q205_seq_pattern",
+    (s, dir) => {
+      val seqs = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+      val vp = regexp_count(col("seq"), lit("v[^ep]*p"))
+      val ee = regexp_count(col("seq"), lit("e[^v]*e"))
+      seqs.agg(
+          count(lit(1)).as("n_users"),
+          sum((vp > 0).cast("long")).as("users_converting"),
+          sum(vp.cast("long")).as("n_conversions"),
+          sum((ee > 0).cast("long")).as("users_error_runs"),
+          sum(ee.cast("long")).as("n_error_runs"))
+        .select(col("n_users"), col("users_converting"), col("n_conversions"),
+          col("users_error_runs"), col("n_error_runs"),
+          Det.roundAt(col("users_converting").cast("double")
+            / col("n_users").cast("double"), 6).as("conversion_user_rate"))
+    },
+    Some(s"""WITH seqs AS (SELECT user_id,
+            string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id),
+        m AS (SELECT user_id,
+            len(regexp_extract_all(seq, 'v[^ep]*p')) AS vp,
+            len(regexp_extract_all(seq, 'e[^v]*e')) AS ee
+          FROM seqs)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(CASE WHEN vp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_converting,
+        CAST(SUM(vp) AS BIGINT) AS n_conversions,
+        CAST(SUM(CASE WHEN ee > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_error_runs,
+        CAST(SUM(ee) AS BIGINT) AS n_error_runs,
+        ${Det.roundAtSql(
+          "CAST(SUM(CASE WHEN vp > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS conversion_user_rate
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3245,5 +3298,6 @@ object RelQueries {
     q97, q98, q100, q101, q102, q103, q106, q109, q111, q115, q116, q120,
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
-    q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204)
+    q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
+    q205)
 }

@@ -140,6 +140,26 @@ class StatsQuerySpec extends SparkSpec {
     assert(r.getAs[Double]("mean_imputed") == 3.5)  // (12 + 2) / 4
   }
 
+  test("q205 sequence patterns: non-overlapping leftmost matches on the encoded history") {
+    val d = dir()
+    // one user, history v c p v e p e e e → "vcpvepeee":
+    //   v[^ep]*p  → "vcp" only (the second v→p run crosses an e)    = 1
+    //   e[^v]*e   → "epeee" — greedy [^v]* runs to the LAST e, so
+    //               the whole error run is one match, not "epe"+"ee" = 1
+    val types = Seq("view", "click", "purchase", "view", "error",
+      "purchase", "error", "error", "error")
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Timestamp.valueOf(f"2026-01-01 00:00:${i}%02d"), 7L, t, 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Queries.byName("q205_seq_pattern").run(spark, d).collect()(0)
+    assert(r.getAs[Long]("n_users") == 1L)
+    assert(r.getAs[Long]("users_converting") == 1L)
+    assert(r.getAs[Long]("n_conversions") == 1L)
+    assert(r.getAs[Long]("users_error_runs") == 1L)
+    assert(r.getAs[Long]("n_error_runs") == 1L)
+  }
+
   test("q193 blocking eval: counts pairs from block sizes, recall from truth") {
     val d = dir()
     val tA = "alpha beta gamma delta epsilon zeta eta theta"
