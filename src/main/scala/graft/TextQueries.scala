@@ -3253,11 +3253,58 @@ object TextQueries {
           "CAST(n_clip AS DOUBLE) / CAST(n_samples AS DOUBLE)", 6)} AS clip_ratio
       FROM g ORDER BY source"""))
 
+  // q206 — GREEDY MAX-COVERAGE source selection (the (1−1/e) submodular
+  // greedy): which 3 sources together cover the most distinct word
+  // 3-shingles (the same n-gram universe the dedup family keys on)? The
+  // diversity-driven pick of a corpus mix build — DSIR (q161) weights by
+  // target likeness, temperature (q160) flattens, this one maximizes
+  // coverage. Corpus-scale work is ONE distinct (source, token)
+  // membership shuffle; each round is an anti-join + count with a 1-row
+  // argmax collect (the k-means/BPE coordination shape, k bounded). The
+  // oracle unrolls all 3 rounds; early exhaustion (a round with zero
+  // marginal gain) drops the row on BOTH sides.
+  private val q206 = Q(
+    "q206_greedy_source_cover",
+    (s, dir) => {
+      import s.implicits._
+      val st = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(TextFns.wordShingles(col("text"), 3)).as("tok"))
+      graft.operators.Cover.greedyCover(st, "source", "tok", 3)
+        .map(p => (p.round.toLong, p.set, p.gain, p.coveredTotal))
+        .toDF("round", "source", "marginal_gain", "covered_total")
+        .orderBy("round")
+    },
+    Some(s"""WITH st AS (SELECT DISTINCT source AS s, u.tok AS e
+          FROM documents, unnest(${wordShinglesSql(3)}) AS u(tok)),
+        m1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS g FROM st GROUP BY 1),
+        p1 AS (SELECT s, g FROM m1 WHERE g > 0 ORDER BY g DESC, s LIMIT 1),
+        c1 AS (SELECT DISTINCT e FROM st JOIN p1 USING (s)),
+        m2 AS (SELECT st.s, CAST(COUNT(*) AS BIGINT) AS g FROM st
+          WHERE st.s NOT IN (SELECT s FROM p1)
+            AND st.e NOT IN (SELECT e FROM c1) GROUP BY 1),
+        p2 AS (SELECT s, g FROM m2 WHERE g > 0 ORDER BY g DESC, s LIMIT 1),
+        c2 AS (SELECT e FROM c1 UNION
+          SELECT e FROM st JOIN p2 USING (s)),
+        m3 AS (SELECT st.s, CAST(COUNT(*) AS BIGINT) AS g FROM st
+          WHERE st.s NOT IN (SELECT s FROM p1 UNION ALL SELECT s FROM p2)
+            AND st.e NOT IN (SELECT e FROM c2) GROUP BY 1),
+        p3 AS (SELECT s, g FROM m3 WHERE g > 0 ORDER BY g DESC, s LIMIT 1),
+        c3 AS (SELECT e FROM c2 UNION
+          SELECT e FROM st JOIN p3 USING (s))
+      SELECT CAST(1 AS BIGINT) AS round, s AS source, g AS marginal_gain,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS covered_total FROM p1
+      UNION ALL SELECT 2, s, g,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) FROM p2
+      UNION ALL SELECT 3, s, g,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) FROM p3
+      ORDER BY round"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189, q190, q193, q194, q198, q200)
+    q186, q188, q189, q190, q193, q194, q198, q200, q206)
 }

@@ -160,6 +160,17 @@ class StatsQuerySpec extends SparkSpec {
     assert(r.getAs[Long]("n_error_runs") == 1L)
   }
 
+  test("greedyCover picks by marginal gain with deterministic ties, stops when dry") {
+    import graft.operators.Cover
+    // A={1,2,3}, B={3,4}, C={4}: round1 A(3), round2 B(+1 via 4),
+    // then C adds nothing → early stop even with k=3
+    val m = Seq(("A", 1), ("A", 2), ("A", 3), ("B", 3), ("B", 4), ("C", 4))
+      .toDF("s", "e")
+    val picks = Cover.greedyCover(m, "s", "e", 3)
+    assert(picks.map(p => (p.round, p.set, p.gain, p.coveredTotal)) ==
+      Seq((1, "A", 3L, 3L), (2, "B", 1L, 4L)))
+  }
+
   test("q193 blocking eval: counts pairs from block sizes, recall from truth") {
     val d = dir()
     val tA = "alpha beta gamma delta epsilon zeta eta theta"
