@@ -3236,7 +3236,8 @@ object RelQueries {
         ${Det.roundAtSql(
           "sqrt(CAST(SUM(d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 10.0", 6)} AS rms_dist
       FROM pairs"""
-    })
+    },
+    headline = true)
 
   // q205 — SEQUENCE-PATTERN MATCHING over per-user event histories (the
   // MATCH_RECOGNIZE/CEP shape, reduced to map-reduce): each user's
@@ -3289,7 +3290,8 @@ object RelQueries {
         CAST(SUM(ee) AS BIGINT) AS n_error_runs,
         ${Det.roundAtSql(
           "CAST(SUM(CASE WHEN vp > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS conversion_user_rate
-      FROM m"""))
+      FROM m"""),
+    headline = true)
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
