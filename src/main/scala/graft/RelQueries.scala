@@ -3293,6 +3293,69 @@ object RelQueries {
       FROM m"""),
     headline = true)
 
+  // q207 — WATERMARK / LATE-DATA AUDIT: how late does this stream
+  // arrive? Per event, lateness = (max event-time seen so far in
+  // ARRIVAL order) − its own event time; the rollup counts events a
+  // 10-minute and a 1-hour watermark would DROP — the number you read
+  // BEFORE picking the Streams watermark, closing the loop with the
+  // streaming family's fixed "10 minutes". The synthetic events table
+  // ships time-ordered (it has no arrival column), so arrival is
+  // simulated by a deterministic hash permutation of event_id — the
+  // audit exercises real disorder and stays engine-exact. The global
+  // running max is computed in TWO LEVELS (the q82 prefix-sum shape):
+  // per-block running max partitioned by the hash's high bits (monotone
+  // in arrival order, ~1024 blocks), plus one tiny window over block
+  // summaries — never a single-partition window over the corpus. Times
+  // are epoch seconds (Spark cast ≡ DuckDB epoch_ns//1e9), all integer.
+  private val q207 = Q(
+    "q207_late_data_audit",
+    (s, dir) => {
+      import graft.functions.TextFns.portableHash
+      val HI = 1L << 50 // 60-bit hash → high 10 bits = arrival block
+      val e = tbl(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("ts").cast("long").as("sec"),
+        portableHash(concat(lit("arr:"), col("event_id"))).as("h"))
+        .withColumn("blk", expr(s"h div $HI"))
+      val wIn = Window.partitionBy("blk").orderBy("h", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBlk = Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkPrev = e.groupBy("blk").agg(max(col("sec")).as("bmax"))
+        .withColumn("prevmax", max(col("bmax")).over(wBlk))
+        .select("blk", "prevmax")
+      e.join(blkPrev, Seq("blk"))
+        .withColumn("priormax",
+          greatest(coalesce(max(col("sec")).over(wIn), col("sec")),
+            coalesce(col("prevmax"), col("sec"))))
+        .withColumn("late", greatest(col("priormax") - col("sec"), lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("late") > 600L).cast("long")).as("n_late_10m"),
+          sum((col("late") > 3600L).cast("long")).as("n_late_1h"),
+          max(col("late")).as("max_lateness_sec"),
+          sum(col("late")).as("sum_lateness_sec"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_id, event_type,
+            epoch_ns(ts) // 1000000000 AS sec,
+            ${graft.functions.TextFns.portableHashSql(
+              "'arr:' || CAST(event_id AS VARCHAR)")} AS h
+          FROM events),
+        w AS (SELECT event_type, sec,
+            MAX(sec) OVER (ORDER BY h, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS priormax
+          FROM e),
+        l AS (SELECT event_type,
+            CASE WHEN priormax IS NULL OR priormax <= sec THEN 0
+                 ELSE priormax - sec END AS late
+          FROM w)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN late > 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+        CAST(SUM(CASE WHEN late > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+        CAST(MAX(late) AS BIGINT) AS max_lateness_sec,
+        CAST(SUM(late) AS BIGINT) AS sum_lateness_sec
+      FROM l GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3301,5 +3364,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205)
+    q205, q207)
 }
