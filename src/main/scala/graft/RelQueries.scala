@@ -3356,6 +3356,148 @@ object RelQueries {
         CAST(SUM(late) AS BIGINT) AS sum_lateness_sec
       FROM l GROUP BY event_type ORDER BY event_type"""))
 
+  // q208 — ROLLING 24-BUCKET CORRELATION between the hourly view and
+  // purchase count series (the co-movement monitor: does demand still
+  // track traffic, and when does the relationship break?). The corpus
+  // reduces ONCE to an hourly two-column series (map-side combined);
+  // rolling Pearson over the trailing 24 buckets comes from rolling
+  // INTEGER sums (Σx, Σy, Σxy, Σx², Σy²) in one window pass — counts
+  // are integers, so every windowed moment is exact and r is a fixed
+  // double formula per bucket. Windows shorter than 24 buckets (series
+  // head) are excluded by the count guard on both sides. The summary
+  // reports the distribution of r plus its argmin hour — where
+  // co-movement broke worst. Window input is the bucketed series, never
+  // the raw rows.
+  private val q208 = Q(
+    "q208_rolling_corr",
+    (s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val w = Window.orderBy("h").rowsBetween(-23, 0)
+      val rolled = hourly.select(col("h"),
+          count(lit(1)).over(w).as("cnt"),
+          sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+          sum(col("x") * col("y")).over(w).as("sxy"),
+          sum(col("x") * col("x")).over(w).as("sxx"),
+          sum(col("y") * col("y")).over(w).as("syy"))
+        .filter(col("cnt") === 24)
+      val n = lit(24.0)
+      // NOTE: operators stay at END of line — a leading `-` on a
+      // continuation line silently becomes a discarded unary expression
+      val num = n * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val den = sqrt(
+        (n * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+        (n * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")))
+      val scored = rolled.select(col("h"), Det.roundAt(num / den, 6).as("r"))
+      scored.agg(
+          count(lit(1)).as("n_windows"),
+          min(col("r")).as("min_r"), max(col("r")).as("max_r"),
+          Det.roundAt(Det.dsum(col("r"), 6) / count(lit(1)), 6).as("avg_r"),
+          min(struct(col("r"), col("h"))).as("worst"))
+        .select(col("n_windows"), col("min_r"), col("max_r"), col("avg_r"),
+          date_format(col("worst.h"), "yyyy-MM-dd HH:mm").as("worst_hour"))
+    },
+    Some(s"""WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        rolled AS (SELECT h,
+            COUNT(*) OVER w AS cnt,
+            SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+            SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+            SUM(y * y) OVER w AS syy
+          FROM hourly
+          WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        scored AS (SELECT h, ${Det.roundAtSql(
+            "(24.0 * sxy - CAST(sx AS DOUBLE) * sy)" +
+            " / sqrt((24.0 * sxx - CAST(sx AS DOUBLE) * sx)" +
+            " * (24.0 * syy - CAST(sy AS DOUBLE) * sy))", 6)} AS r
+          FROM rolled WHERE cnt = 24),
+        worst AS (SELECT h FROM scored ORDER BY r, h LIMIT 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+        MIN(r) AS min_r, MAX(r) AS max_r,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)} AS avg_r,
+        (SELECT strftime(h, '%Y-%m-%d %H:%M') FROM worst) AS worst_hour
+      FROM scored"""))
+
+  // q209 — JOIN-CARDINALITY ESTIMATION audit (the System-R/CBO formula
+  // the optimizer itself uses): per hash bucket of the join key,
+  // estimate |orders ⋈ lineitem| as rows_o·rows_l/max(ndv_o, ndv_l)
+  // under the uniformity assumption, and compare to the EXACT join size
+  // Σ_k cnt_o(k)·cnt_l(k) — the audit that tells you how far the
+  // cost model drifts on your actual key distribution before you trust
+  // its join ordering. Both sides are key-grain aggregates (the exact
+  // count needs key-grain frequencies, never the joined rows
+  // themselves); estimate terms are 1e-6-rounded before the decimal
+  // sum. Integers everywhere else.
+  private val q209 = Q(
+    "q209_join_size_estimate",
+    (s, dir) => {
+      def audit(name: String, o: org.apache.spark.sql.DataFrame,
+                l: org.apache.spark.sql.DataFrame) = {
+        val exact = o.groupBy("k").agg(count(lit(1)).as("co"))
+          .join(l.groupBy("k").agg(count(lit(1)).as("cl")), Seq("k"))
+          .agg(sum(col("co") * col("cl")).as("exact_rows"))
+        val est = o.groupBy("b").agg(count(lit(1)).as("ro"), countDistinct("k").as("do"))
+          .join(l.groupBy("b").agg(count(lit(1)).as("rl"), countDistinct("k").as("dl")),
+            Seq("b"))
+          .select(Det.roundAt(col("ro").cast("double") * col("rl").cast("double") /
+            greatest(col("do"), col("dl")).cast("double"), 6).as("t"))
+          .agg(count(lit(1)).as("n_buckets"),
+            Det.roundAt(Det.dsum(col("t"), 6), 6).as("est_rows"))
+        est.crossJoin(broadcast(exact))
+          .select(lit(name).as("scenario"), col("n_buckets"), col("exact_rows"),
+            col("est_rows"),
+            Det.roundAt(abs(col("est_rows") - col("exact_rows").cast("double")) /
+              col("exact_rows").cast("double"), 6).as("rel_error"))
+      }
+      val orders = tbl(s, dir, "orders")
+      // FK join, 16 uniform hash buckets — the case the formula nails
+      val fk = audit("fk_uniform",
+        orders.select(col("o_orderkey").as("k"), pmod(col("o_orderkey"), lit(16L)).as("b")),
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), pmod(col("l_orderkey"), lit(16L)).as("b")))
+      // low-cardinality self-join with keys of UNequal frequency sharing a
+      // bucket — where the uniformity assumption visibly drifts
+      val pk = orders.select(col("o_orderpriority").as("k"),
+        pmod(ascii(substring(col("o_orderpriority"), 1, 1)), lit(2)).as("b"))
+      fk.unionAll(audit("skewed_lowcard", pk, pk)).orderBy("scenario")
+    },
+    Some {
+      def audit(name: String, oSel: String, lSel: String) =
+        s"""SELECT '$name' AS scenario, n_buckets, exact_rows, est_rows,
+          ${Det.roundAtSql(
+            "abs(est_rows - CAST(exact_rows AS DOUBLE)) / CAST(exact_rows AS DOUBLE)", 6)} AS rel_error
+        FROM
+          (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, ${Det.roundAtSql(
+              "CAST(SUM(CAST(t AS DECIMAL(28,6))) AS DOUBLE)", 6)} AS est_rows
+            FROM (SELECT ${Det.roundAtSql(
+                "CAST(ro AS DOUBLE) * CAST(rl AS DOUBLE) / CAST(greatest(do_, dl) AS DOUBLE)", 6)} AS t
+              FROM (SELECT b, CAST(COUNT(*) AS BIGINT) AS ro,
+                  CAST(COUNT(DISTINCT k) AS BIGINT) AS do_ FROM ($oSel) GROUP BY 1) og
+              JOIN (SELECT b, CAST(COUNT(*) AS BIGINT) AS rl,
+                  CAST(COUNT(DISTINCT k) AS BIGINT) AS dl FROM ($lSel) GROUP BY 1) lg
+              USING (b))) est
+        CROSS JOIN
+          (SELECT CAST(SUM(co * cl) AS BIGINT) AS exact_rows FROM
+            (SELECT k, CAST(COUNT(*) AS BIGINT) AS co FROM ($oSel) GROUP BY 1) oo
+            JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS cl FROM ($lSel) GROUP BY 1) ll
+            USING (k)) ex"""
+      val oFk = "SELECT o_orderkey AS k, o_orderkey % 16 AS b FROM orders"
+      val lFk = "SELECT l_orderkey AS k, l_orderkey % 16 AS b FROM lineitem"
+      val pk = "SELECT o_orderpriority AS k, ascii(substr(o_orderpriority, 1, 1)) % 2 AS b FROM orders"
+      s"""${audit("fk_uniform", oFk, lFk)}
+        UNION ALL ${audit("skewed_lowcard", pk, pk)}
+        ORDER BY scenario"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3364,5 +3506,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207)
+    q205, q207, q208, q209)
 }
