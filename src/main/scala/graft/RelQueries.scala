@@ -3498,6 +3498,101 @@ object RelQueries {
         ORDER BY scenario"""
     })
 
+  // q210 — HIERARCHICAL SHARE-OF-PARENT rollup (region → nation →
+  // customer-segment): each level's revenue as a fraction of its parent
+  // level — the drill-down view every BI layer derives from one wide
+  // aggregate, expressed as ONE shuffle to the finest grain plus
+  // partition windows re-aggregating upward (no rescan per level, no
+  // second shuffle: the windows share the finest grain's partitioning
+  // prefix). Revenue in exact decimal; shares are single divisions of
+  // those exact sums, 1e-6-rounded. Output at segment grain carries its
+  // own share, its nation's share of the region, and the region's share
+  // of the total — the full drill path per row.
+  private val q210 = Q(
+    "q210_share_of_parent",
+    (s, dir) => {
+      val rev = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), col("c_mktsegment").as("segment"))
+        .agg(Det.dsum(col("o_totalprice")).as("rev"))
+      val wN = Window.partitionBy("r_name", "n_name")
+      val wR = Window.partitionBy("r_name")
+      val wT = Window.partitionBy()
+      rev.select(col("r_name"), col("n_name"), col("segment"),
+          Det.roundAt(col("rev"), 2).as("rev"),
+          Det.roundAt(col("rev") / sum(col("rev")).over(wN), 6).as("seg_share_of_nation"),
+          Det.roundAt(sum(col("rev")).over(wN) / sum(col("rev")).over(wR), 6)
+            .as("nation_share_of_region"),
+          Det.roundAt(sum(col("rev")).over(wR) / sum(col("rev")).over(wT), 6)
+            .as("region_share_of_total"))
+        .orderBy("r_name", "n_name", "segment")
+    },
+    Some(s"""WITH rev AS (SELECT r_name, n_name, c_mktsegment AS segment,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2, 3)
+      SELECT r_name, n_name, segment, ${Det.roundAtSql("rev", 2)} AS rev,
+        ${Det.roundAtSql("rev / SUM(rev) OVER (PARTITION BY r_name, n_name)", 6)} AS seg_share_of_nation,
+        ${Det.roundAtSql(
+          "SUM(rev) OVER (PARTITION BY r_name, n_name) / SUM(rev) OVER (PARTITION BY r_name)", 6)} AS nation_share_of_region,
+        ${Det.roundAtSql(
+          "SUM(rev) OVER (PARTITION BY r_name) / SUM(rev) OVER ()", 6)} AS region_share_of_total
+      FROM rev ORDER BY r_name, n_name, segment"""))
+
+  // q211 — ABC (PARETO) CLASSIFICATION of parts by revenue: cumulative
+  // revenue share ranks parts into A (first 70% of revenue), B (next
+  // 20%), C (tail) — the inventory-analytics classic. One shuffle to
+  // part grain, one ordered window for the cumulative share (part
+  // grain, (share DESC, key ASC) deterministic), and a class rollup.
+  // The cumulative sum runs over exact-decimal part revenues so the
+  // class boundaries are engine-exact.
+  private val q211 = Q(
+    "q211_abc_classification",
+    (s, dir) => {
+      val byPart = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(Det.dsum(col("l_extendedprice")).as("rev"))
+      val wCum = Window.orderBy(desc("rev"), asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val classed = byPart
+        .withColumn("cumshare",
+          sum(col("rev").cast("decimal(28,2)")).over(wCum).cast("double")
+            / sum(col("rev").cast("decimal(28,2)")).over(wAll).cast("double"))
+        .withColumn("cls", when(col("cumshare") <= 0.7, "A")
+          .when(col("cumshare") <= 0.9, "B").otherwise("C"))
+      classed.groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          Det.roundAt(sum(col("rev").cast("decimal(28,2)")).cast("double"), 2)
+            .as("class_rev"),
+          Det.roundAt(min(col("cumshare")), 6).as("min_cumshare"),
+          Det.roundAt(max(col("cumshare")), 6).as("max_cumshare"))
+        .orderBy("cls")
+    },
+    Some(s"""WITH p AS (SELECT l_partkey,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+          FROM lineitem GROUP BY 1),
+        c AS (SELECT l_partkey, rev,
+            CAST(SUM(CAST(rev AS DECIMAL(28,2))) OVER
+              (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(SUM(CAST(rev AS DECIMAL(28,2))) OVER () AS DOUBLE) AS cumshare
+          FROM p),
+        k AS (SELECT rev, cumshare,
+            CASE WHEN cumshare <= 0.7 THEN 'A'
+                 WHEN cumshare <= 0.9 THEN 'B' ELSE 'C' END AS cls
+          FROM c)
+      SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        ${Det.roundAtSql("CAST(SUM(CAST(rev AS DECIMAL(28,2))) AS DOUBLE)", 2)} AS class_rev,
+        ${Det.roundAtSql("MIN(cumshare)", 6)} AS min_cumshare,
+        ${Det.roundAtSql("MAX(cumshare)", 6)} AS max_cumshare
+      FROM k GROUP BY cls ORDER BY cls"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3506,5 +3601,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207, q208, q209)
+    q205, q207, q208, q209, q210, q211)
 }
