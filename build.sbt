@@ -32,3 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Guard against Scala's silent-statement hazard: a Column-arithmetic
+// continuation line that STARTS with an operator parses as a discarded
+// expression (found the hard way in q208's rolling-corr numerator —
+// caught only by the DuckDB oracle). Warns on any discarded non-Unit.
+scalacOptions += "-Wvalue-discard"
