@@ -3546,24 +3546,38 @@ object RelQueries {
 
   // q211 — ABC (PARETO) CLASSIFICATION of parts by revenue: cumulative
   // revenue share ranks parts into A (first 70% of revenue), B (next
-  // 20%), C (tail) — the inventory-analytics classic. One shuffle to
-  // part grain, one ordered window for the cumulative share (part
-  // grain, (share DESC, key ASC) deterministic), and a class rollup.
-  // The cumulative sum runs over exact-decimal part revenues so the
-  // class boundaries are engine-exact.
+  // 20%), C (tail) — the inventory-analytics classic. Part grain SCALES
+  // WITH DATA, so the cumulative sum must not be a single-partition
+  // global window: it runs in TWO LEVELS (the q207 shape) — blocks are
+  // revenue-range buckets (monotone in the sort order, equal revenues
+  // can't straddle one), within-block running decimal sums in parallel,
+  // plus one tiny window over block totals. The DuckDB oracle computes
+  // the same classification with a plain global window, so the
+  // bit-for-bit match proves the decomposition; all sums exact decimal.
   private val q211 = Q(
     "q211_abc_classification",
     (s, dir) => {
       val byPart = tbl(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(Det.dsum(col("l_extendedprice")).as("rev"))
-      val wCum = Window.orderBy(desc("rev"), asc("l_partkey"))
+        .withColumn("blk", -floor(col("rev") / lit(100000.0)).cast("long"))
+      val wIn = Window.partitionBy("blk")
+        .orderBy(desc("rev"), asc("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
+      val wBlk = Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkOff = byPart.groupBy("blk")
+        .agg(sum(col("rev").cast("decimal(28,2)")).as("btot"))
+        .withColumn("boff", coalesce(sum(col("btot")).over(wBlk),
+          lit(0).cast("decimal(28,2)")))
+        .select("blk", "boff")
+      val total = byPart.agg(sum(col("rev").cast("decimal(28,2)")).as("tot"))
       val classed = byPart
+        .withColumn("cumin", sum(col("rev").cast("decimal(28,2)")).over(wIn))
+        .join(blkOff, Seq("blk"))
+        .crossJoin(broadcast(total))
         .withColumn("cumshare",
-          sum(col("rev").cast("decimal(28,2)")).over(wCum).cast("double")
-            / sum(col("rev").cast("decimal(28,2)")).over(wAll).cast("double"))
+          (col("boff") + col("cumin")).cast("double") / col("tot").cast("double"))
         .withColumn("cls", when(col("cumshare") <= 0.7, "A")
           .when(col("cumshare") <= 0.9, "B").otherwise("C"))
       classed.groupBy("cls")
