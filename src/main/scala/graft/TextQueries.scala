@@ -2427,8 +2427,19 @@ object TextQueries {
       val uc = tbl(s, dir, "documents")
         .select(explode(TextFns.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-      val ranked = uc.withColumn("i",
-        row_number().over(Window.orderBy(col("c"), col("tok"))).cast("long"))
+      // global rank i over (c, tok) in TWO LEVELS (vocab scales with the
+      // corpus, so no single-partition row_number): within-count rank by
+      // token in parallel, plus a count-grain exclusive offset window
+      // (distinct count VALUES are few) — i = offset + within-rank
+      val wIn = Window.partitionBy("c").orderBy("tok")
+      val wOff = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+      val off = uc.groupBy("c").agg(count(lit(1)).as("nc"))
+        .withColumn("coff", coalesce(sum(col("nc")).over(wOff), lit(0L)))
+        .select("c", "coff")
+      val ranked = uc
+        .withColumn("ri", row_number().over(wIn).cast("long"))
+        .join(off, Seq("c"))
+        .withColumn("i", col("coff") + col("ri"))
       val top100 = uc.orderBy(desc("c"), asc("tok")).limit(100)
         .agg(sum(col("c")).as("top_c"))
       ranked.agg(
