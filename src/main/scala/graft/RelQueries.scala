@@ -3607,6 +3607,67 @@ object RelQueries {
         ${Det.roundAtSql("MAX(cumshare)", 6)} AS max_cumshare
       FROM k GROUP BY cls ORDER BY cls"""))
 
+  // q212 — DIFFERENCE-IN-DIFFERENCES estimator per event_type: the
+  // pre/post × control/treatment 2×2 that separates a treatment effect
+  // from a level shift both arms share — completing the experimentation
+  // shelf (q187 CUPED adjusts variance, q192 Welch tests a point-in-time
+  // gap, this handles "treatment started at T, was there an effect?").
+  // Arms are the q187/q192 hash assignment (user_id parity); the period
+  // split is the fixed calendar midpoint. One map-side-combinable
+  // shuffle: all four cell means come from decimal-exact sums of
+  // 6-dp values computed as conditional aggregates in a single pass —
+  // never four scans, never a driver pivot.
+  private val q212 = Q(
+    "q212_diff_in_diff",
+    (s, dir) => {
+      val v = Det.roundAt(col("value"), 6)
+      val isT = pmod(col("user_id"), lit(2)) === 1
+      val isPost = col("ts") >= lit("2024-01-16").cast("timestamp")
+      def cell(p: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column,
+               nm: String) = Seq(
+        count(when(p && t, 1)).as(s"n_$nm"),
+        Det.dsum(when(p && t, v), 6).as(s"s_$nm"))
+      val cells = cell(!isPost, !isT, "pre_c") ++ cell(!isPost, isT, "pre_t") ++
+        cell(isPost, !isT, "post_c") ++ cell(isPost, isT, "post_t")
+      tbl(s, dir, "events")
+        .groupBy("event_type")
+        .agg(cells.head, cells.tail: _*)
+        .select(col("event_type"),
+          col("n_pre_c"), col("n_pre_t"), col("n_post_c"), col("n_post_t"),
+          Det.roundAt(col("s_pre_c") / col("n_pre_c"), 6).as("mean_pre_control"),
+          Det.roundAt(col("s_pre_t") / col("n_pre_t"), 6).as("mean_pre_treat"),
+          Det.roundAt(col("s_post_c") / col("n_post_c"), 6).as("mean_post_control"),
+          Det.roundAt(col("s_post_t") / col("n_post_t"), 6).as("mean_post_treat"),
+          Det.roundAt((col("s_post_t") / col("n_post_t") - col("s_pre_t") / col("n_pre_t")) -
+            (col("s_post_c") / col("n_post_c") - col("s_pre_c") / col("n_pre_c")), 6)
+            .as("did"))
+        .orderBy("event_type")
+    },
+    Some {
+      def cell(cond: String, nm: String) =
+        s"""CAST(COUNT(CASE WHEN $cond THEN 1 END) AS BIGINT) AS n_$nm,
+           CAST(SUM(CASE WHEN $cond THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE) AS s_$nm"""
+      s"""WITH e AS (SELECT event_type,
+            ${Det.roundAtSql("\"value\"", 6)} AS v,
+            user_id % 2 = 1 AS t,
+            ts >= TIMESTAMP '2024-01-16' AS post
+          FROM events),
+        m AS (SELECT event_type,
+            ${cell("NOT post AND NOT t", "pre_c")},
+            ${cell("NOT post AND t", "pre_t")},
+            ${cell("post AND NOT t", "post_c")},
+            ${cell("post AND t", "post_t")}
+          FROM e GROUP BY 1)
+      SELECT event_type, n_pre_c, n_pre_t, n_post_c, n_post_t,
+        ${Det.roundAtSql("s_pre_c / n_pre_c", 6)} AS mean_pre_control,
+        ${Det.roundAtSql("s_pre_t / n_pre_t", 6)} AS mean_pre_treat,
+        ${Det.roundAtSql("s_post_c / n_post_c", 6)} AS mean_post_control,
+        ${Det.roundAtSql("s_post_t / n_post_t", 6)} AS mean_post_treat,
+        ${Det.roundAtSql(
+          "(s_post_t / n_post_t - s_pre_t / n_pre_t) - (s_post_c / n_post_c - s_pre_c / n_pre_c)", 6)} AS did
+      FROM m ORDER BY event_type"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3615,5 +3676,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207, q208, q209, q210, q211)
+    q205, q207, q208, q209, q210, q211, q212)
 }
