@@ -3668,6 +3668,49 @@ object RelQueries {
       FROM m ORDER BY event_type"""
     })
 
+  // q213 — TIME-TO-CONVERT distribution: for every view, the forward
+  // as-of join (q70/q124's operator — union + one running window, no
+  // inequality join) finds the user's NEXT purchase; the rollup reports
+  // conversion rate and exact latency percentiles — the product-
+  // analytics readout (how long does conversion take, p50 vs p90 tail)
+  // that q97's funnel counts can't give. Latencies are integer epoch-
+  // second differences; percentiles use the q07-proven `percentile` ⇔
+  // `quantile_cont` pairing over converting views only.
+  private val q213 = Q(
+    "q213_time_to_convert",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("pid"))
+      val lat = graft.operators.AsOf.forward(views, purch,
+          "user_id", "user_id", "ts", "ts", Seq("ts"))
+        .select(col("user_id"),
+          (col("asof.ts").cast("long") - col("ts").cast("long")).as("lat"))
+      lat.agg(
+          count(lit(1)).as("n_views"),
+          count(col("lat")).as("n_converted"),
+          Det.roundAt(count(col("lat")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("conversion_rate"),
+          Det.roundAt(percentile(col("lat").cast("double"), lit(0.5)), 4).as("p50_sec"),
+          Det.roundAt(percentile(col("lat").cast("double"), lit(0.9)), 4).as("p90_sec"),
+          max(col("lat")).as("max_sec"))
+    },
+    Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS pid
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        j AS (SELECT v.user_id,
+            epoch_ns(p.ts) // 1000000000 - epoch_ns(v.ts) // 1000000000 AS lat
+          FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+        CAST(COUNT(lat) AS BIGINT) AS n_converted,
+        floor(CAST(COUNT(lat) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS conversion_rate,
+        floor(quantile_cont(CAST(lat AS DOUBLE), 0.5) * 10000 + 0.5) / 10000 AS p50_sec,
+        floor(quantile_cont(CAST(lat AS DOUBLE), 0.9) * 10000 + 0.5) / 10000 AS p90_sec,
+        CAST(MAX(lat) AS BIGINT) AS max_sec
+      FROM j"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3676,5 +3719,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207, q208, q209, q210, q211, q212)
+    q205, q207, q208, q209, q210, q211, q212, q213)
 }
