@@ -3711,6 +3711,97 @@ object RelQueries {
         CAST(MAX(lat) AS BIGINT) AS max_sec
       FROM j"""))
 
+  // q214 — K-HOP REACHABILITY (operators/Graph.bfsLevels): BFS levels
+  // over the customer–supplier bipartite graph (an edge where the
+  // customer ever ordered from the supplier; nodes encoded cust·2 /
+  // supp·2+1 so one long id space carries both). Seeds are every 100th
+  // customer; 3 hops. Per hop one equi-join + distinct + anti-join —
+  // the shuffle is frontier-grain, never path-grain, which is why this
+  // survives 100 TB where the oracle's path-enumerating recursive CTE
+  // (fine at sf0.01) would explode. Rollup is level-grain (≤4 rows).
+  private val q214 = Q(
+    "q214_khop_reach",
+    (s, dir) => {
+      val pairs = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .dropDuplicates("c", "s")
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = tbl(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("id"))
+      graft.operators.Graph.bfsLevels(edges, seeds, maxHops = 3)
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum((col("id") % 2 === 0).cast("long")).as("n_customers"),
+          sum((col("id") % 2 === 1).cast("long")).as("n_suppliers"),
+          sum(col("id")).as("id_checksum"))
+        .orderBy("level")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s, c FROM pairs),
+        reach(id, lvl) AS (
+          SELECT c_custkey * 2, 0 FROM customer WHERE c_custkey % 100 = 0
+          UNION ALL
+          SELECT e.dst, r.lvl + 1 FROM reach r JOIN edges e ON e.src = r.id
+          WHERE r.lvl < 3),
+        m AS (SELECT id, MIN(lvl) AS level FROM reach GROUP BY id)
+      SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_nodes,
+        CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+        CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+        CAST(SUM(id) AS BIGINT) AS id_checksum
+      FROM m GROUP BY level ORDER BY level"""))
+
+  // q215 — BOUNDED CHEAPEST PATH (operators/Graph.cheapestPath): ≤3-hop
+  // Bellman-Ford over the same bipartite graph, edge weight = the pair's
+  // minimum ordered quantity (integer-exact long, so every path cost and
+  // min is portable bit-for-bit). Each round is one vertex-grain shuffle;
+  // the oracle enumerates ≤3-edge paths recursively — correct at sf0.01,
+  // deliberately NOT the Spark plan shape.
+  private val q215 = Q(
+    "q215_cheapest_route",
+    (s, dir) => {
+      val raw = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"),
+          col("l_quantity").cast("long").as("w"))
+      val edges = raw.select(col("c").as("src"), col("s").as("dst"), col("w"))
+        .union(raw.select(col("s").as("src"), col("c").as("dst"), col("w")))
+      val seeds = tbl(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") * 2).as("id"))
+      graft.operators.Graph.cheapestPath(edges, seeds, maxHops = 3)
+        .groupBy(when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("cost")).as("sum_cost"),
+          min(col("cost")).as("min_cost"),
+          max(col("cost")).as("max_cost"))
+        .orderBy("kind")
+    },
+    Some("""WITH RECURSIVE pw AS (
+          SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+            MIN(CAST(l_quantity AS BIGINT)) AS w
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        edges AS (SELECT c AS src, s AS dst, w FROM pw
+          UNION ALL SELECT s, c, w FROM pw),
+        reach(id, cost, lvl) AS (
+          SELECT c_custkey * 2, CAST(0 AS BIGINT), 0
+          FROM customer WHERE c_custkey % 100 = 0
+          UNION ALL
+          SELECT e.dst, r.cost + e.w, r.lvl + 1
+          FROM reach r JOIN edges e ON e.src = r.id WHERE r.lvl < 3),
+        m AS (SELECT id, MIN(cost) AS cost FROM reach GROUP BY id)
+      SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        COUNT(*) AS n_nodes, CAST(SUM(cost) AS BIGINT) AS sum_cost,
+        CAST(MIN(cost) AS BIGINT) AS min_cost, CAST(MAX(cost) AS BIGINT) AS max_cost
+      FROM m GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3719,5 +3810,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207, q208, q209, q210, q211, q212, q213)
+    q205, q207, q208, q209, q210, q211, q212, q213, q214, q215)
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph traversal over an edge list — BFS reachability and
+  * bounded cheapest-path, the two relaxations a relational engine can run
+  * without a driver-side graph.
+  *
+  * Both operators are CONSTANT-DEPTH unrolled plans: `maxHops` is a query
+  * constant (2–4 in practice), so each hop is one equi-join + one
+  * distinct/min-aggregate, checkpointed so hop `k+1` never recomputes hop
+  * `k`'s frontier. Nothing collects to the driver; frontier and visited
+  * sets live as DataFrames partitioned by node id. At 100 TB the per-hop
+  * shuffle is bounded by the true frontier size (BFS) or the vertex set
+  * (Bellman-Ford round), which is the textbook scale shape for
+  * shuffle-based graph traversal (Pregel-as-joins).
+  */
+object Graph {
+
+  /** Min-hop level of every node reachable from `seeds` within `maxHops`
+    * hops of the directed edge list `edges` (columns `src`, `dst`; pass
+    * both directions for an undirected graph). `seeds` carries column
+    * `id`. Output: (id, level) with level = min #hops in [0, maxHops].
+    *
+    * Per hop: frontier ⋈ edges (shuffle on src), distinct on dst, then
+    * one anti-join against the visited union — exactly the BFS frontier
+    * rule, so every node lands at its MINIMUM level. Each frontier is
+    * localCheckpointed (lazily — blocks cache on first compute within
+    * the caller's action): the visited union grows linearly in depth,
+    * and without the checkpoint each anti-join would re-derive every
+    * earlier hop (exponential recompute). All blocks stay registered
+    * until the caller's terminal action, then fall to the session-level
+    * [[Ckpt.release]] — depth is a small constant, so no scoped early
+    * release is needed (and with lazy checkpoints it would be unsafe:
+    * unpersisting a lineage-truncated block before its consumer
+    * materializes loses the data). */
+  def bfsLevels(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = Ckpt.local(
+      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
+    val seed0 = Ckpt.local(
+      seeds.select(col("id")).distinct().withColumn("level", lit(0L)))
+    var visited = seed0
+    var frontier = seed0.select("id")
+    (1 to maxHops).foreach { h =>
+      val nf = Ckpt.local(
+        e.join(frontier.select(col("id").as("src")), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .withColumn("level", lit(h.toLong)))
+      frontier = nf.select("id")
+      visited = visited.union(nf)
+    }
+    visited
+  }
+
+  /** Cheapest cost to reach each node from `seeds` using at most
+    * `maxHops` weighted edges (`src`, `dst`, `w` — LONG weights so the
+    * min is order-independent and exactly portable). `seeds`: column
+    * `id`. Output: (id, cost) — the bounded Bellman-Ford relaxation.
+    *
+    * Per round: cost ⋈ edges on src → candidate dst costs, union with
+    * the standing costs, min per node. Unlike BFS the frontier does not
+    * shrink (a cheaper path may revisit a settled node), so each round
+    * is vertex-grain — still one shuffle per round, `maxHops` rounds.
+    * Rounds are lazily checkpointed; blocks fall to the session-level
+    * [[Ckpt.release]] after the caller's action (constant depth). */
+  def cheapestPath(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = Ckpt.local(
+      edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    var costs = seeds.select(col("id")).distinct().withColumn("cost", lit(0L))
+    (1 to maxHops).foreach { _ =>
+      val relaxed = e.join(costs.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      costs = Ckpt.local(
+        costs.union(relaxed).groupBy("id").agg(min("cost").as("cost")))
+    }
+    costs
+  }
+}
