@@ -3802,6 +3802,81 @@ object RelQueries {
         CAST(MIN(cost) AS BIGINT) AS min_cost, CAST(MAX(cost) AS BIGINT) AS max_cost
       FROM m GROUP BY 1 ORDER BY 1"""))
 
+  // q216 — INTERVAL OVERLAP JOIN: per-user activity sessions (30-min
+  // gap, native session_window) against global error-burst "outage"
+  // windows (10-min gap), overlap measured in integer seconds on
+  // half-open [start, last+gap) intervals — so the inequality
+  // `a_s < o_e AND o_s < a_e` is exactly `overlap > 0` and every number
+  // is integer-exact. The Spark plan is the RANGE-JOIN-AS-EQUI-JOIN
+  // shape: both interval sets explode to covered hour cells, equi-join
+  // on cell, dedup the (session, outage) pair, THEN compute overlap —
+  // no inequality join, no cartesian; per-interval cell fan-out is
+  // bounded by interval length, never corpus size. The oracle uses the
+  // inequality join directly (fine at sf0.01, not the scale shape).
+  private val q216 = Q(
+    "q216_overlap_join",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      def toSec(c: org.apache.spark.sql.Column) = c.cast("long")
+      val sess = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(toSec(min(col("ts"))).as("a_s"),
+          (toSec(max(col("ts"))) + 1800L).as("a_e"))
+        .select("user_id", "a_s", "a_e")
+      val outage = ev.filter(col("event_type") === "error")
+        .groupBy(session_window(col("ts"), "10 minutes"))
+        .agg(toSec(min(col("ts"))).as("o_s"),
+          (toSec(max(col("ts"))) + 600L).as("o_e"))
+        .select("o_s", "o_e")
+      def cells(df: org.apache.spark.sql.DataFrame, s0: String, e0: String) =
+        df.withColumn("cell",
+          explode(sequence(col(s0) / 3600L cast "long", col(e0) / 3600L cast "long")))
+      val pairs = cells(sess, "a_s", "a_e")
+        .join(cells(outage, "o_s", "o_e"), "cell")
+        .dropDuplicates("user_id", "a_s", "o_s")
+        .withColumn("ov",
+          greatest(least(col("a_e"), col("o_e")) - greatest(col("a_s"), col("o_s")), lit(0L)))
+        .filter(col("ov") > 0)
+      val perUser = pairs.groupBy("user_id")
+        .agg(countDistinct(col("a_s")).as("n_overlap_sessions"),
+          sum(col("ov")).as("overlap_sec"))
+      sess.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .join(perUser, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_sessions"),
+          coalesce(col("n_overlap_sessions"), lit(0L)).as("n_overlap_sessions"),
+          coalesce(col("overlap_sec"), lit(0L)).as("overlap_sec"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ue AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      us AS (SELECT user_id, ts,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid FROM ue),
+      a AS (SELECT user_id, epoch_ns(MIN(ts)) // 1000000000 AS a_s,
+          epoch_ns(MAX(ts)) // 1000000000 + 1800 AS a_e
+        FROM us GROUP BY user_id, sid),
+      ee AS (SELECT ts, event_id,
+          CASE WHEN lag(ts) OVER v IS NULL
+            OR ts - lag(ts) OVER v >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS ns
+        FROM events WHERE event_type = 'error'
+        WINDOW v AS (ORDER BY ts, event_id)),
+      es AS (SELECT ts, SUM(ns) OVER (ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid FROM ee),
+      o AS (SELECT epoch_ns(MIN(ts)) // 1000000000 AS o_s,
+          epoch_ns(MAX(ts)) // 1000000000 + 600 AS o_e
+        FROM es GROUP BY sid),
+      p AS (SELECT a.user_id, a.a_s,
+          LEAST(a_e, o_e) - GREATEST(a_s, o_s) AS ov
+        FROM a JOIN o ON a_s < o_e AND o_s < a_e),
+      per AS (SELECT user_id, COUNT(DISTINCT a_s) AS n_overlap_sessions,
+          CAST(SUM(ov) AS BIGINT) AS overlap_sec FROM p GROUP BY user_id),
+      sc AS (SELECT user_id, COUNT(*) AS n_sessions FROM a GROUP BY user_id)
+      SELECT sc.user_id, sc.n_sessions,
+        COALESCE(per.n_overlap_sessions, 0) AS n_overlap_sessions,
+        COALESCE(per.overlap_sec, 0) AS overlap_sec
+      FROM sc LEFT JOIN per USING (user_id) ORDER BY sc.user_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3810,5 +3885,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207, q208, q209, q210, q211, q212, q213, q214, q215)
+    q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }

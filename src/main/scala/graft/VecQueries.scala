@@ -750,6 +750,64 @@ object VecQueries {
         ${Det.roundAtSql("CAST(MIN(h) AS DOUBLE) / 10.0", 6)} AS min_query_recall
       FROM hits"""))
 
+  /** Shared SQL body for q217/q218 — identical margin math, only the
+    * candidate generator differs (`CROSS JOIN` vs bucket equi-join). */
+  private def marginSql(candJoin: String, k: Int, threshold: String) =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb, label AS a_bucket
+          FROM embeddings WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id AS b_id, embedding AS b_emb, label AS b_bucket
+          FROM embeddings WHERE vec_id % 2 = 1),
+        scored AS (SELECT a_id, b_id, ${cos6("a_emb", "b_emb")} AS cos
+          FROM a $candJoin),
+        rk AS (SELECT a_id, b_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS r_fwd,
+            ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS r_bwd
+          FROM scored),
+        avga AS (SELECT a_id,
+            CAST(SUM(CAST(cos AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_a
+          FROM rk WHERE r_fwd <= $k GROUP BY a_id),
+        avgb AS (SELECT b_id,
+            CAST(SUM(CAST(cos AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_b
+          FROM rk WHERE r_bwd <= $k GROUP BY b_id),
+        m AS (SELECT rk.a_id, rk.b_id, cos,
+            ${Det.roundAtSql("cos * 2.0 / (avg_a + avg_b)", 6)} AS margin,
+            CAST(r_fwd AS BIGINT) AS rank
+          FROM rk JOIN avga USING (a_id) JOIN avgb USING (b_id)
+          WHERE r_fwd <= $k)
+      SELECT a_id, b_id, cos, margin, rank FROM m WHERE margin >= $threshold
+      ORDER BY a_id, rank"""
+
+  // q217 — MARGIN-BASED PAIR MINING, exact baseline (CCMatrix/LASER
+  // bitext-mining score): even/odd vec_ids stand in for the two corpora
+  // (e.g. two languages). A pair survives only if its cosine stands out
+  // from BOTH endpoints' k-NN neighborhoods — the margin rule that kills
+  // hub vectors. Brute cross-product candidates: verification scale
+  // only, NOT headline; q218 is the production path.
+  private val q217 = Q(
+    "q217_margin_mining",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.marginMine(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.05)
+    },
+    Some(marginSql("CROSS JOIN b", 4, "1.05")))
+
+  // q218 — margin mining, IVF-bucketed scale path: candidates only
+  // within the coarse bucket (label ~ k-means assignment), so the pair
+  // space is Σ|Aᵦ|·|Bᵦ| instead of |A|·|B| — with bucket count growing
+  // ~√n this is the shape that survives 100 TB. Neighborhood averages
+  // are bucket-local by construction (mirrored exactly in the oracle).
+  private val q218 = Q(
+    "q218_margin_mining_ivf",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.marginMine(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.05,
+        bucketCol = Some("label"))
+    },
+    Some(marginSql("JOIN b ON a_bucket = b_bucket", 4, "1.05")))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
-    q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196)
+    q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196,
+    q217, q218)
 }

@@ -570,4 +570,62 @@ object Similarity {
         col("rank").cast(LongType).as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** Margin-based candidate pair mining between two embedding sets (the
+    * CCMatrix/LASER bitext-mining score): a pair (a, b) scores
+    * `margin = cos(a,b) / ((avgₖ(a) + avgₖ(b)) / 2)` where avgₖ(x) is the
+    * mean cosine of x's k nearest neighbors on the OTHER side — a pair
+    * counts only if it stands out from BOTH endpoints' neighborhoods,
+    * which kills hub vectors that are everybody's nearest neighbor.
+    *
+    * `bucketCol = Some(c)`: candidates come from a shuffle equi-join on
+    * the coarse bucket (IVF-style; at 100 TB bucket count grows ~√n so
+    * per-bucket work stays bounded) — the scale path. `None`: the full
+    * cross product — the exact baseline, verification scale only.
+    *
+    * One scored relation feeds BOTH direction ranks as two sequential
+    * window ops (no recompute, no second join); only the ≤ k(|A|+|B|)
+    * surviving candidate rows are checkpointed. All cosines are
+    * 6-rounded, neighborhood means are decimal-exact, so `margin` is
+    * bit-portable. Returns (a_id, b_id, cos, margin, rank) for forward
+    * top-k pairs with margin ≥ `threshold`. */
+  def marginMine(a: DataFrame, b: DataFrame, k: Int, threshold: Double,
+                 bucketCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, p: String) = {
+      val cols = Seq(col("vec_id").as(s"${p}id"),
+        col("embedding").as(s"${p}emb"),
+        graft.plans.DotQExpr(col("embedding"), col("embedding")).as(s"${p}norm")) ++
+        bucketCol.map(c => col(c).as(s"${p}bucket"))
+      df.select(cols: _*)
+    }
+    val sa = side(a, "a_")
+    val sb = side(b, "b_")
+    val joined = bucketCol match {
+      case Some(_) => sa.join(sb, col("a_bucket") === col("b_bucket"))
+      case None    => sa.crossJoin(sb)
+    }
+    val scored = joined.withColumn("cos",
+      pairCos(col("a_emb"), col("a_norm"), col("b_emb"), col("b_norm")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val wF = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
+    val wB = Window.partitionBy("b_id").orderBy(desc("cos"), asc("a_id"))
+    val kept = Ckpt.local(scored
+      .withColumn("r_fwd", row_number().over(wF))
+      .withColumn("r_bwd", row_number().over(wB))
+      .filter(col("r_fwd") <= k || col("r_bwd") <= k))
+    def nbhdAvg(idCol: String, rankCol: String, out: String) =
+      kept.filter(col(rankCol) <= k).groupBy(idCol)
+        .agg((Det.dsum(col("cos"), 6) / count(lit(1))).as(out))
+    val avgA = nbhdAvg("a_id", "r_fwd", "avg_a")
+    val avgB = nbhdAvg("b_id", "r_bwd", "avg_b")
+    kept.filter(col("r_fwd") <= k)
+      .join(avgA, "a_id").join(avgB, "b_id")
+      .withColumn("margin", Det.roundAt(
+        col("cos") * 2.0 / (col("avg_a") + col("avg_b")), 6))
+      .filter(col("margin") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"),
+        col("r_fwd").cast(LongType).as("rank"))
+      .orderBy("a_id", "rank")
+  }
 }

@@ -245,4 +245,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 1000000000000L), (2L, 4000000000000L)))
   }
+
+  test("marginMine keeps pairs that stand out from BOTH neighborhoods") {
+    // A: axis-aligned a0, a2; B: their exact duplicates b1, b3. With k=2
+    // each neighborhood average is (1+0)/2 = 0.5, so the aligned pairs
+    // score margin 2.0 and the orthogonal pairs score 0.
+    val a = Seq((0L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, Array(1f, 0f), 0), (3L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginMine(a, b, k = 2, threshold = 1.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 1L, 2.0), (2L, 3L, 2.0)))
+    graft.operators.Ckpt.release(spark)
+  }
+
+  test("marginMine hub vector is suppressed by its own neighborhood average") {
+    // b5 is a hub: equally close to both a-vectors (cos ≈ 0.707 each),
+    // so its neighborhood average stays high and no (a, hub) pair can
+    // clear a margin that a true duplicate pair clears easily.
+    val a = Seq((0L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, Array(1f, 0f), 0), (5L, Array(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginMine(a, b, k = 2, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out((0L, 1L)) > out((0L, 5L)),
+      s"duplicate pair must out-margin the hub pair: $out")
+    assert(out((0L, 1L)) > out((2L, 5L)), s"hub pair inflated: $out")
+    graft.operators.Ckpt.release(spark)
+  }
+
+  test("marginMine bucketed path never pairs across buckets") {
+    val a = Seq((0L, Array(1f, 0f), 7), (2L, Array(0f, 1f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, Array(1f, 0f), 8), (3L, Array(0f, 1f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.marginMine(a, b, k = 2, threshold = 0.0,
+      bucketCol = Some("label")).collect()
+    // a0 (bucket 7) has no candidates; a2 (bucket 8) pairs only in 8
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    graft.operators.Ckpt.release(spark)
+  }
 }
