@@ -2313,11 +2313,17 @@ object TextQueries {
       val pairs = flatten(transform(
         sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
         i => filter(array(pairAt(i, 1), pairAt(i, 2)), p => p.isNotNull)))
-      val d = tbl(s, dir, "documents").select(toks.as("toks"))
-        .filter(size(col("toks")) > 1)
-      val pc = d.select(explode(pairs).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("c_ab"))
+      // tokenize ONCE: both the pair explode and the unigram count read
+      // the checkpointed token arrays (same shave as q119 — the regexp
+      // tokenization is the dominant cost, not the aggregates); pc is
+      // checkpointed because the pair total AND the PMI join consume it
+      val d = graft.operators.Ckpt.local(
+        tbl(s, dir, "documents").select(toks.as("toks"))
+          .filter(size(col("toks")) > 1))
+      val pc = graft.operators.Ckpt.local(
+        d.select(explode(pairs).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("c_ab")))
       val uc = d.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val nTot = uc.agg(sum(col("c")).as("n_tok"))
@@ -3311,11 +3317,66 @@ object TextQueries {
         (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) FROM p3
       ORDER BY round"""))
 
+  // q219 — INTERPOLATED KNESER-NEY bigram probabilities (the n-gram-LM
+  // estimator that absolute discounting + continuation counts make
+  // robust to burstiness — "san francisco" vs bare "francisco"):
+  // P(w₂|w₁) = (max(c−d,0) + d·N₁₊(w₁,·)·N₁₊(·,w₂)/D) / c(w₁·), d=0.75.
+  // Every input is an integer count off ONE checkpointed bigram-count
+  // relation (type counts, left/right continuation fan-outs, the global
+  // distinct-bigram total D); the arithmetic tree is mirrored
+  // token-for-token in SQL so the doubles agree bit-for-bit. Scale:
+  // everything after the first groupBy is vocab-grain; the top-20 is a
+  // TakeOrdered, never a global sort of the corpus.
+  private val q219 = Q(
+    "q219_kneser_ney",
+    (s, dir) => {
+      val t = TextFns.tokens(col("text"))
+      val pairs = tbl(s, dir, "documents")
+        .select(t.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cBg = graft.operators.Ckpt.local(
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+      val left = cBg.groupBy("w1")
+        .agg(sum(col("c")).as("cw1"), count(lit(1)).as("nf"))
+      val right = cBg.groupBy("w2").agg(count(lit(1)).as("nb"))
+      val total = cBg.agg(count(lit(1)).as("dd"))
+      cBg.join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(total))
+        .withColumn("pkn", Det.roundAt(
+          (greatest(col("c").cast("double") - lit(0.75), lit(0.0))
+            + lit(0.75) * col("nf") * col("nb") / col("dd"))
+            / col("cw1"), 6))
+        .orderBy(desc("c"), asc("w1"), asc("w2"))
+        .limit(20)
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+          col("c"), col("pkn"))
+    },
+    Some(s"""WITH d AS (SELECT $toks AS toks FROM documents),
+        bg AS (SELECT u.p.w1 AS w1, u.p.w2 AS w2
+          FROM d, unnest(list_transform(range(1, len(toks)),
+            i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u(p)
+          WHERE len(toks) >= 2),
+        cbg AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        lft AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1, COUNT(*) AS nf
+          FROM cbg GROUP BY w1),
+        rgt AS (SELECT w2, COUNT(*) AS nb FROM cbg GROUP BY w2),
+        tot AS (SELECT COUNT(*) AS dd FROM cbg)
+      SELECT w1 || ' ' || w2 AS bigram, c,
+        ${Det.roundAtSql(
+          "(GREATEST(CAST(c AS DOUBLE) - 0.75, 0.0) + 0.75 * nf * nb / dd) / cw1",
+          6)} AS pkn
+      FROM cbg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+      ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189, q190, q193, q194, q198, q200, q206)
+    q186, q188, q189, q190, q193, q194, q198, q200, q206, q219)
 }

@@ -807,7 +807,61 @@ object VecQueries {
     },
     Some(marginSql("JOIN b ON a_bucket = b_bucket", 4, "1.05")))
 
+  // q220 — EMBEDDING ISOTROPY profile per coarse bucket: anisotropy =
+  // ‖mean vector‖² / mean‖x‖² — the "common-direction" diagnostic (a
+  // collapsed/degenerate embedding space scores near 1, an isotropic one
+  // near 0; the statistic behind all-but-the-top postprocessing). One
+  // pass for the quantized self-norms + one dimension-grain aggregate
+  // (rows × dims, but grouped on (bucket, dim) — at 100 TB the shuffle
+  // is bucket·dim grain, i.e. tiny). All sums are integer-quantized so
+  // the ratio is bit-portable.
+  private val q220 = Q(
+    "q220_embedding_isotropy",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val norms = emb.select(col("label"),
+          graft.plans.DotQExpr(col("embedding"), col("embedding")).as("n2q"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(col("n2q")).as("sum_n2q"))
+      val meanNorm = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x").cast(DoubleType) * lit(1e6) + lit(0.5)).cast("long"))
+        .groupBy("label", "dim")
+        .agg(sum(col("xq")).as("sxq"), count(lit(1)).as("nd"))
+        .withColumn("m", col("sxq").cast(DoubleType) / (col("nd").cast(DoubleType) * lit(1e6)))
+        .withColumn("m2q", floor(col("m") * col("m") * lit(1e12) + lit(0.5)).cast("long"))
+        .groupBy("label").agg(sum(col("m2q")).as("mean_norm2q"))
+      norms.join(meanNorm, "label")
+        .select(col("label").cast("long").as("label"), col("n"),
+          Det.roundAt(col("sum_n2q").cast(DoubleType)
+            / (col("n").cast(DoubleType) * lit(1e12)), 6).as("avg_norm2"),
+          Det.roundAt(col("mean_norm2q").cast(DoubleType) / lit(1e12), 6).as("mean_vec_norm2"),
+          Det.roundAt(col("mean_norm2q").cast(DoubleType) * col("n").cast(DoubleType)
+            / col("sum_n2q").cast(DoubleType), 6).as("anisotropy"))
+        .orderBy("label")
+    },
+    Some(s"""WITH n2 AS (SELECT label, ${dotQSql("embedding", "embedding")} AS n2q
+          FROM embeddings),
+        agg1 AS (SELECT label, COUNT(*) AS n, CAST(SUM(n2q) AS BIGINT) AS sum_n2q
+          FROM n2 GROUP BY label),
+        dd AS (SELECT label, u.i AS dim,
+            CAST(floor(CAST(embedding[u.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xq
+          FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+        dm AS (SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS sxq, COUNT(*) AS nd
+          FROM dd GROUP BY 1, 2),
+        mm AS (SELECT label, CAST(SUM(CAST(floor(
+            (CAST(sxq AS DOUBLE) / (CAST(nd AS DOUBLE) * 1000000.0))
+            * (CAST(sxq AS DOUBLE) / (CAST(nd AS DOUBLE) * 1000000.0))
+            * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS mean_norm2q
+          FROM dm GROUP BY label)
+      SELECT CAST(label AS BIGINT) AS label, n,
+        ${Det.roundAtSql("CAST(sum_n2q AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)", 6)} AS avg_norm2,
+        ${Det.roundAtSql("CAST(mean_norm2q AS DOUBLE) / 1e12", 6)} AS mean_vec_norm2,
+        ${Det.roundAtSql(
+          "CAST(mean_norm2q AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sum_n2q AS DOUBLE)", 6)} AS anisotropy
+      FROM agg1 JOIN mm USING (label) ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
     q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196,
-    q217, q218)
+    q217, q218, q220)
 }
