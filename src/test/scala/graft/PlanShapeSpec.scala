@@ -12,9 +12,11 @@ class PlanShapeSpec extends SparkSpec {
 
   /** The documented O(n²) recall baselines — the ONLY queries allowed a
     * cartesian product (q24/q30 brute pairs; q53 embeds the brute ground
-    * truth it measures LSH recall against). */
+    * truth it measures LSH recall against; q217 is the exact margin-
+    * mining baseline whose scale path is q218). */
   private val bruteBaselines =
-    Set("q24_ngram_jaccard", "q30_embed_neardup", "q53_lsh_recall")
+    Set("q24_ngram_jaccard", "q30_embed_neardup", "q53_lsh_recall",
+      "q217_margin_mining")
 
   test("no query except the documented brute baselines plans a cartesian product") {
     for (q <- Queries.all if !bruteBaselines(q.name)) {
@@ -197,6 +199,20 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), s"q204 lost the grid equi-join:\n$p")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       s"q204 degraded to an all-pairs distance scan:\n$p")
+  }
+
+  test("q216's interval overlap is a cell equi-join, never an inequality join") {
+    val p = plan("q216_overlap_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"q216 lost the cell equi-join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"q216 degraded to an inequality interval join:\n$p")
+  }
+
+  test("q218's bucketed margin mining equi-joins on the coarse bucket") {
+    val p = plan("q218_margin_mining_ivf")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"q218 must confine candidates to bucket equi-joins:\n$p")
   }
 
   test("HTML extract and URL stats scan only the columns they use") {
