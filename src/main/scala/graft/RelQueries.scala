@@ -3877,6 +3877,69 @@ object RelQueries {
         COALESCE(per.overlap_sec, 0) AS overlap_sec
       FROM sc LEFT JOIN per USING (user_id) ORDER BY sc.user_id"""))
 
+  // q221 — MARKOV REMOVAL-EFFECT ATTRIBUTION (multi-touch marketing
+  // attribution): user journeys (ordered event types truncated at first
+  // purchase) become a start→…→conv/null chain; a channel's credit is
+  // how much the 12-step conversion probability drops when its edges
+  // are deleted. Journey extraction is the distributed part (q205's
+  // bounded per-user array shape + one state-pair-grain groupBy); the
+  // ≤7×7 matrix power iterations are bounded driver arithmetic (MMR
+  // precedent), with every product quantized at 1e-12 so the oracle's
+  // unrolled-CTE replay of the same 12 rounds ×5 scenarios matches
+  // bit-for-bit.
+  private val q221 = Q(
+    "q221_markov_attribution",
+    (s, dir) => {
+      val trans = graft.operators.Funnel.journeyTransitions(
+        tbl(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+        convType = "purchase")
+      graft.operators.Funnel.markovRemovalEffects(trans,
+        channels = Seq("click", "error", "signup", "view"), steps = 12)
+    },
+    Some {
+      val channels = Seq("click", "error", "signup", "view")
+      def scen(tag: String, rm: Option[String]): String = {
+        val filt = rm.map(r => s" AND m.f <> '$r' AND m.t <> '$r'").getOrElse("")
+        val c0 = s"v_${tag}_0 AS (SELECT 'start' AS st, CAST(1.0 AS DOUBLE) AS p)"
+        val cs = (1 to 12).map { k =>
+          s"""v_${tag}_$k AS (SELECT m.t AS st,
+              CAST(SUM(CAST(floor(v.p * m.p * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS p
+            FROM v_${tag}_${k - 1} v JOIN m ON m.f = v.st$filt GROUP BY m.t)"""
+        }
+        (c0 +: cs).mkString(",\n        ")
+      }
+      val scenarios = ("none", None) +: channels.map(c => (c, Some(c): Option[String]))
+      val resRows = scenarios.map { case (tag, _) =>
+        s"""SELECT '$tag' AS removed,
+            COALESCE((SELECT p FROM v_${tag}_12 WHERE st = 'conv'), 0.0) AS pc"""
+      }.mkString("\n          UNION ALL ")
+      s"""WITH seqs AS (SELECT user_id,
+            list(event_type ORDER BY ts, event_id) AS types
+          FROM events GROUP BY user_id),
+        fl AS (SELECT ['start']
+            || (CASE WHEN idx > 0 THEN types[1:idx-1] ELSE types END)
+            || [CASE WHEN idx > 0 THEN 'conv' ELSE 'null' END] AS fl
+          FROM (SELECT types, list_position(types, 'purchase') AS idx FROM seqs)),
+        pairs AS (SELECT u.p.f AS f, u.p.t AS t
+          FROM fl, unnest(list_transform(range(1, len(fl)),
+            i -> {'f': fl[i], 't': fl[i+1]})) AS u(p)),
+        trans AS (SELECT f, t, COUNT(*) AS cnt FROM pairs GROUP BY f, t),
+        outc AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS o FROM trans GROUP BY f),
+        m AS (SELECT f, t, CAST(cnt AS DOUBLE) / CAST(o AS DOUBLE) AS p
+            FROM trans JOIN outc USING (f)
+          UNION ALL SELECT 'conv', 'conv', CAST(1.0 AS DOUBLE)
+          UNION ALL SELECT 'null', 'null', CAST(1.0 AS DOUBLE)),
+        ${scen("none", None)},
+        ${channels.map(c => scen(c, Some(c))).mkString(",\n        ")},
+        res AS ($resRows)
+      SELECT removed, ${Det.roundAtSql("pc", 6)} AS p_conv,
+        CASE WHEN removed = 'none' THEN 0.0
+          ELSE ${Det.roundAtSql(
+            "1.0 - pc / (SELECT pc FROM res WHERE removed = 'none')", 6)}
+        END AS removal_effect
+      FROM res ORDER BY removed"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3885,5 +3948,5 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221)
 }

@@ -69,6 +69,76 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Journey-grain transition counts for Markov attribution: each
+    * entity's ordered event-type sequence, truncated at its FIRST
+    * `convType` occurrence, becomes the chain
+    * start → t₁ → … → tₙ → (conv | null). Output (f, t, cnt).
+    *
+    * The per-entity array is bounded by that entity's activity (the
+    * q205 sequence-pattern shape), and everything after the explode is
+    * state-pair grain — a handful of rows at any corpus size. */
+  def journeyTransitions(events: DataFrame, entityCol: String, tsCol: String,
+                         idCol: String, typeCol: String,
+                         convType: String): DataFrame = {
+    val seqs = events
+      .groupBy(col(entityCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol), col(idCol), col(typeCol).as("t")))).as("s"))
+      .select(transform(col("s"), x => x.getField("t")).as("types"))
+    val idx = array_position(col("types"), convType)
+    val pre = when(idx > 0, slice(col("types"), lit(1), (idx - 1).cast("int")))
+      .otherwise(col("types"))
+    val endSt = when(idx > 0, lit("conv")).otherwise(lit("null"))
+    seqs.select(concat(array(lit("start")), pre, array(endSt)).as("full"))
+      .select(explode(transform(sequence(lit(1), size(col("full")) - 1),
+        i => struct(element_at(col("full"), i).as("f"),
+          element_at(col("full"), i + 1).as("t")))).as("p"))
+      .groupBy(col("p.f").as("f"), col("p.t").as("t"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Markov removal-effect attribution over journey transition counts:
+    * P(conv within `steps` hops of 'start') for the full chain and with
+    * each channel's edges deleted (no renormalization — lost mass is
+    * lost, the standard removal-effect rule); a channel's credit is
+    * `1 − P₋c/P`. The transition matrix is STATE-PAIR grain —
+    * (channels+3)² rows at any corpus size — so like MMR's candidate
+    * matrix it is collected to the driver (bounded, documented) and the
+    * `steps` power iterations run as scalar arithmetic. Every per-term
+    * product is quantized to 1e-12 integer units before the
+    * order-independent sum, so the DuckDB oracle's unrolled-CTE replay
+    * matches bit-for-bit. Output (removed, p_conv, removal_effect). */
+  def markovRemovalEffects(trans: DataFrame, channels: Seq[String],
+                           steps: Int): DataFrame = {
+    val spark = trans.sparkSession
+    val rows = trans.select(col("f"), col("t"), col("cnt").cast(LongType)).collect()
+    val cnt = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val out = cnt.toSeq.groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val p = cnt.map { case ((f, t), c) => (f, t) -> c.toDouble / out(f).toDouble } ++
+      Map(("conv", "conv") -> 1.0, ("null", "null") -> 1.0)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def pconv(removed: Option[String]): Double = {
+      val edges = p.filterNot { case ((f, t), _) =>
+        removed.exists(r => f == r || t == r) }
+      var v = Map("start" -> 1.0)
+      (1 to steps).foreach { _ =>
+        v = edges.toSeq
+          .flatMap { case ((f, t), pp) =>
+            v.get(f).map(x => t -> math.floor(x * pp * 1e12 + 0.5).toLong) }
+          .groupBy(_._1)
+          .map { case (t, xs) => t -> xs.map(_._2).sum / 1e12 }
+      }
+      v.getOrElse("conv", 0.0)
+    }
+    val base = pconv(None)
+    val outRows = ("none", r6(base), 0.0) +: channels.map { c =>
+      val pc = pconv(Some(c))
+      (c, r6(pc), r6(1.0 - pc / base))
+    }
+    import spark.implicits._
+    outRows.toDF("removed", "p_conv", "removal_effect").orderBy("removed")
+  }
+
   /** Cohort retention matrix: entities grouped by first-active ISO week,
     * counted in every week they were active. Output
     * (cohort_week date, week_offset long, n_entities long), offset 0 =

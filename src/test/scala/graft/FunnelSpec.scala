@@ -95,4 +95,42 @@ class FunnelSpec extends SparkSpec {
       .collect()
     assert(out.map(_.toString).toList == again.map(_.toString).toList)
   }
+
+  test("journeyTransitions truncates at first conversion and adds boundary states") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Int) = new java.sql.Timestamp(ts.getTime + s * 1000L)
+    val ev = Seq(
+      (1L, at(0), 1L, "view"), (1L, at(1), 2L, "purchase"),
+      (1L, at(2), 3L, "view"), // post-conversion: must be dropped
+      (2L, at(0), 4L, "view"), (2L, at(1), 5L, "click"), (2L, at(2), 6L, "purchase"),
+      (3L, at(0), 7L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val t = Funnel.journeyTransitions(ev, "user_id", "ts", "event_id",
+      "event_type", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t == Map(
+      ("start", "view") -> 2L, ("start", "click") -> 1L,
+      ("view", "click") -> 1L, ("view", "conv") -> 1L,
+      ("click", "conv") -> 1L, ("click", "null") -> 1L))
+  }
+
+  test("markovRemovalEffects matches the hand-solved absorption probabilities") {
+    // chain: start→view 2/3, start→click 1/3; view→{click, conv} ½ each;
+    // click→{conv, null} ½ each. P(conv) = 1/3 + 1/6 + 1/6 = 2/3;
+    // removing click leaves only s→v→conv = 1/3 (effect ½); removing
+    // view leaves s→c→conv = 1/6 (effect ¾).
+    val trans = Seq(
+      ("start", "view", 2L), ("start", "click", 1L),
+      ("view", "click", 1L), ("view", "conv", 1L),
+      ("click", "conv", 1L), ("click", "null", 1L))
+      .toDF("f", "t", "cnt")
+    val out = Funnel.markovRemovalEffects(trans, Seq("click", "view"), steps = 12)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out("none")._1 - 2.0 / 3) < 1e-6)
+    assert(out("none")._2 == 0.0)
+    assert(math.abs(out("click")._1 - 1.0 / 3) < 1e-6)
+    assert(math.abs(out("click")._2 - 0.5) < 1e-6)
+    assert(math.abs(out("view")._1 - 1.0 / 6) < 1e-6)
+    assert(math.abs(out("view")._2 - 0.75) < 1e-6)
+  }
 }
