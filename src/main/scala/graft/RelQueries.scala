@@ -3940,6 +3940,97 @@ object RelQueries {
       FROM res ORDER BY removed"""
     })
 
+  // q222 — ROW-LEVEL MERGE / CDC APPLY (operators/Cdc.merge — the
+  // lakehouse MERGE INTO): a synthesized change batch (updates on every
+  // 10th key, deletes on every 17th — deletes WIN the overlap via the
+  // per-key latest-by-seq compaction — inserts shifted into fresh key
+  // space) applied to orders. The target is only anti-joined against
+  // the broadcast touched-key set — at 100 TB the big side never
+  // shuffles. Rollup checks row counts, decimal-exact total, and the
+  // key checksum, so a wrong survivor anywhere flips the result.
+  private val q222 = Q(
+    "q222_merge_upsert",
+    (s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val ups = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val dels = o.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      val ins = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_totalprice", lit(1.0))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val merged = graft.operators.Cdc.merge(
+        o, ups.unionByName(dels).unionByName(ins),
+        "o_orderkey", "op", Seq("seq"))
+      merged.agg(
+        count(lit(1)).as("n_rows"),
+        Det.dsum(col("o_totalprice")).as("total_price"),
+        sum((col("o_orderkey") >= 100000000L).cast("long")).as("n_inserted"),
+        sum(col("o_orderkey")).as("key_checksum"))
+    },
+    Some("""WITH ch AS (
+          SELECT o_orderkey AS k, 'U' AS op, 1 AS seq,
+            o_totalprice + 1000.0 AS price
+          FROM orders WHERE o_orderkey % 10 = 0
+          UNION ALL SELECT o_orderkey, 'D', 2, o_totalprice
+          FROM orders WHERE o_orderkey % 17 = 0
+          UNION ALL SELECT o_orderkey + 100000000, 'I', 1, 1.0
+          FROM orders WHERE o_orderkey % 100 = 0),
+        latest AS (SELECT k, op, price FROM (
+            SELECT k, op, price,
+              ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM ch) z WHERE rn = 1),
+        merged AS (
+          SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+          WHERE o_orderkey NOT IN (SELECT k FROM latest)
+          UNION ALL SELECT k, price FROM latest WHERE op <> 'D')
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CAST(price AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+        CAST(SUM(CASE WHEN k >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        CAST(SUM(k) AS BIGINT) AS key_checksum
+      FROM merged"""))
+
+  // q223 — THEIL-SEN ROBUST TREND per user (median of pairwise slopes —
+  // the estimator that shrugs off the outliers that tilt q129's OLS):
+  // pairs are built ROW-LOCALLY from each user's sorted (sec, value)
+  // array (bounded by per-entity activity, the q205/q221 shape), so the
+  // corpus never self-joins; same-second pairs are excluded (slope
+  // undefined). Exact linear-interp median over bit-identical division
+  // results.
+  private val q223 = Q(
+    "q223_theil_sen",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"),
+          col("event_id"), col("value"))
+      val arr = e.groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("sec"), col("event_id"), col("value")))).as("a"))
+        .filter(size(col("a")) >= 2)
+      def fld(i: org.apache.spark.sql.Column, f: String) =
+        element_at(col("a"), i).getField(f)
+      val pairs = flatten(transform(sequence(lit(1), size(col("a")) - 1),
+        i => transform(sequence(i + 1, size(col("a"))),
+          j => struct((fld(j, "sec") - fld(i, "sec")).as("dt"),
+            (fld(j, "value") - fld(i, "value")).as("dv")))))
+      arr.select(col("user_id"), explode(pairs).as("p"))
+        .filter(col("p.dt") > 0)
+        .select(col("user_id"), (col("p.dv") / col("p.dt")).as("slope"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          Det.roundAt(percentile(col("slope"), lit(0.5)), 6).as("ts_slope"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+          event_id, value FROM events),
+        p AS (SELECT a.user_id, (b.value - a.value) / (b.sec - a.sec) AS slope
+          FROM e a JOIN e b ON a.user_id = b.user_id AND a.sec < b.sec)
+      SELECT user_id, COUNT(*) AS n_pairs,
+        floor(quantile_cont(slope, 0.5) * 1000000 + 0.5) / 1000000 AS ts_slope
+      FROM p GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -3948,5 +4039,6 @@ object RelQueries {
     q124, q125, q126, q127, q128, q129, q132, q134, q135, q145,
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
-    q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221)
+    q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
+    q222, q223)
 }

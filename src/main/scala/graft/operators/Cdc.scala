@@ -36,4 +36,31 @@ object Cdc {
       .withColumn("valid_to", lead(col(seq.head), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Row-level MERGE (CDC apply / upsert): apply a change batch tagged
+    * `opCol` ∈ {'I','U','D'} to `target`, keyed on `key`. Several
+    * changes for one key collapse to the LATEST by `seqCols` (Debezium
+    * compaction rule) before applying; the result is
+    * target ∖ touched-keys ∪ surviving-change payloads.
+    *
+    * Scale shape: the change-batch compaction is one window on the
+    * (small) batch; the apply is ONE anti-join of the target against the
+    * touched-key set — broadcastable whenever the batch fits, so the
+    * 100 TB target is never shuffled — plus a union. No full outer join,
+    * no target rewrite beyond the rows actually touched.
+    *
+    * `changes` must carry every `target` column plus `opCol` (+ seq). */
+  def merge(target: DataFrame, changes: DataFrame, key: String,
+            opCol: String, seqCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(seqCols.map(c => col(c).desc): _*)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val survivors = target.join(
+      broadcast(latest.select(col(key))), Seq(key), "left_anti")
+    val applied = latest.filter(col(opCol) =!= "D")
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    survivors.unionByName(applied)
+  }
 }

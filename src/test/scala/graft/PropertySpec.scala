@@ -172,6 +172,28 @@ class PropertySpec extends SparkSpec {
     assert(want.exists(_._3.isEmpty) && want.size > 8) // current rows + real compaction
   }
 
+  test("Cdc.merge equals a brute per-key apply on random change batches") {
+    val target = (1L to 40L).map(k => (k, k * 10.0)).toSeq
+    val ops = sample(for {
+      k <- Gen.chooseNum(1L, 50L) // keys beyond 40 exercise pure inserts
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.chooseNum(0, 999)
+    } yield (k, op, v.toDouble), 120).zipWithIndex
+      .map { case ((k, op, v), i) => (k, v, op, i.toLong) }
+    val got = graft.operators.Cdc.merge(
+      target.toDF("k", "v"), ops.toDF("k", "v", "op", "seq"),
+      "k", "op", Seq("seq"))
+      .as[(Long, Double)].collect().sorted.toSeq
+    val latest = ops.groupBy(_._1).map { case (k, g) => k -> g.maxBy(_._4) }
+    val want = (target.filterNot { case (k, _) => latest.contains(k) } ++
+      latest.values.collect { case (k, v, op, _) if op != "D" => (k, v) })
+      .sorted
+    assert(got == want)
+    // the batch must actually exercise all three verbs against the target
+    assert(latest.values.exists(_._3 == "D") && latest.values.exists(_._3 == "U")
+      && latest.keys.exists(_ > 40L))
+  }
+
   test("bloom semi join equals a plain semi join and actually prunes") {
     // 2000 probe keys vs 40 build keys: the bloom must admit every true
     // match (no false negatives) and the final equi-join must remove any
