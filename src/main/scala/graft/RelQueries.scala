@@ -4031,6 +4031,42 @@ object RelQueries {
         floor(quantile_cont(slope, 0.5) * 1000000 + 0.5) / 1000000 AS ts_slope
       FROM p GROUP BY user_id ORDER BY user_id"""))
 
+  // q225 — SEQUENTIAL PATTERN MINING (PrefixSpan-lite): every contiguous
+  // event-type trigram in each user's ordered history, ranked by SUPPORT
+  // (distinct users exhibiting it) — where q205 MATCHES given patterns,
+  // this DISCOVERS them. Trigram extraction is row-local off the bounded
+  // per-user array; the shuffle is pattern-grain (≤ |types|³ rows).
+  private val q225 = Q(
+    "q225_seq_trigrams",
+    (s, dir) => {
+      val seqs = tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type").as("t")))).as("s"))
+        .select(col("user_id"), transform(col("s"), x => x.getField("t")).as("types"))
+        .filter(size(col("types")) >= 3)
+      val tris = transform(sequence(lit(1), size(col("types")) - 2),
+        i => concat_ws(">", element_at(col("types"), i),
+          element_at(col("types"), i + 1), element_at(col("types"), i + 2)))
+      seqs.select(col("user_id"), explode(tris).as("trigram"))
+        .groupBy("trigram")
+        .agg(countDistinct(col("user_id")).as("support"),
+          count(lit(1)).as("n_occurrences"))
+        .orderBy(desc("support"), desc("n_occurrences"), asc("trigram"))
+        .limit(15)
+    },
+    Some("""WITH seqs AS (SELECT user_id,
+          list(event_type ORDER BY ts, event_id) AS types
+        FROM events GROUP BY user_id),
+      tri AS (SELECT user_id, u.tg AS trigram
+        FROM seqs, unnest(list_transform(range(1, len(types) - 1),
+          i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS u(tg)
+        WHERE len(types) >= 3)
+      SELECT trigram, COUNT(DISTINCT user_id) AS support,
+        COUNT(*) AS n_occurrences
+      FROM tri GROUP BY trigram
+      ORDER BY support DESC, n_occurrences DESC, trigram ASC LIMIT 15"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4040,5 +4076,5 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223)
+    q222, q223, q225)
 }

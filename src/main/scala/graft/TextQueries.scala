@@ -3372,11 +3372,60 @@ object TextQueries {
       FROM cbg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
       ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 20"""))
 
+  // q224 — FEATURE-HASHING COLLISION AUDIT (the hashing-trick
+  // vectorizer's quality dial): for each candidate dimensionality D,
+  // how much of the vocabulary survives `hash(token) mod D`? Reports
+  // distinct vocab, buckets used, collision fraction (types sharing a
+  // bucket) and the hottest bucket's type load. Vocab-grain throughout —
+  // the corpus contributes one groupBy, then everything is |V| rows.
+  private val q224 = Q(
+    "q224_feature_hash",
+    (s, dir) => {
+      val dims = Seq(1024L, 16384L)
+      val vocab = graft.operators.Ckpt.local(
+        tbl(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt")))
+      val perD = dims.map { d =>
+        vocab
+          .withColumn("bucket", pmod(TextFns.portableHash(col("token")), lit(d)))
+          .groupBy("bucket").agg(count(lit(1)).as("types"))
+          .agg(lit(d).as("dim"), sum(col("types")).as("n_vocab"),
+            count(lit(1)).as("n_buckets_used"),
+            max(col("types")).as("max_bucket_types"))
+      }
+      perD.reduce(_.unionByName(_))
+        .withColumn("collision_frac", Det.roundAt(
+          (col("n_vocab") - col("n_buckets_used")).cast("double")
+            / col("n_vocab").cast("double"), 6))
+        .select("dim", "n_vocab", "n_buckets_used", "max_bucket_types",
+          "collision_frac")
+        .orderBy("dim")
+    },
+    Some {
+      val h = graft.functions.TextFns.portableHashSql("token")
+      def one(d: Long) =
+        s"""SELECT $d AS dim, CAST(SUM(types) AS BIGINT) AS n_vocab,
+            COUNT(*) AS n_buckets_used,
+            CAST(MAX(types) AS BIGINT) AS max_bucket_types
+          FROM (SELECT $h % $d AS bucket, COUNT(*) AS types
+            FROM vocab GROUP BY 1) z"""
+      s"""WITH vocab AS (SELECT u.token AS token, COUNT(*) AS cnt
+          FROM (SELECT $toks AS tk FROM documents) d, unnest(tk) AS u(token)
+          GROUP BY 1),
+        per AS (${one(1024L)} UNION ALL ${one(16384L)})
+      SELECT dim, n_vocab, n_buckets_used, max_bucket_types,
+        ${Det.roundAtSql(
+          "CAST(n_vocab - n_buckets_used AS DOUBLE) / CAST(n_vocab AS DOUBLE)", 6)}
+          AS collision_frac
+      FROM per ORDER BY dim"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189, q190, q193, q194, q198, q200, q206, q219)
+    q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224)
 }
