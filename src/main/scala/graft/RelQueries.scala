@@ -4067,6 +4067,79 @@ object RelQueries {
       FROM tri GROUP BY trigram
       ORDER BY support DESC, n_occurrences DESC, trigram ASC LIMIT 15"""))
 
+  // q226 — KAPLAN-MEIER SURVIVAL for time-to-first-purchase at hour
+  // grain, with ADMINISTRATIVE censoring at the 72-hour study horizon
+  // (users converting later — or never — are censored at 72, keeping
+  // their partial observation instead of dropping it, which is the
+  // whole point of the estimator): S(t) = Π over event times ≤ t of
+  // (1 − dᵢ/nᵢ). Everything after the per-user min/min is DURATION
+  // grain — ≤ 73 rows by construction — so the single-partition windows
+  // never scale with the corpus. The cumulative product is a left fold
+  // with every step re-quantized at 1e-12, replayed row-for-row by the
+  // oracle's recursive CTE — no ln/exp, bit-identical in both engines.
+  private val q226 = Q(
+    "q226_kaplan_meier",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 72L
+      val sec = col("ts").cast("long")
+      val u = tbl(s, dir, "events")
+        .select(col("user_id"), sec.as("sec"), col("event_type"))
+        .groupBy("user_id")
+        .agg(min(col("sec")).as("f"),
+          min(when(col("event_type") === "purchase", col("sec"))).as("p"))
+      val tRaw = floor((col("p") - col("f")) / 3600L)
+      val uu = u.select(
+        when(col("p").isNotNull && tRaw <= W, tRaw).otherwise(lit(W)).as("t"),
+        (col("p").isNotNull && tRaw <= W).cast("long").as("churn"))
+      val h = uu.agg(count(lit(1)).as("n_users"))
+      val dur = uu.crossJoin(broadcast(h)).groupBy("t", "n_users")
+        .agg(sum(col("churn")).as("d_i"), count(lit(1)).as("c_i"))
+      val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+      val risk = dur.withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("c_i")).over(wPrev), lit(0L)))
+      val ev = risk.filter(col("d_i") > 0)
+        .withColumn("fct", (col("n_risk") - col("d_i")).cast("double")
+          / col("n_risk").cast("double"))
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("sv", aggregate(
+          collect_list(col("fct")).over(wCum), lit(1.0),
+          (acc, x) => floor(acc * x * lit(1e12) + lit(0.5)) / lit(1e12)))
+        .select(col("t").as("duration"), col("n_risk"),
+          col("d_i").as("n_churned"), Det.roundAt(col("sv"), 6).as("survival"))
+        .orderBy("duration")
+    },
+    Some("""WITH RECURSIVE e AS (SELECT user_id,
+          epoch_ns(ts) // 1000000000 AS sec, event_type FROM events),
+      u AS (SELECT user_id, MIN(sec) AS f,
+          MIN(CASE WHEN event_type = 'purchase' THEN sec END) AS p
+        FROM e GROUP BY 1),
+      uu AS (SELECT
+          CASE WHEN p IS NOT NULL AND (p - f) // 3600 <= 72
+            THEN (p - f) // 3600 ELSE 72 END AS t,
+          CASE WHEN p IS NOT NULL AND (p - f) // 3600 <= 72
+            THEN 1 ELSE 0 END AS churn
+        FROM u),
+      h AS (SELECT COUNT(*) AS n_users FROM uu),
+      dur AS (SELECT t, n_users, CAST(SUM(churn) AS BIGINT) AS d_i,
+          COUNT(*) AS c_i FROM uu CROSS JOIN h GROUP BY t, n_users),
+      risk AS (SELECT t, d_i, c_i,
+          n_users - COALESCE(SUM(c_i) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM dur),
+      ev AS (SELECT t, d_i, n_risk,
+          CAST(n_risk - d_i AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fct,
+          ROW_NUMBER() OVER (ORDER BY t) AS rk FROM risk WHERE d_i > 0),
+      s(rk, sv) AS (SELECT 0, CAST(1.0 AS DOUBLE)
+        UNION ALL
+        SELECT e2.rk, floor(s.sv * e2.fct * 1e12 + 0.5) / 1e12
+        FROM s JOIN ev e2 ON e2.rk = s.rk + 1)
+      SELECT ev.t AS duration, CAST(ev.n_risk AS BIGINT) AS n_risk,
+        ev.d_i AS n_churned,
+        floor(s.sv * 1000000 + 0.5) / 1000000 AS survival
+      FROM ev JOIN s ON s.rk = ev.rk ORDER BY duration"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4076,5 +4149,5 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225)
+    q222, q223, q225, q226)
 }
