@@ -4140,6 +4140,67 @@ object RelQueries {
         floor(s.sv * 1000000 + 0.5) / 1000000 AS survival
       FROM ev JOIN s ON s.rk = ev.rk ORDER BY duration"""))
 
+  // q227 — TIME-RESPECTING REACHABILITY (operators/Graph.temporalBfs —
+  // contact tracing / information diffusion): users interact when they
+  // touch the same props.k within 10 minutes (earlier→later, edge
+  // timestamped at the later event); a path is valid only if edge times
+  // never decrease. Seeds are every 50th user at arrival 0. Edge
+  // building is the q204/q216 cell equi-join (same k, adjacent 600-s
+  // cells, window verified) — never a same-k full self-join at one
+  // shuffle grain; the traversal is the monotone min-arrival DP. The
+  // oracle's recursive CTE uses UNION (dedup) so (node, arr, lvl)
+  // states, not paths, drive its cost.
+  private val q227 = Q(
+    "q227_temporal_reach",
+    (s, dir) => {
+      val kcol = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k")
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"), kcol)
+      val probe = e
+        .withColumn("dc", explode(array(lit(0L), lit(1L))))
+        .select(col("user_id").as("src"), col("sec").as("a_sec"), col("k"),
+          (floor(col("a_sec") / 600L) + col("dc")).as("cell"))
+      val build = e.select(col("user_id").as("dst"), col("sec").as("b_sec"),
+        col("k"), floor(col("sec") / 600L).as("cell"))
+      val edges = probe.join(build, Seq("k", "cell"))
+        .filter(col("src") =!= col("dst")
+          && col("b_sec") >= col("a_sec")
+          && col("b_sec") - col("a_sec") <= 600L)
+        .select(col("src"), col("dst"), col("b_sec").as("ets"))
+        .dropDuplicates("src", "dst", "ets")
+      val seeds = e.filter(col("user_id") % 50 === 0)
+        .select(col("user_id").as("id")).distinct()
+      graft.operators.Graph.temporalBfs(edges, seeds, maxHops = 3)
+        .agg(count(lit(1)).as("n_reached"),
+          sum((col("arr") === 0L).cast("long")).as("n_seeds"),
+          min(when(col("arr") > 0L, col("arr"))).as("first_arrival_sec"),
+          max(col("arr")).as("last_arrival_sec"),
+          sum(col("arr")).as("arrival_checksum"))
+    },
+    Some("""WITH RECURSIVE e AS (SELECT user_id,
+          epoch_ns(ts) // 1000000000 AS sec,
+          CAST(props->>'$.k' AS BIGINT) AS k FROM events),
+      edges AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst,
+          b.sec AS ets
+        FROM e a JOIN e b ON a.k = b.k AND a.user_id <> b.user_id
+          AND b.sec >= a.sec AND b.sec - a.sec <= 600),
+      reach(id, arr, lvl) AS (
+        SELECT DISTINCT user_id, CAST(0 AS BIGINT), 0 FROM e
+        WHERE user_id % 50 = 0
+        UNION
+        SELECT ed.dst, ed.ets, r.lvl + 1
+        FROM reach r JOIN edges ed ON ed.src = r.id AND ed.ets >= r.arr
+        WHERE r.lvl < 3),
+      m AS (SELECT id, MIN(arr) AS arr FROM reach GROUP BY id)
+      SELECT COUNT(*) AS n_reached,
+        CAST(SUM(CASE WHEN arr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+        CAST(MIN(CASE WHEN arr > 0 THEN arr END) AS BIGINT) AS first_arrival_sec,
+        CAST(MAX(arr) AS BIGINT) AS last_arrival_sec,
+        CAST(SUM(arr) AS BIGINT) AS arrival_checksum
+      FROM m"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4149,5 +4210,5 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225, q226)
+    q222, q223, q225, q226, q227)
 }

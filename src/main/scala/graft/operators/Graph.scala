@@ -54,6 +54,33 @@ object Graph {
     visited
   }
 
+  /** Earliest-arrival TIME-RESPECTING reachability (temporal BFS): an
+    * edge (src, dst, ets) is usable only if its timestamp `ets` is ≥ the
+    * arrival time at `src` — the contact-tracing / information-diffusion
+    * rule (you cannot ride an interaction that happened before you got
+    * there). Seeds start at arrival 0. Output (id, arr) = the earliest
+    * arrival within `maxHops` edges.
+    *
+    * Earliest arrival is MONOTONE (an earlier arrival at src can use
+    * every edge a later one can), so the per-round min-arrival DP is
+    * exact — no path enumeration. Each round is one shuffle on src +
+    * one min per dst, the [[cheapestPath]] shape with the temporal
+    * usability predicate in the join. */
+  def temporalBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = Ckpt.local(
+      edges.select(col("src"), col("dst"), col("ets").cast("long").as("ets")))
+    var arr = seeds.select(col("id")).distinct().withColumn("arr", lit(0L))
+    (1 to maxHops).foreach { _ =>
+      val relaxed = e
+        .join(arr.withColumnRenamed("id", "src"), "src")
+        .filter(col("ets") >= col("arr"))
+        .select(col("dst").as("id"), col("ets").as("arr"))
+      arr = Ckpt.local(
+        arr.union(relaxed).groupBy("id").agg(min("arr").as("arr")))
+    }
+    arr
+  }
+
   /** Cheapest cost to reach each node from `seeds` using at most
     * `maxHops` weighted edges (`src`, `dst`, `w` — LONG weights so the
     * min is order-independent and exactly portable). `seeds`: column

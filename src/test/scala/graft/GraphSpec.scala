@@ -53,6 +53,28 @@ class GraphSpec extends SparkSpec {
     assert(out(2L) === 4L)
   }
 
+  test("temporalBfs refuses edges that fire before the arrival at src") {
+    // 1 →(t=10) 2 →(t=5) 3 is NOT a valid path (edge 2→3 happened before
+    // we reached 2); 2 →(t=20) 4 is (waiting is allowed).
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 5L), (2L, 4L, 20L))
+      .toDF("src", "dst", "ets")
+    val out = Graph.temporalBfs(edges, Seq(1L).toDF("id"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 10L, 4L -> 20L))
+    graft.operators.Ckpt.release(spark)
+  }
+
+  test("temporalBfs takes the earliest arrival among competing paths") {
+    // two routes to 3: via 2 arriving at 30, or direct at 50 — min wins;
+    // and the later direct edge must not drag the arrival back up
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 30L), (1L, 3L, 50L))
+      .toDF("src", "dst", "ets")
+    val out = Graph.temporalBfs(edges, Seq(1L).toDF("id"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out(3L) === 30L)
+    graft.operators.Ckpt.release(spark)
+  }
+
   test("bfs plan is iterative joins — no cartesian product anywhere") {
     val edges = edgesDf(Seq((1L, 2L), (2L, 3L)))
     val plan = Graph.bfsLevels(edges, Seq(1L).toDF("id"), maxHops = 3)
