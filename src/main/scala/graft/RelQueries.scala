@@ -4201,6 +4201,125 @@ object RelQueries {
         CAST(SUM(arr) AS BIGINT) AS arrival_checksum
       FROM m"""))
 
+  // q228 — HOLT LINEAR-TREND FORECAST (double exponential smoothing —
+  // where q132's EWMA tracks level only, Holt carries level + trend and
+  // can actually extrapolate): lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+  // bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, α=0.5 β=0.2, initialized l₁=y₁,
+  // b₁=y₂−y₁. The hourly series is CALENDAR-bounded (≤ horizon hours at
+  // any corpus size), so the one-row array fold is bounded by time, not
+  // data; every smoothing step re-quantizes at 1e-12 and the oracle's
+  // recursive CTE replays the recursion step-for-step. Output: fitted
+  // tail state + 1/2/3-hour-ahead forecasts.
+  private val q228 = Q(
+    "q228_holt_forecast",
+    (s, dir) => {
+      val q12 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+      val hourly = tbl(s, dir, "events")
+        .groupBy(floor(col("ts").cast("long") / 3600L).as("h"))
+        .agg(Det.dsum(col("value")).as("y"))
+      val series = hourly
+        .agg(array_sort(collect_list(struct(col("h"), col("y")))).as("s"))
+        .select(transform(col("s"), x => x.getField("y")).as("ys"))
+      val init = struct(
+        element_at(col("ys"), 1).as("l"),
+        (element_at(col("ys"), 2) - element_at(col("ys"), 1)).as("b"))
+      val state = aggregate(
+        slice(col("ys"), lit(3), size(col("ys")) - 2), init,
+        (acc, y) => {
+          val l1 = q12(lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b")))
+          val b1 = q12(lit(0.2) * (l1 - acc.getField("l")) + lit(0.8) * acc.getField("b"))
+          struct(l1.as("l"), b1.as("b"))
+        })
+      series.select(size(col("ys")).cast("long").as("n_obs"), state.as("st"))
+        .select(col("n_obs"),
+          Det.roundAt(col("st.l"), 6).as("level"),
+          Det.roundAt(col("st.b"), 6).as("trend"),
+          Det.roundAt(col("st.l") + col("st.b"), 6).as("forecast_1h"),
+          Det.roundAt(col("st.l") + lit(2.0) * col("st.b"), 6).as("forecast_2h"),
+          Det.roundAt(col("st.l") + lit(3.0) * col("st.b"), 6).as("forecast_3h"))
+    },
+    Some("""WITH RECURSIVE hourly AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS h,
+          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS y
+        FROM events GROUP BY 1),
+      o AS (SELECT y, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM hourly),
+      n AS (SELECT COUNT(*) AS n_obs FROM o),
+      s(rk, l, b) AS (
+        SELECT 2, (SELECT y FROM o WHERE rk = 1),
+          (SELECT y FROM o WHERE rk = 2) - (SELECT y FROM o WHERE rk = 1)
+        UNION ALL
+        SELECT o.rk,
+          floor((0.5 * o.y + 0.5 * (s.l + s.b)) * 1e12 + 0.5) / 1e12,
+          floor((0.2 * (floor((0.5 * o.y + 0.5 * (s.l + s.b)) * 1e12 + 0.5) / 1e12 - s.l)
+            + 0.8 * s.b) * 1e12 + 0.5) / 1e12
+        FROM s JOIN o ON o.rk = s.rk + 1),
+      fin AS (SELECT l, b FROM s ORDER BY rk DESC LIMIT 1)
+      SELECT n.n_obs AS n_obs,
+        floor(l * 1000000 + 0.5) / 1000000 AS level,
+        floor(b * 1000000 + 0.5) / 1000000 AS trend,
+        floor((l + b) * 1000000 + 0.5) / 1000000 AS forecast_1h,
+        floor((l + 2.0 * b) * 1000000 + 0.5) / 1000000 AS forecast_2h,
+        floor((l + 3.0 * b) * 1000000 + 0.5) / 1000000 AS forecast_3h
+      FROM fin CROSS JOIN n"""))
+
+  // q229 — ITEM-ITEM CO-OCCURRENCE SIMILARITY (the classic recsys
+  // "customers also bought" neighborhood): cosine = co/√(cₐ·c_b) over
+  // co-purchase counts, top-5 partners per item. Where q84/q185 rank
+  // pairs GLOBALLY by support/lift, this builds each item's ranked
+  // NEIGHBORHOOD. Pair building is row-local off the per-order item set
+  // (basket-bounded, ≤ items²/2 per order); the rank limit compiles to
+  // WindowGroupLimit. Support floor co ≥ 2 keeps the head stable.
+  private val q229 = Q(
+    "q229_item_cooc",
+    (s, dir) => {
+      val b = graft.operators.Ckpt.local(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct())
+      val itemCnt = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val arr = b.groupBy("o").agg(array_sort(collect_list(col("p"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+      def el(i: org.apache.spark.sql.Column) = element_at(col("ps"), i)
+      val pairExpr = flatten(transform(sequence(lit(1), size(col("ps")) - 1),
+        i => transform(sequence(i + 1, size(col("ps"))),
+          j => struct(el(i).as("pa"), el(j).as("pb")))))
+      val co = arr.select(explode(pairExpr).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      val sym = co.select(col("pa").as("item"), col("pb").as("partner"), col("co"))
+        .union(co.select(col("pb"), col("pa"), col("co")))
+      val w = Window.partitionBy("item").orderBy(desc("cos"), asc("partner"))
+      sym
+        .join(broadcast(itemCnt.withColumnRenamed("p", "item")
+          .withColumnRenamed("c", "ca")), "item")
+        .join(broadcast(itemCnt.withColumnRenamed("p", "partner")
+          .withColumnRenamed("c", "cb")), "partner")
+        .withColumn("cos", Det.roundAt(col("co").cast("double")
+          / sqrt(col("ca").cast("double") * col("cb").cast("double")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("item", "partner", "co", "cos", "rank")
+        .orderBy("item", "rank")
+    },
+    Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      ic AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
+      pairs AS (SELECT a.p AS pa, b2.p AS pb FROM b a
+        JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+      co AS (SELECT pa, pb, COUNT(*) AS co FROM pairs GROUP BY pa, pb
+        HAVING COUNT(*) >= 2),
+      sym AS (SELECT pa AS item, pb AS partner, co FROM co
+        UNION ALL SELECT pb, pa, co FROM co),
+      scored AS (SELECT item, partner, co,
+          floor(CAST(co AS DOUBLE) / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+            * 1000000 + 0.5) / 1000000 AS cos
+        FROM sym JOIN ic ca ON ca.p = item JOIN ic cb ON cb.p = partner),
+      r AS (SELECT item, partner, co, cos,
+          ROW_NUMBER() OVER (PARTITION BY item ORDER BY cos DESC, partner ASC) AS rank
+        FROM scored)
+      SELECT item, partner, co, cos, rank FROM r WHERE rank <= 5
+      ORDER BY item, rank"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4210,5 +4329,5 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225, q226, q227)
+    q222, q223, q225, q226, q227, q228, q229)
 }
