@@ -3754,7 +3754,8 @@ object RelQueries {
         CAST(SUM(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
         CAST(SUM(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
         CAST(SUM(id) AS BIGINT) AS id_checksum
-      FROM m GROUP BY level ORDER BY level"""))
+      FROM m GROUP BY level ORDER BY level"""),
+    headline = true)
 
   // q215 — BOUNDED CHEAPEST PATH (operators/Graph.cheapestPath): ≤3-hop
   // Bellman-Ford over the same bipartite graph, edge weight = the pair's
@@ -3990,7 +3991,8 @@ object RelQueries {
         CAST(SUM(CAST(price AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
         CAST(SUM(CASE WHEN k >= 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
         CAST(SUM(k) AS BIGINT) AS key_checksum
-      FROM merged"""))
+      FROM merged"""),
+    headline = true)
 
   // q223 — THEIL-SEN ROBUST TREND per user (median of pairwise slopes —
   // the estimator that shrugs off the outliers that tilt q129's OLS):
