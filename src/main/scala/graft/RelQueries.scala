@@ -4322,6 +4322,99 @@ object RelQueries {
       SELECT item, partner, co, cos, rank FROM r WHERE rank <= 5
       ORDER BY item, rank"""))
 
+  // q230 — DAU / WAU / STICKINESS (the product-analytics daily health
+  // row): WAU(d) = distinct users active in (d−6 … d]. The scale-honest
+  // plan: distinct (user, day) FIRST (event volume collapses to
+  // entity-day grain), then each entity-day contributes to exactly 7
+  // trailing WAU days via a bounded ×7 explode and ONE distinct count
+  // per day — never a per-day inequality join against the corpus. Days
+  // before the corpus' 7th are reported as-is (partial window, standard
+  // dashboard semantics).
+  private val q230 = Q(
+    "q230_dau_wau",
+    (s, dir) => {
+      val ud = graft.operators.Ckpt.local(
+        tbl(s, dir, "events")
+          .select(col("user_id"), floor(col("ts").cast("long") / 86400L).as("day"))
+          .distinct())
+      val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .withColumn("wday", explode(sequence(col("day"), col("day") + 6L)))
+        .groupBy(col("wday").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("d1")) // drop phantom post-horizon days
+        .select(col("day"), col("dau"), col("wau"),
+          Det.roundAt(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+          epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+      b AS (SELECT MAX(day) AS d1 FROM ud),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+      w AS (SELECT user_id, day + g.g AS day FROM ud,
+        unnest(generate_series(0, 6)) AS g(g)),
+      wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY day)
+      SELECT dau.day AS day, dau.dau, wau.wau,
+        floor(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) * 1000000 + 0.5)
+          / 1000000 AS stickiness
+      FROM dau JOIN wau ON dau.day = wau.day CROSS JOIN b
+      WHERE dau.day <= b.d1 ORDER BY day"""))
+
+  // q231 — EXPONENTIALLY-DECAYED TRENDING LEADERBOARD (recency-biased
+  // top-k over props.k "tags"): score(tag) = Σ_days cnt·w(age) with
+  // w(age) = 0.9^age materialized as a 1e-12-requantized multiplication
+  // chain (no libm pow — the q228 fold trick at weight grain, ≤ horizon
+  // entries), so both engines weigh every day identically. Day-grain
+  // counts shuffle once; the weight table is broadcast; top-10 is a
+  // TakeOrdered.
+  private val q231 = Q(
+    "q231_decayed_trending",
+    (s, dir) => {
+      val q12 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+      val kcol = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k")
+      val dayCnt = tbl(s, dir, "events")
+        .select(kcol, floor(col("ts").cast("long") / 86400L).as("day"))
+        .groupBy("k", "day").agg(count(lit(1)).as("cnt"))
+      val horizon = dayCnt.agg(max(col("day")).as("d1"),
+        (max(col("day")) - min(col("day"))).cast("int").as("span"))
+      // weights[age] = requantized 0.9^age, built once per query as a
+      // row-local fold over a horizon-bounded sequence
+      val weights = horizon.select(col("d1"),
+          aggregate(sequence(lit(1), col("span")), array(lit(1.0)),
+            (acc, _) => concat(acc, array(q12(element_at(acc, -1) * lit(0.9))))
+          ).as("ws"))
+      dayCnt.crossJoin(broadcast(weights))
+        .withColumn("w", element_at(col("ws"), (col("d1") - col("day")).cast("int") + 1))
+        .groupBy("k")
+        .agg(sum(col("cnt")).as("n_events"),
+          Det.roundAt(Det.dsum(q12(col("cnt") * col("w")), 12), 6).as("score"))
+        .orderBy(desc("score"), asc("k"))
+        .limit(10)
+    },
+    Some("""WITH RECURSIVE dc AS (SELECT CAST(props->>'$.k' AS BIGINT) AS k,
+          epoch_ns(ts) // 1000000000 // 86400 AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      h AS (SELECT MAX(day) AS d1, CAST(MAX(day) - MIN(day) AS INT) AS span FROM dc),
+      w(age, wt) AS (SELECT 0, CAST(1.0 AS DOUBLE)
+        UNION ALL
+        SELECT age + 1, floor(wt * 0.9 * 1e12 + 0.5) / 1e12
+        FROM w CROSS JOIN h WHERE age < h.span),
+      scored AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(floor(cnt * wt * 1e12 + 0.5) / 1e12
+            AS DECIMAL(28,12))) AS DOUBLE) AS raw
+        FROM dc CROSS JOIN h JOIN w ON w.age = h.d1 - dc.day
+        GROUP BY k)
+      SELECT k, n_events,
+        floor(raw * 1000000 + 0.5) / 1000000 AS score
+      FROM scored ORDER BY score DESC, k ASC LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4331,5 +4424,5 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225, q226, q227, q228, q229)
+    q222, q223, q225, q226, q227, q228, q229, q230, q231)
 }
