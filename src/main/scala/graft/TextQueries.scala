@@ -3421,11 +3421,57 @@ object TextQueries {
       FROM per ORDER BY dim"""
     })
 
+  // q232 — PADDING-WASTE AUDIT for length-bucketed batching (the
+  // training-throughput dial q75/q82's packers optimize away): each doc
+  // lands in the smallest length bucket ≥ its token count (ladder sized
+  // to this corpus' 10–99-token docs; clamp 96, overflow truncated);
+  // waste = padded slots that
+  // carry no tokens. One token-count pass, bucket-grain aggregates —
+  // the report that says whether bucketing (vs q82's packing) is
+  // leaving GPU-hours on the table.
+  private val q232 = Q(
+    "q232_padding_waste",
+    (s, dir) => {
+      val n = size(TextFns.tokens(col("text"))).cast("long")
+      val bucket = when(n <= 16L, 16L).when(n <= 32L, 32L)
+        .when(n <= 64L, 64L).when(n <= 80L, 80L).otherwise(96L)
+      tbl(s, dir, "documents")
+        .select(n.as("nt"), bucket.as("bucket"),
+          least(n, lit(96L)).as("kept"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(col("kept")).as("kept_tokens"),
+          sum(col("nt") - col("kept")).as("truncated_tokens"))
+        .withColumn("padded_slots", col("bucket") * col("n_docs"))
+        .withColumn("waste_frac", Det.roundAt(
+          (col("padded_slots") - col("kept_tokens")).cast("double")
+            / col("padded_slots").cast("double"), 6))
+        .select("bucket", "n_docs", "total_tokens", "kept_tokens",
+          "truncated_tokens", "padded_slots", "waste_frac")
+        .orderBy("bucket")
+    },
+    Some(s"""WITH d AS (SELECT len($toks) AS nt FROM documents),
+        b AS (SELECT nt,
+            CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+              WHEN nt <= 64 THEN 64 WHEN nt <= 80 THEN 80
+              ELSE 96 END AS bucket,
+            LEAST(nt, 96) AS kept FROM d)
+      SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+        CAST(SUM(nt - kept) AS BIGINT) AS truncated_tokens,
+        CAST(bucket * COUNT(*) AS BIGINT) AS padded_slots,
+        ${Det.roundAtSql(
+          "CAST(bucket * COUNT(*) - SUM(kept) AS DOUBLE) / CAST(bucket * COUNT(*) AS DOUBLE)",
+          6)} AS waste_frac
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224)
+    q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232)
 }
