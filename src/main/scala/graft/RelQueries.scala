@@ -4227,13 +4227,14 @@ object RelQueries {
         element_at(col("ys"), 1).as("l"),
         (element_at(col("ys"), 2) - element_at(col("ys"), 1)).as("b"))
       val state = aggregate(
-        slice(col("ys"), lit(3), size(col("ys")) - 2), init,
+        slice(col("ys"), lit(3), greatest(size(col("ys")) - 2, lit(0))), init,
         (acc, y) => {
           val l1 = q12(lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b")))
           val b1 = q12(lit(0.2) * (l1 - acc.getField("l")) + lit(0.8) * acc.getField("b"))
           struct(l1.as("l"), b1.as("b"))
         })
-      series.select(size(col("ys")).cast("long").as("n_obs"), state.as("st"))
+      series.filter(size(col("ys")) >= 2) // Holt needs y₁, y₂ to initialize
+        .select(size(col("ys")).cast("long").as("n_obs"), state.as("st"))
         .select(col("n_obs"),
           Det.roundAt(col("st.l"), 6).as("level"),
           Det.roundAt(col("st.b"), 6).as("trend"),
