@@ -185,6 +185,36 @@ object TextQueries {
                $winner END AS pred_lang"""
   }
 
+  // q234 — LANGUAGE-ID CONFUSION MATRIX (the per-class eval q25's
+  // marginals can't show): full (true lang × predicted) grid including
+  // 'unknown' abstentions, with per-cell recall share — which language
+  // the classifier bleeds into, not just how often it's right. Same
+  // single projection as q25, cell-grain aggregate.
+  private val q234 = Q(
+    "q234_langid_confusion",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("pred_lang", TextFns.langId(col("text")))
+      val tot = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      d.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(broadcast(tot), "lang")
+        .withColumn("recall_share", Det.roundAt(
+          col("cnt").cast("double") / col("n_lang").cast("double"), 6))
+        .select("lang", "pred_lang", "cnt", "recall_share")
+        .orderBy("lang", "pred_lang")
+    },
+    Some {
+      s"""WITH scored AS (SELECT lang, $predLangSelect FROM documents),
+        tot AS (SELECT lang, COUNT(*) AS n_lang FROM scored GROUP BY lang),
+        cells AS (SELECT lang, pred_lang, COUNT(*) AS cnt
+          FROM scored GROUP BY lang, pred_lang)
+      SELECT cells.lang AS lang, pred_lang, cnt,
+        ${Det.roundAtSql("CAST(cnt AS DOUBLE) / CAST(n_lang AS DOUBLE)", 6)}
+          AS recall_share
+      FROM cells JOIN tot ON cells.lang = tot.lang
+      ORDER BY lang, pred_lang""" })
+
   // q26 — quality scoring per (lang, source): deterministic closed-form
   // score in [0,1]; exact decimal sums for the aggregate.
   private val q26 = Q(
@@ -3473,5 +3503,6 @@ object TextQueries {
     q119, q121, q122, q130, q131, q133, q136, q137, q138, q139, q140, q143,
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
-    q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232)
+    q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
+    q234)
 }
