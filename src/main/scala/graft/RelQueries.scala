@@ -4416,6 +4416,48 @@ object RelQueries {
         floor(raw * 1000000 + 0.5) / 1000000 AS score
       FROM scored ORDER BY score DESC, k ASC LIMIT 10"""))
 
+  // q235 — K-CORE of the customer–supplier graph (operators/Graph.kcore,
+  // the cohesion filter behind "dense trading cluster" mining): 4
+  // peeling rounds toward the 40-core (the sf0.01 graph converges in
+  // 2). The oracle unrolls the identical rounds — alive-set semi-joins
+  // + degree counts — so every surviving node and residual degree
+  // matches exactly.
+  private val q235 = Q(
+    "q235_kcore",
+    (s, dir) => {
+      val pairs = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .dropDuplicates("c", "s")
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.Graph.kcore(edges, k = 40, rounds = 4)
+        .groupBy(when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy("kind")
+    },
+    Some {
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS (SELECT e.src AS id, COUNT(*) AS deg FROM edges e
+            JOIN a${r - 1} x ON e.src = x.id JOIN a${r - 1} y ON e.dst = y.id
+            GROUP BY e.src),
+          a$r AS (SELECT id FROM d$r WHERE deg >= 40)"""
+      }.mkString(",\n        ")
+      s"""WITH p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p),
+        a0 AS (SELECT DISTINCT src AS id FROM edges),
+        $rounds,
+        fin AS (SELECT e.src AS id, COUNT(*) AS deg FROM edges e
+          JOIN a4 x ON e.src = x.id JOIN a4 y ON e.dst = y.id GROUP BY e.src)
+      SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS sum_deg,
+        CAST(MIN(deg) AS BIGINT) AS min_deg, CAST(MAX(deg) AS BIGINT) AS max_deg
+      FROM fin GROUP BY 1 ORDER BY 1"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4425,5 +4467,5 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225, q226, q227, q228, q229, q230, q231)
+    q222, q223, q225, q226, q227, q228, q229, q230, q231, q235)
 }

@@ -54,6 +54,30 @@ object Graph {
     visited
   }
 
+  /** K-CORE decomposition by fixed-round peeling: each round drops every
+    * node whose degree among the still-alive nodes is < `k`; after
+    * `rounds` rounds the survivors (a superset of, and at convergence
+    * exactly, the k-core) are returned with their residual degree
+    * (id, deg). Peeling halves the periphery each round in practice —
+    * real graphs converge in a handful of rounds — and the fixed unroll
+    * keeps the operator a deterministic constant-depth plan an oracle
+    * can replay. Per round: two alive-semi-joins + one degree count,
+    * all node/edge grain. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = Ckpt.local(
+      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
+    var alive = Ckpt.local(e.select(col("src").as("id")).distinct())
+    def degAmongAlive(a: DataFrame): DataFrame = e
+      .join(a.withColumnRenamed("id", "src"), "src")
+      .join(a.withColumnRenamed("id", "dst"), "dst")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    (1 to rounds).foreach { _ =>
+      alive = Ckpt.local(
+        degAmongAlive(alive).filter(col("deg") >= k).select(col("src").as("id")))
+    }
+    degAmongAlive(alive).select(col("src").as("id"), col("deg"))
+  }
+
   /** Earliest-arrival TIME-RESPECTING reachability (temporal BFS): an
     * edge (src, dst, ets) is usable only if its timestamp `ets` is ≥ the
     * arrival time at `src` — the contact-tracing / information-diffusion
