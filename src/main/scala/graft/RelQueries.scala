@@ -4274,37 +4274,11 @@ object RelQueries {
   // WindowGroupLimit. Support floor co ≥ 2 keeps the head stable.
   private val q229 = Q(
     "q229_item_cooc",
-    (s, dir) => {
-      val b = graft.operators.Ckpt.local(
+    (s, dir) => graft.operators.Rank.itemCooc(
         tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct())
-      val itemCnt = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
-      val arr = b.groupBy("o").agg(array_sort(collect_list(col("p"))).as("ps"))
-        .filter(size(col("ps")) >= 2)
-      def el(i: org.apache.spark.sql.Column) = element_at(col("ps"), i)
-      val pairExpr = flatten(transform(sequence(lit(1), size(col("ps")) - 1),
-        i => transform(sequence(i + 1, size(col("ps"))),
-          j => struct(el(i).as("pa"), el(j).as("pb")))))
-      val co = arr.select(explode(pairExpr).as("pr"))
-        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-        .agg(count(lit(1)).as("co"))
-        .filter(col("co") >= 2)
-      val sym = co.select(col("pa").as("item"), col("pb").as("partner"), col("co"))
-        .union(co.select(col("pb"), col("pa"), col("co")))
-      val w = Window.partitionBy("item").orderBy(desc("cos"), asc("partner"))
-      sym
-        .join(broadcast(itemCnt.withColumnRenamed("p", "item")
-          .withColumnRenamed("c", "ca")), "item")
-        .join(broadcast(itemCnt.withColumnRenamed("p", "partner")
-          .withColumnRenamed("c", "cb")), "partner")
-        .withColumn("cos", Det.roundAt(col("co").cast("double")
-          / sqrt(col("ca").cast("double") * col("cb").cast("double")), 6))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("item", "partner", "co", "cos", "rank")
-        .orderBy("item", "rank")
-    },
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        minCo = 2, k = 5)
+      .orderBy("item", "rank"),
     Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       ic AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
       pairs AS (SELECT a.p AS pa, b2.p AS pb FROM b a
@@ -4458,6 +4432,74 @@ object RelQueries {
       FROM fin GROUP BY 1 ORDER BY 1"""
     })
 
+  // q236 — CO-OCCURRENCE MODEL HOLD-OUT EVAL (hit-rate@5): build q229's
+  // neighborhoods on the 80% hash-split train baskets, then ask how
+  // many of the held-out baskets' item pairs the model would have
+  // predicted (partner in the item's top-5). The eval every deployed
+  // recommender needs and the pattern every index family here carries
+  // (LSH→q53, IVF→q196, PQ→q195 — co-occurrence→this). Test pairs are
+  // basket-bounded row-local; the model join is (item, partner) grain.
+  private val q236 = Q(
+    "q236_cooc_holdout",
+    (s, dir) => {
+      val b = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val bucket = pmod(graft.functions.TextFns.portableHash(
+        col("o").cast("string")), lit(10L))
+      val model = graft.operators.Rank.itemCooc(
+        b.filter(bucket < 8), minCo = 2, k = 5)
+        .select(col("item"), col("partner"))
+      val test = graft.operators.Ckpt.local(b.filter(bucket >= 8).distinct())
+      val arr = test.groupBy("o").agg(array_sort(collect_list(col("p"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+      def el(i: org.apache.spark.sql.Column) = element_at(col("ps"), i)
+      val pairExpr = flatten(transform(sequence(lit(1), size(col("ps")) - 1),
+        i => transform(sequence(i + 1, size(col("ps"))),
+          j => struct(el(i).as("pa"), el(j).as("pb")))))
+      val testPairs = arr.select(explode(pairExpr).as("pr"))
+        .select(col("pr.pa").as("item"), col("pr.pb").as("partner"))
+        .union(arr.select(explode(pairExpr).as("pr"))
+          .select(col("pr.pb"), col("pr.pa")))
+        .distinct()
+      val hits = testPairs.join(model, Seq("item", "partner"), "left_semi")
+      testPairs.agg(count(lit(1)).as("n_test_pairs")).crossJoin(
+          broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(col("n_test_pairs"), col("n_hits"),
+          Det.roundAt(col("n_hits").cast("double")
+            / col("n_test_pairs").cast("double"), 6).as("hit_rate"))
+    },
+    Some {
+      val h = graft.functions.TextFns.portableHashSql("CAST(o AS VARCHAR)")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        train AS (SELECT o, p FROM b WHERE $h % 10 < 8),
+        test AS (SELECT o, p FROM b WHERE $h % 10 >= 8),
+        ic AS (SELECT p, COUNT(*) AS c FROM train GROUP BY p),
+        pairs AS (SELECT a.p AS pa, b2.p AS pb FROM train a
+          JOIN train b2 ON a.o = b2.o AND a.p < b2.p),
+        co AS (SELECT pa, pb, COUNT(*) AS co FROM pairs GROUP BY pa, pb
+          HAVING COUNT(*) >= 2),
+        sym AS (SELECT pa AS item, pb AS partner, co FROM co
+          UNION ALL SELECT pb, pa, co FROM co),
+        scored AS (SELECT item, partner,
+            floor(CAST(co AS DOUBLE) / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+              * 1000000 + 0.5) / 1000000 AS cos
+          FROM sym JOIN ic ca ON ca.p = item JOIN ic cb ON cb.p = partner),
+        model AS (SELECT item, partner FROM (SELECT item, partner,
+            ROW_NUMBER() OVER (PARTITION BY item ORDER BY cos DESC, partner ASC) AS rank
+          FROM scored) z WHERE rank <= 5),
+        tp AS (SELECT DISTINCT item, partner FROM (
+          SELECT a.p AS item, b2.p AS partner FROM test a
+            JOIN test b2 ON a.o = b2.o AND a.p <> b2.p) z),
+        hits AS (SELECT COUNT(*) AS n_hits FROM tp
+          WHERE EXISTS (SELECT 1 FROM model m
+            WHERE m.item = tp.item AND m.partner = tp.partner))
+      SELECT (SELECT COUNT(*) FROM tp) AS n_test_pairs, n_hits,
+        ${Det.roundAtSql(
+          "CAST(n_hits AS DOUBLE) / CAST((SELECT COUNT(*) FROM tp) AS DOUBLE)", 6)}
+          AS hit_rate
+      FROM hits"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4467,5 +4509,5 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225, q226, q227, q228, q229, q230, q231, q235)
+    q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236)
 }

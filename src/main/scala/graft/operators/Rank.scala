@@ -63,4 +63,40 @@ object Rank {
       .select("term", "doc_id", "tf", "df", "score", "rank")
       .orderBy("term", "rank")
   }
+
+  /** Item-item co-occurrence neighborhoods ("customers also bought"):
+    * cosine = co/√(cₐ·c_b) over basket co-occurrence counts, top-`k`
+    * partners per item among pairs with co ≥ `minCo`. `baskets` carries
+    * (o = basket id, p = item); pair building is row-local off the
+    * per-basket item array (basket-bounded), item supports broadcast,
+    * and the per-item rank limit compiles to WindowGroupLimit. Returns
+    * (item, partner, co, cos, rank). */
+  def itemCooc(baskets: DataFrame, minCo: Long, k: Int): DataFrame = {
+    val b = Ckpt.local(
+      baskets.select(col("o"), col("p")).distinct())
+    val itemCnt = b.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val arr = b.groupBy("o").agg(array_sort(collect_list(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    def el(i: org.apache.spark.sql.Column) = element_at(col("ps"), i)
+    val pairExpr = flatten(transform(sequence(lit(1), size(col("ps")) - 1),
+      i => transform(sequence(i + 1, size(col("ps"))),
+        j => struct(el(i).as("pa"), el(j).as("pb")))))
+    val co = arr.select(explode(pairExpr).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val sym = co.select(col("pa").as("item"), col("pb").as("partner"), col("co"))
+      .union(co.select(col("pb"), col("pa"), col("co")))
+    val w = Window.partitionBy("item").orderBy(desc("cos"), asc("partner"))
+    sym
+      .join(broadcast(itemCnt.withColumnRenamed("p", "item")
+        .withColumnRenamed("c", "ca")), "item")
+      .join(broadcast(itemCnt.withColumnRenamed("p", "partner")
+        .withColumnRenamed("c", "cb")), "partner")
+      .withColumn("cos", Det.roundAt(col("co").cast("double")
+        / sqrt(col("ca").cast("double") * col("cb").cast("double")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("item", "partner", "co", "cos", "rank")
+  }
 }

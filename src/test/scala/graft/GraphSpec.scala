@@ -75,6 +75,17 @@ class GraphSpec extends SparkSpec {
     graft.operators.Ckpt.release(spark)
   }
 
+  test("kcore peels the pendant chain and keeps the clique with residual degrees") {
+    // K4 on {1,2,3,4} plus chain 4-5-6: the 3-core is exactly the K4
+    // (5 falls once 6 is gone, 4's degree drops back to 3)
+    val edges = edgesDf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val out = Graph.kcore(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    graft.operators.Ckpt.release(spark)
+  }
+
   test("bfs plan is iterative joins — no cartesian product anywhere") {
     val edges = edgesDf(Seq((1L, 2L), (2L, 3L)))
     val plan = Graph.bfsLevels(edges, Seq(1L).toDF("id"), maxHops = 3)
