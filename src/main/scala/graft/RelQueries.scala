@@ -4500,6 +4500,139 @@ object RelQueries {
       FROM hits"""
     })
 
+  // q237 — PROCESS-MINING CONFORMANCE: observed event-type transitions
+  // checked against the normative journey model (the DAG the funnel is
+  // SUPPOSED to follow); each (from, to) pair reports its traffic and
+  // whether the model allows it, plus its share within the from-state.
+  // Transition extraction is one window pass (Funnel.transitions);
+  // everything after is state-pair grain with the model as a broadcast
+  // literal list.
+  private val q237 = Q(
+    "q237_conformance",
+    (s, dir) => {
+      val allowed = Seq("signup>view", "view>view", "view>click",
+        "click>view", "click>purchase", "view>purchase", "error>view",
+        "purchase>view")
+      val t = graft.operators.Funnel.transitions(
+        tbl(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      val w = Window.partitionBy("from_type")
+      t.withColumn("pair", concat_ws(">", col("from_type"), col("to_type")))
+        .withColumn("is_allowed", col("pair").isin(allowed: _*).cast("long"))
+        .withColumn("share_of_from", Det.roundAt(
+          col("n").cast("double") / sum(col("n")).over(w).cast("double"), 6))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("is_allowed"), col("share_of_from"))
+        .orderBy("from_type", "to_type")
+    },
+    Some {
+      val allowedSql = Seq("signup>view", "view>view", "view>click",
+        "click>view", "click>purchase", "view>purchase", "error>view",
+        "purchase>view").map(p => s"'$p'").mkString(", ")
+      s"""WITH e AS (SELECT user_id, event_type, ts, event_id,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS from_type
+          FROM events),
+        t AS (SELECT from_type, event_type AS to_type, COUNT(*) AS n
+          FROM e WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CASE WHEN from_type || '>' || to_type IN ($allowedSql)
+          THEN 1 ELSE 0 END AS is_allowed,
+        ${Det.roundAtSql(
+          "CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)",
+          6)} AS share_of_from
+      FROM t ORDER BY from_type, to_type"""
+    })
+
+  // q238 — BURSTINESS (Fano factor of each user's hourly event counts
+  // over the full corpus horizon, zero hours included): F = var/mean =
+  // Σc²/N − N/H — a closed form over three integers (per-user Σc² and
+  // N off one hour-grain groupBy, the global hour count H broadcast),
+  // so no variance pass and no dense grid materialization. F ≈ 1 is
+  // Poisson-like traffic; F ≫ 1 is bursty (bot/batch suspects).
+  private val q238 = Q(
+    "q238_burstiness",
+    (s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .select(col("user_id"), floor(col("ts").cast("long") / 3600L).as("h"))
+      val hspan = hourly.agg((max(col("h")) - min(col("h")) + 1L).as("hh"))
+      hourly.groupBy("user_id", "h").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("s2"),
+          count(lit(1)).as("active_hours"))
+        .crossJoin(broadcast(hspan))
+        .select(col("user_id"), col("n").as("n_events"), col("active_hours"),
+          Det.roundAt(col("s2").cast("double") / col("n").cast("double")
+            - col("n").cast("double") / col("hh").cast("double"), 6).as("fano"))
+        .orderBy("user_id")
+    },
+    Some("""WITH hourly AS (SELECT user_id,
+          epoch_ns(ts) // 1000000000 // 3600 AS h FROM events),
+      hs AS (SELECT MAX(h) - MIN(h) + 1 AS hh FROM hourly),
+      c AS (SELECT user_id, h, COUNT(*) AS c FROM hourly GROUP BY 1, 2),
+      u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(c * c) AS BIGINT) AS s2, COUNT(*) AS active_hours
+        FROM c GROUP BY user_id)
+      SELECT user_id, n AS n_events, active_hours,
+        floor((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(n AS DOUBLE) / CAST(hh AS DOUBLE)) * 1000000 + 0.5) / 1000000
+          AS fano
+      FROM u CROSS JOIN hs ORDER BY user_id"""))
+
+  // q239 — RFM SEGMENTATION (recency / frequency / monetary quintiles —
+  // the classic customer-value grid): per customer, days since last
+  // order, order count, decimal-exact spend; each metric scored 1–5 by
+  // ntile with a FULL deterministic order (metric, then custkey), then
+  // customers rolled up per 3-digit segment. Customer-grain throughout;
+  // the ntile windows are single-partition but customer-grain is the
+  // entity grain every CRM export already fits in one report.
+  private val q239 = Q(
+    "q239_rfm",
+    (s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val horizon = o.agg(max(col("o_orderdate")).as("d1"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("freq"), Det.dsum(col("o_totalprice")).as("mon"))
+        .crossJoin(broadcast(horizon))
+        .withColumn("rec", datediff(col("d1"), col("last_d")).cast("long"))
+      def score(c: String, asc0: Boolean) = ntile(5).over(
+        if (asc0) Window.orderBy(col(c).asc, col("o_custkey").asc)
+        else Window.orderBy(col(c).desc, col("o_custkey").asc))
+      cust
+        .withColumn("r", score("rec", asc0 = true).cast("long"))
+        .withColumn("f", score("freq", asc0 = false).cast("long"))
+        .withColumn("m", score("mon", asc0 = false).cast("long"))
+        .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          Det.roundAt(sum(col("rec")).cast("double") / count(lit(1)), 6)
+            .as("avg_recency_days"),
+          Det.roundAt(sum(col("freq")).cast("double") / count(lit(1)), 6)
+            .as("avg_frequency"),
+          Det.roundAt(Det.dsum(col("mon"), 2) / count(lit(1)), 6).as("avg_monetary"))
+        .orderBy("segment")
+    },
+    Some("""WITH h AS (SELECT MAX(o_orderdate) AS d1 FROM orders),
+      cust AS (SELECT o_custkey, MAX(o_orderdate) AS last_d,
+          COUNT(*) AS freq,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS mon
+        FROM orders GROUP BY o_custkey),
+      scored AS (SELECT o_custkey,
+          date_diff('day', last_d, d1) AS rec, freq, mon,
+          NTILE(5) OVER (ORDER BY date_diff('day', last_d, d1) ASC, o_custkey ASC) AS r,
+          NTILE(5) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+          NTILE(5) OVER (ORDER BY mon DESC, o_custkey ASC) AS m
+        FROM cust CROSS JOIN h)
+      SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+          AS segment,
+        COUNT(*) AS n_customers,
+        floor(CAST(SUM(rec) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+          AS avg_recency_days,
+        floor(CAST(SUM(freq) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+          AS avg_frequency,
+        floor(CAST(SUM(CAST(mon AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+          * 1000000 + 0.5) / 1000000 AS avg_monetary
+      FROM scored GROUP BY 1 ORDER BY segment"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4509,5 +4642,6 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236)
+    q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
+    q237, q238, q239)
 }
