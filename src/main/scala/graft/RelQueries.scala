@@ -4633,6 +4633,85 @@ object RelQueries {
           * 1000000 + 0.5) / 1000000 AS avg_monetary
       FROM scored GROUP BY 1 ORDER BY segment"""))
 
+  /** Customer–supplier trading graph shared by q214/q215/q235/q240/q241:
+    * distinct (cust·2, supp·2+1) pairs, both directions. */
+  private def tradeEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pairs = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .dropDuplicates("c", "s")
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+  }
+  private val tradeEdgesSql =
+    """p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (SELECT c AS src, s AS dst FROM p UNION ALL SELECT s, c FROM p)"""
+
+  // q240 — DEGREE DISTRIBUTION of the trading graph, power-of-two
+  // buckets per node kind (the first plot of any graph audit; the
+  // integer-CASE bucket ladder is q179's, no libm log2). Node-grain
+  // aggregate, ≤ (2 kinds × 21 buckets) output rows.
+  private val q240 = Q(
+    "q240_degree_hist",
+    (s, dir) => {
+      val deg = tradeEdges(s, dir).groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val bucket = (1 to 20).foldLeft(when(col("d") < 2L, 1L)) {
+        (acc, b) => acc.when(col("d") < (1L << (b + 1)), 1L << b)
+      }.otherwise(1L << 21)
+      deg.groupBy(when(col("id") % 2 === 0, "customer").otherwise("supplier")
+          .as("kind"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"),
+          max(col("d")).as("max_deg"))
+        .orderBy("kind", "bucket")
+    },
+    Some {
+      val cases = (1 to 20).map(b =>
+        s"WHEN d < ${1L << (b + 1)} THEN ${1L << b}").mkString(" ")
+      s"""WITH $tradeEdgesSql,
+        deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+        bk AS (SELECT id, d, CASE WHEN d < 2 THEN 1 $cases
+            ELSE ${1L << 21} END AS bucket FROM deg)
+      SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_nodes,
+        CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg
+      FROM bk GROUP BY 1, 2 ORDER BY kind, bucket"""
+    })
+
+  // q241 — DEGREE ASSORTATIVITY (Pearson correlation of endpoint
+  // degrees over the edge list — do hubs trade with hubs?): negative
+  // for bipartite hub-and-spoke commerce, positive for social graphs.
+  // Edge-grain join against the broadcast node-degree table; the
+  // correlation is the decimal-exact dcorr over integer degrees.
+  private val q241 = Q(
+    "q241_assortativity",
+    (s, dir) => {
+      val edges = tradeEdges(s, dir)
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      edges
+        .join(broadcast(deg.select(col("id").as("src"), col("d").as("dx"))), "src")
+        .join(broadcast(deg.select(col("id").as("dst"), col("d").as("dy"))), "dst")
+        .agg(count(lit(1)).as("n_edges"),
+          Det.roundAt(Det.dcorr(col("dx"), col("dy"), 0), 6).as("assortativity"))
+    },
+    Some {
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,0))) AS DOUBLE)"
+      val (sx, sy) = (ds("dx"), ds("dy"))
+      val (sxx, syy, sxy) = (ds("dx * dx"), ds("dy * dy"), ds("dx * dy"))
+      s"""WITH $tradeEdgesSql,
+        deg AS (SELECT src AS id, COUNT(*) AS d FROM edges GROUP BY src),
+        e AS (SELECT a.d AS dx, b.d AS dy FROM edges
+          JOIN deg a ON a.id = edges.src JOIN deg b ON b.id = edges.dst)
+      SELECT COUNT(*) AS n_edges,
+        ${Det.roundAtSql(
+          s"($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))",
+          6)} AS assortativity
+      FROM e"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4643,5 +4722,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239)
+    q237, q238, q239, q240, q241)
 }

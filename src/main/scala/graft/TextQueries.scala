@@ -1172,6 +1172,55 @@ object TextQueries {
         (SELECT COUNT(*) FROM pairs) AS n_edges,
         (SELECT COUNT(*) FROM closed) AS n_triangles"""))
 
+  // q242 — GLOBAL CLUSTERING COEFFICIENT of the near-dup graph:
+  // 3·triangles / wedges, with wedges = Σ d(d−1)/2 off the same pair
+  // list q117 orients — near-dup graphs should be clique-like (high
+  // coefficient); a low value means LSH banding is chaining unrelated
+  // docs. Pairs are checkpointed once and feed both the degree-oriented
+  // triangle count and the degree-moment wedge sum; all integer
+  // numerators, one final double division.
+  private val q242 = Q(
+    "q242_clustering_coef",
+    (s, dir) => {
+      val pairs = graft.operators.Ckpt.local(
+        Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+          .select("id_a", "id_b"))
+      val tri = Dedup.triangleCount(pairs)
+      val wedges = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .agg(sum((col("d") * (col("d") - 1) / 2).cast("long")).as("n_wedges"))
+      tri.crossJoin(broadcast(wedges))
+        .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          Det.roundAt(lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double"), 6).as("clustering_coef"))
+    },
+    Some(s"""WITH $minhashCtes,
+        pairs AS (SELECT id_a, id_b FROM cand
+          WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        deg AS (SELECT v, COUNT(*) AS d FROM (
+            SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs)
+          GROUP BY v),
+        wg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        oriented AS (SELECT
+            CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b)
+                 THEN id_a ELSE id_b END AS s,
+            CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b)
+                 THEN id_b ELSE id_a END AS t
+          FROM pairs JOIN deg da ON da.v = id_a JOIN deg db ON db.v = id_b),
+        wedges AS (SELECT e1.t AS u, e2.t AS w
+          FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t),
+        closed AS (SELECT * FROM wedges JOIN pairs ON u = id_a AND w = id_b)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+        (SELECT COUNT(*) FROM pairs) AS n_edges,
+        (SELECT n_wedges FROM wg) AS n_wedges,
+        (SELECT COUNT(*) FROM closed) AS n_triangles,
+        ${Det.roundAtSql(
+          "3.0 * CAST((SELECT COUNT(*) FROM closed) AS DOUBLE) / CAST((SELECT n_wedges FROM wg) AS DOUBLE)",
+          6)} AS clustering_coef"""))
+
   // q118 — EXACT set-similarity join via prefix filtering (AllPairs /
   // PPJoin): provably identical output to q24's brute-force Jaccard scan
   // WITHOUT the n² compare — candidates must share one globally-rare
@@ -3504,5 +3553,5 @@ object TextQueries {
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
-    q234)
+    q234, q242)
 }
