@@ -4712,6 +4712,109 @@ object RelQueries {
       FROM e"""
     })
 
+  // q245 — MANN-KENDALL TREND TEST per user (the non-parametric partner
+  // to q223's Theil-Sen slope): S = Σ_{i<j} sign(vⱼ − vᵢ) over the
+  // time-ordered pairs — an INTEGER statistic, no libm anywhere — and
+  // Kendall's τₐ = S / (n(n−1)/2). Same bounded row-local pair machinery
+  // as q223; equal-time pairs contribute their value sign (tie → 0).
+  private val q245 = Q(
+    "q245_mann_kendall",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"),
+          col("event_id"), col("value"))
+      val arr = e.groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("sec"), col("event_id"), col("value")))).as("a"))
+        .filter(size(col("a")) >= 2)
+      def fld(i: org.apache.spark.sql.Column) =
+        element_at(col("a"), i).getField("value")
+      val signs = flatten(transform(sequence(lit(1), size(col("a")) - 1),
+        i => transform(sequence(i + 1, size(col("a"))),
+          j => signum(fld(j) - fld(i)).cast("long"))))
+      arr.select(col("user_id"), size(col("a")).cast("long").as("n"),
+          explode(signs).as("sg"))
+        .groupBy("user_id", "n")
+        .agg(sum(col("sg")).as("s"))
+        .select(col("user_id"), col("n").as("n_events"), col("s"),
+          Det.roundAt(col("s").cast("double")
+            / (col("n") * (col("n") - 1) / 2).cast("double"), 6).as("tau"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+          event_id, value FROM events),
+      p AS (SELECT a.user_id,
+          CAST(CASE WHEN b.value > a.value THEN 1
+            WHEN b.value < a.value THEN -1 ELSE 0 END AS BIGINT) AS sg
+        FROM e a JOIN e b ON a.user_id = b.user_id
+          AND (a.sec < b.sec OR (a.sec = b.sec AND a.event_id < b.event_id))),
+      n AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY user_id)
+      SELECT p.user_id, n.n AS n_events, CAST(SUM(sg) AS BIGINT) AS s,
+        floor(CAST(SUM(sg) AS DOUBLE) / CAST(n.n * (n.n - 1) // 2 AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS tau
+      FROM p JOIN n ON n.user_id = p.user_id
+      GROUP BY p.user_id, n.n ORDER BY p.user_id"""))
+
+  // q244 — FIRST-TOUCH / LAST-TOUCH / LINEAR ATTRIBUTION side by side
+  // (the heuristics q221's Markov removal effect corrects — shipping
+  // them together is how an analyst sees WHERE position bias lives):
+  // over each converting user's pre-purchase touch list, first-touch
+  // credits the opener, last-touch the closer, linear 1/n each
+  // (per-journey shares 1e-12-requantized, decimal-summed). One bounded
+  // per-user array pass feeds all three channel-grain aggregates.
+  private val q244 = Q(
+    "q244_attribution_models",
+    (s, dir) => {
+      val seqs = tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type").as("t")))).as("sq"))
+        .select(transform(col("sq"), x => x.getField("t")).as("types"))
+      val idx = array_position(col("types"), "purchase")
+      val pre = seqs.filter(idx > 0)
+        .select(slice(col("types"), lit(1), (idx - 1).cast("int")).as("pre"))
+        .filter(size(col("pre")) > 0)
+      val withPre = graft.operators.Ckpt.local(pre)
+      val ft = withPre.groupBy(element_at(col("pre"), 1).as("channel"))
+        .agg(count(lit(1)).as("first_touch"))
+      val lt = withPre.groupBy(element_at(col("pre"), -1).as("channel"))
+        .agg(count(lit(1)).as("last_touch"))
+      val lin = withPre
+        .select(explode(col("pre")).as("channel"),
+          (floor(lit(1e12) / size(col("pre")).cast("double") + lit(0.5))
+            / lit(1e12)).as("w"))
+        .groupBy("channel")
+        .agg(Det.roundAt(Det.dsum(col("w"), 12), 6).as("linear"))
+      ft.join(lt, Seq("channel"), "full_outer")
+        .join(lin, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+          coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+          coalesce(col("linear"), lit(0.0)).as("linear"))
+        .orderBy("channel")
+    },
+    Some("""WITH seqs AS (SELECT user_id,
+          list(event_type ORDER BY ts, event_id) AS types
+        FROM events GROUP BY user_id),
+      pre AS (SELECT types[1:list_position(types, 'purchase') - 1] AS pre
+        FROM seqs WHERE list_position(types, 'purchase') > 0),
+      nz AS (SELECT pre, len(pre) AS n FROM pre WHERE len(pre) > 0),
+      ft AS (SELECT pre[1] AS channel, COUNT(*) AS first_touch
+        FROM nz GROUP BY 1),
+      lt AS (SELECT pre[-1] AS channel, COUNT(*) AS last_touch
+        FROM nz GROUP BY 1),
+      lin AS (SELECT u.channel AS channel,
+          floor(CAST(SUM(CAST(floor(1e12 / CAST(n AS DOUBLE) + 0.5) / 1e12
+            AS DECIMAL(28,12))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS linear
+        FROM nz, unnest(pre) AS u(channel) GROUP BY 1)
+      SELECT COALESCE(ft.channel, lt.channel, lin.channel) AS channel,
+        COALESCE(first_touch, 0) AS first_touch,
+        COALESCE(last_touch, 0) AS last_touch,
+        COALESCE(linear, 0.0) AS linear
+      FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+        FULL OUTER JOIN lin ON COALESCE(ft.channel, lt.channel) = lin.channel
+      ORDER BY channel"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4722,5 +4825,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241)
+    q237, q238, q239, q240, q241, q244, q245)
 }

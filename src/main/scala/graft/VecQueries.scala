@@ -861,7 +861,61 @@ object VecQueries {
           "CAST(mean_norm2q AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sum_n2q AS DOUBLE)", 6)} AS anisotropy
       FROM agg1 JOIN mm USING (label) ORDER BY label"""))
 
+  // q243 — LABEL-NOISE DETECTION via k-NN disagreement (confident-
+  // learning style data QA): for each audited vector, do its 5 nearest
+  // neighbors' labels out-vote its own? Disagreements are mislabeling
+  // suspects. Reuses q28's broadcast-query brute scorer on the constant
+  // audit sample; majority is a deterministic (count desc, label asc)
+  // rank. Label-grain rollup.
+  private val q243 = Q(
+    "q243_label_noise_knn",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val audit = emb.filter(expr(isQuery))
+      val nn = Similarity.bruteTopK(emb, audit, 5)
+        .join(broadcast(emb.select(col("vec_id"), col("label").as("nb_label"))),
+          "vec_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("votes"), asc("nb_label"))
+      val majority = nn.groupBy("query_id", "nb_label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("nb_label").as("maj_label"))
+      audit.select(col("vec_id").as("query_id"), col("label").as("own_label"))
+        .join(majority, "query_id")
+        .groupBy(col("own_label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_audited"),
+          sum((col("maj_label") =!= col("own_label")).cast("long"))
+            .as("n_suspect"))
+        .withColumn("suspect_rate", Det.roundAt(
+          col("n_suspect").cast("double") / col("n_audited").cast("double"), 6))
+        .orderBy("label")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS own_label
+          FROM embeddings WHERE $isQuery),
+        scored AS (SELECT query_id, own_label, e.vec_id, e.label AS nb_label,
+            ${cos6("e.embedding", "q_emb")} AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+        nn AS (SELECT query_id, own_label, nb_label FROM (
+            SELECT query_id, own_label, nb_label, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored) z WHERE rank <= 5),
+        maj AS (SELECT query_id, own_label, nb_label AS maj_label FROM (
+            SELECT query_id, own_label, nb_label, COUNT(*) AS votes,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY COUNT(*) DESC, nb_label ASC) AS rk
+            FROM nn GROUP BY query_id, own_label, nb_label) z WHERE rk = 1)
+      SELECT CAST(own_label AS BIGINT) AS label, COUNT(*) AS n_audited,
+        CAST(SUM(CASE WHEN maj_label <> own_label THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_suspect,
+        ${Det.roundAtSql(
+          "CAST(SUM(CASE WHEN maj_label <> own_label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+          6)} AS suspect_rate
+      FROM maj GROUP BY own_label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
     q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196,
-    q217, q218, q220)
+    q217, q218, q220, q243)
 }
