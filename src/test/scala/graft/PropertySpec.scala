@@ -194,6 +194,73 @@ class PropertySpec extends SparkSpec {
       && latest.keys.exists(_ > 40L))
   }
 
+  test("bfsLevels equals brute BFS on random graphs") {
+    val edges = sample(for {
+      a <- Gen.chooseNum(1L, 12L); b <- Gen.chooseNum(1L, 12L) if a != b
+    } yield (a, b), 80).distinct
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Seq(1L, 7L)
+    // brute: frontier expansion
+    var want = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    (1 to 3).foreach { h =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- want.keySet
+      want = want ++ frontier.map(_ -> h.toLong)
+    }
+    val got = graft.operators.Graph.bfsLevels(
+      und.toDF("src", "dst"), seeds.toDF("id"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    graft.operators.Ckpt.release(spark)
+  }
+
+  test("kcore equals the brute peel-to-fixpoint on random graphs") {
+    val k = 3
+    val edges = sample(for {
+      a <- Gen.chooseNum(1L, 15L); b <- Gen.chooseNum(1L, 15L) if a != b
+    } yield (a, b), 150).distinct
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2).toSet }
+    var alive = adj.keySet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(n => (adj(n) & alive).size < k)
+      changed = drop.nonEmpty
+      alive = alive -- drop
+    }
+    val want = alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+    // enough rounds to guarantee the fixpoint on a 15-node graph
+    val got = graft.operators.Graph.kcore(und.toDF("src", "dst"), k, rounds = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    graft.operators.Ckpt.release(spark)
+  }
+
+  test("temporalBfs equals brute time-respecting path enumeration") {
+    val edges = sample(for {
+      a <- Gen.chooseNum(1L, 10L); b <- Gen.chooseNum(1L, 10L) if a != b
+      t <- Gen.chooseNum(1L, 50L)
+    } yield (a, b, t), 120).distinct
+    val seeds = Seq(2L)
+    // brute: enumerate all ≤3-edge nondecreasing-time paths
+    var states = Set[(Long, Long)]((2L, 0L)) // (node, arrival)
+    var all = states
+    (1 to 3).foreach { _ =>
+      states = for {
+        (n, arr) <- states
+        (a, b, t) <- edges.toSet if a == n && t >= arr
+      } yield (b, t)
+      all = all ++ states
+    }
+    val want = all.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).min }
+    val got = graft.operators.Graph.temporalBfs(
+      edges.toDF("src", "dst", "ets"), seeds.toDF("id"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    graft.operators.Ckpt.release(spark)
+  }
+
   test("bloom semi join equals a plain semi join and actually prunes") {
     // 2000 probe keys vs 40 build keys: the bloom must admit every true
     // match (no false negatives) and the final equi-join must remove any
