@@ -4815,6 +4815,123 @@ object RelQueries {
         FULL OUTER JOIN lin ON COALESCE(ft.channel, lt.channel) = lin.channel
       ORDER BY channel"""))
 
+  // q246 — WEEKDAY SEASONALITY INDEX per event type (index = weekday
+  // mean / overall mean, the BI normalization behind "Mondays run 12%
+  // hot"): day-grain counts first, then two tiny grain levels; the
+  // index is a ratio of decimal-exact means. Mon=0 weekday base (the
+  // reference's D1 convention).
+  private val q246 = Q(
+    "q246_weekday_index",
+    (s, dir) => {
+      val day = floor(col("ts").cast("long") / 86400L)
+      // 1970-01-01 was a Thursday → (day + 3) % 7 gives Mon=0
+      val daily = tbl(s, dir, "events")
+        .select(col("event_type"), day.as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        .withColumn("wd", pmod(col("day") + 3L, lit(7L)))
+      val perWd = daily.groupBy("event_type", "wd")
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_days"))
+      val overall = daily.groupBy("event_type")
+        .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("tot_days"))
+      perWd.join(broadcast(overall), "event_type")
+        .select(col("event_type"), col("wd"), col("n"),
+          Det.roundAt((col("n").cast("double") / col("n_days").cast("double"))
+            / (col("tot").cast("double") / col("tot_days").cast("double")), 6)
+            .as("seasonal_index"))
+        .orderBy("event_type", "wd")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+          epoch_ns(ts) // 1000000000 // 86400 AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      wd AS (SELECT event_type, (day + 3) % 7 AS wd, cnt, day FROM daily),
+      p AS (SELECT event_type, wd, CAST(SUM(cnt) AS BIGINT) AS n,
+          COUNT(*) AS n_days FROM wd GROUP BY 1, 2),
+      o AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+          COUNT(*) AS tot_days FROM daily GROUP BY 1)
+      SELECT p.event_type AS event_type, CAST(wd AS BIGINT) AS wd, n,
+        floor((CAST(n AS DOUBLE) / CAST(n_days AS DOUBLE))
+          / (CAST(tot AS DOUBLE) / CAST(tot_days AS DOUBLE)) * 1000000 + 0.5)
+          / 1000000 AS seasonal_index
+      FROM p JOIN o ON p.event_type = o.event_type
+      ORDER BY event_type, wd"""))
+
+  // q247 — DATA-COMPLETENESS GAP AUDIT: per user, hours with ≥1 event
+  // vs the hours their own [first, last] activity span should cover —
+  // the telemetry-SLA view of missingness (q125 FILLS gaps; this one
+  // MEASURES them). Entity-grain closed form: present from one distinct
+  // count, expected from the span — no dense grid, no explode.
+  private val q247 = Q(
+    "q247_gap_audit",
+    (s, dir) => {
+      val h = floor(col("ts").cast("long") / 3600L)
+      tbl(s, dir, "events")
+        .select(col("user_id"), h.as("h"))
+        .groupBy("user_id")
+        .agg(countDistinct(col("h")).as("present_hours"),
+          (max(col("h")) - min(col("h")) + 1L).as("expected_hours"))
+        .withColumn("missing_hours", col("expected_hours") - col("present_hours"))
+        .withColumn("gap_frac", Det.roundAt(
+          col("missing_hours").cast("double") / col("expected_hours").cast("double"), 6))
+        .orderBy(desc("gap_frac"), asc("user_id"))
+        .limit(20)
+    },
+    Some("""WITH h AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 3600 AS h
+          FROM events),
+      u AS (SELECT user_id, COUNT(DISTINCT h) AS present_hours,
+          MAX(h) - MIN(h) + 1 AS expected_hours FROM h GROUP BY user_id)
+      SELECT user_id, present_hours,
+        CAST(expected_hours AS BIGINT) AS expected_hours,
+        CAST(expected_hours - present_hours AS BIGINT) AS missing_hours,
+        floor(CAST(expected_hours - present_hours AS DOUBLE)
+          / CAST(expected_hours AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gap_frac
+      FROM u ORDER BY gap_frac DESC, user_id ASC LIMIT 20"""))
+
+  // q248 — FINANCIAL RECONCILIATION: o_totalprice vs the Σ of its line
+  // items' extended·(1−disc)·(1+tax), the invoice-vs-ledger audit every
+  // finance pipeline runs. Both sides decimal-exact; discrepancies
+  // bucketed by relative magnitude (integer CASE, no float compare
+  // fuzz). One join at order grain, bucket-grain output.
+  private val q248 = Q(
+    "q248_reconciliation",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6).as("line_total"))
+      val d = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_totalprice"),
+          coalesce(col("line_total"), lit(0.0)).as("line_total"))
+        .withColumn("rel_pm", floor(abs(col("line_total") - col("o_totalprice"))
+          / col("o_totalprice") * lit(1000.0)).cast("long"))
+      val bucket = when(col("rel_pm") === 0L, "exact_permille")
+        .when(col("rel_pm") < 10L, "within_1pct")
+        .when(col("rel_pm") < 100L, "within_10pct").otherwise("over_10pct")
+      d.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("order_total"),
+          Det.roundAt(Det.dsum(col("line_total"), 6), 2).as("line_total"))
+        .orderBy("bucket")
+    },
+    Some("""WITH li AS (SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+            AS DECIMAL(28,6))) AS DOUBLE) AS line_total
+        FROM lineitem GROUP BY l_orderkey),
+      d AS (SELECT o_totalprice, COALESCE(line_total, 0.0) AS line_total,
+          CAST(floor(abs(COALESCE(line_total, 0.0) - o_totalprice)
+            / o_totalprice * 1000.0) AS BIGINT) AS rel_pm
+        FROM orders LEFT JOIN li ON o_orderkey = l_orderkey),
+      b AS (SELECT *, CASE WHEN rel_pm = 0 THEN 'exact_permille'
+          WHEN rel_pm < 10 THEN 'within_1pct'
+          WHEN rel_pm < 100 THEN 'within_10pct'
+          ELSE 'over_10pct' END AS bucket FROM d)
+      SELECT bucket, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS order_total,
+        floor(CAST(SUM(CAST(line_total AS DECIMAL(28,6))) AS DOUBLE)
+          * 100 + 0.5) / 100 AS line_total
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4825,5 +4942,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248)
 }
