@@ -4932,6 +4932,66 @@ object RelQueries {
           * 100 + 0.5) / 100 AS line_total
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  // q250 — COHORT LTV CURVES (cumulative revenue per user by weeks
+  // since acquisition — the growth-finance view on top of q98's
+  // retention counts): user-week revenue grain first, cohort = the
+  // user's first active week, then a cumulative decimal-exact sum per
+  // cohort over the CALENDAR-bounded offset axis (the per-cohort
+  // window is ≤ horizon-weeks rows). LTV/user = cum revenue / cohort
+  // size.
+  private val q250 = Q(
+    "q250_cohort_ltv",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"), col("value"))
+      val uw = ev.groupBy("user_id", "week")
+        .agg(Det.dsum(col("value")).as("rev"))
+      val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val sized = cohort.groupBy("cohort_week")
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+          .as("rev_d"))
+        .withColumn("cum_rev", sum(col("rev_d")).over(wCum).cast("double"))
+        .join(broadcast(sized), "cohort_week")
+        .select(col("cohort_week").cast("string").as("cohort_week"),
+          col("week_offset"), col("cohort_size"),
+          col("rev_d").cast("double").as("week_revenue"),
+          Det.roundAt(col("cum_rev") / col("cohort_size").cast("double"), 6)
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH ev AS (SELECT user_id, date_trunc('week', ts) AS week, value
+          FROM events),
+      uw AS (SELECT user_id, week,
+          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS rev
+        FROM ev GROUP BY 1, 2),
+      cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+      sized AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+        FROM cohort GROUP BY 1),
+      co AS (SELECT c.cohort_week,
+          CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS BIGINT)
+            AS week_offset,
+          SUM(CAST(rev AS DECIMAL(28,2))) AS rev_d
+        FROM uw JOIN cohort c ON c.user_id = uw.user_id GROUP BY 1, 2),
+      cum AS (SELECT cohort_week, week_offset,
+          CAST(rev_d AS DOUBLE) AS week_revenue,
+          CAST(SUM(rev_d) OVER (PARTITION BY cohort_week ORDER BY week_offset
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+        FROM co)
+      SELECT strftime(cum.cohort_week, '%Y-%m-%d') AS cohort_week,
+        week_offset, cohort_size, week_revenue,
+        floor(cum_rev / CAST(cohort_size AS DOUBLE) * 1000000 + 0.5) / 1000000
+          AS ltv_per_user
+      FROM cum JOIN sized ON cum.cohort_week = sized.cohort_week
+      ORDER BY cohort_week, week_offset"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -4942,5 +5002,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250)
 }

@@ -138,6 +138,64 @@ object TextQueries {
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         ORDER BY id_a, id_b""" })
 
+  // q249 — SIMHASH BANDING RECALL AUDIT: the byte-banding pigeonhole
+  // guarantee (hamming ≤ 3 over a 32-bit sketch CANNOT change all 4
+  // bytes → every true pair shares a band) measured, not assumed —
+  // brute pairwise hamming over the one-long-per-doc sketches as ground
+  // truth vs q23's banded candidates. Completes the recall-audit family
+  // (LSH→q53, IVF→q196, PQ→q195). The sketch cross-compare is sketch-
+  // grain (one long per doc), still O(n²): verify-scale baseline,
+  // non-headline.
+  private val q249 = Q(
+    "q249_simhash_recall",
+    (s, dir) => {
+      val sk = graft.operators.Ckpt.local(
+        tbl(s, dir, "documents").select(col("doc_id"),
+          Dedup.simhash(col("text"), shingleN = 3).as("sh")))
+      val brute = sk.as("a").join(sk.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val banded = Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id",
+        "text", shingleN = 3, maxHamming = 3)
+        .select(col("id_a").as("b_a"), col("id_b").as("b_b"))
+      val nBand = banded.agg(count(lit(1)).as("n_banded"))
+      brute.join(banded,
+          col("id_a") === col("b_a") && col("id_b") === col("b_b"), "left")
+        .agg(count(lit(1)).as("n_brute"),
+          sum(col("b_a").isNotNull.cast("long")).as("n_common"))
+        .crossJoin(broadcast(nBand))
+        .select(col("n_brute"), col("n_banded"), col("n_common"),
+          Det.roundAt(col("n_common").cast("double") / col("n_brute"), 6)
+            .as("recall"))
+    },
+    Some {
+      val sim = s"""CAST(list_sum(list_transform(range(0, 32), i ->
+        CASE WHEN 2 * len(list_filter(hs, h -> (h >> i) & 1 = 1)) >= len(hs)
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT)"""
+      s"""WITH docs AS (SELECT doc_id,
+          list_transform(${wordShinglesSql(3)}, x -> ${hSql("x")}) AS hs FROM documents),
+        sk AS (SELECT doc_id, $sim AS sh FROM docs),
+        brute AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        banded0 AS (SELECT doc_id, sh, bb.range AS band,
+            (sh >> (8 * bb.range)) & 255 AS key
+          FROM sk CROSS JOIN range(0, 4) AS bb),
+        bandp AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM banded0 a JOIN banded0 c
+            ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+          WHERE bit_count(xor(a.sh, c.sh)) <= 3),
+        counts AS (SELECT
+          (SELECT COUNT(*) FROM brute) AS n_brute,
+          (SELECT COUNT(*) FROM bandp) AS n_banded,
+          (SELECT COUNT(*) FROM brute t JOIN bandp p
+             ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_common)
+      SELECT n_brute, n_banded, n_common,
+        ${Det.roundAtSql("n_common * 1.0 / n_brute", 6)} AS recall
+      FROM counts"""
+    })
+
   // q24 — brute-force char-5-gram Jaccard pairs ≥ 0.8: the exact baseline
   // that measures the LSH paths' recall. O(n²) — verify-scale only.
   private val q24 = Q(
@@ -3553,5 +3611,5 @@ object TextQueries {
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
-    q234, q242)
+    q234, q242, q249)
 }

@@ -16,7 +16,7 @@ class PlanShapeSpec extends SparkSpec {
     * mining baseline whose scale path is q218). */
   private val bruteBaselines =
     Set("q24_ngram_jaccard", "q30_embed_neardup", "q53_lsh_recall",
-      "q217_margin_mining")
+      "q217_margin_mining", "q249_simhash_recall")
 
   test("no query except the documented brute baselines plans a cartesian product") {
     for (q <- Queries.all if !bruteBaselines(q.name)) {
