@@ -2018,6 +2018,32 @@ object RelQueries {
   // against zero variance) — bit-identical to the oracle. At 100 TB the
   // window input is the bucketed series (calendar-bounded, ~10⁴ rows/key),
   // not the raw rows; the heavy lifting stays in the first partial agg.
+  // q251 — TPC-H Q5 SHAPE through the SQL surface (local-supplier
+  // volume: revenue kept only when customer and supplier share a
+  // nation): the second character-identical dialect-portable SQL string
+  // beside q145 — six-table join, date-range filter, decimal-exact
+  // revenue. Catalyst gets free rein (broadcast dims + AQE); the same
+  // text runs verbatim in DuckDB.
+  private val sql251 =
+    """SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE s_nationkey = c_nationkey
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""
+  private val q251 = Q(
+    "q251_sql_tpch_q5",
+    (s, dir) => { graft.Catalog.register(s, dir); s.sql(sql251) },
+    Some(sql251))
+
   private val q146 = Q(
     "q146_autocorr",
     (s, dir) => {
@@ -5002,5 +5028,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251)
 }
