@@ -5018,6 +5018,93 @@ object RelQueries {
       FROM cum JOIN sized ON cum.cohort_week = sized.cohort_week
       ORDER BY cohort_week, week_offset"""))
 
+  // q252 — UPLIFT BY SCORE DECILE (Qini-style targeting curve — where
+  // q187's CUPED and q212's DiD estimate ONE average effect, this asks
+  // WHO to treat): variant = the q192 hash assignment, outcome =
+  // converted (any purchase), targeting score = the user's event
+  // volume; per score decile the treated−control conversion gap is the
+  // uplift. Integer counts per (decile, arm); ntile over (score, user)
+  // is fully deterministic.
+  private val q252 = Q(
+    "q252_uplift_deciles",
+    (s, dir) => {
+      val u = tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("score"),
+          max((col("event_type") === "purchase").cast("long")).as("converted"))
+        .withColumn("arm",
+          pmod(graft.functions.TextFns.portableHash(
+            col("user_id").cast("string")), lit(2L)))
+      val dec = u.withColumn("decile", ntile(10).over(
+        Window.orderBy(desc("score"), asc("user_id"))).cast("long"))
+      dec.groupBy("decile")
+        .agg(sum((col("arm") === 1L).cast("long")).as("n_treat"),
+          sum(when(col("arm") === 1L, col("converted"))).as("conv_treat"),
+          sum((col("arm") === 0L).cast("long")).as("n_ctrl"),
+          sum(when(col("arm") === 0L, col("converted"))).as("conv_ctrl"))
+        .withColumn("uplift", Det.roundAt(
+          col("conv_treat").cast("double") / col("n_treat").cast("double")
+            - col("conv_ctrl").cast("double") / col("n_ctrl").cast("double"), 6))
+        .orderBy("decile")
+    },
+    Some {
+      val h = graft.functions.TextFns.portableHashSql("CAST(user_id AS VARCHAR)")
+      s"""WITH u AS (SELECT user_id, COUNT(*) AS score,
+            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+            $h % 2 AS arm
+          FROM events GROUP BY user_id),
+        dec AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY score DESC, user_id ASC)
+            AS BIGINT) AS decile FROM u)
+      SELECT decile,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+        CAST(SUM(CASE WHEN arm = 1 THEN converted END) AS BIGINT) AS conv_treat,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        CAST(SUM(CASE WHEN arm = 0 THEN converted END) AS BIGINT) AS conv_ctrl,
+        ${Det.roundAtSql(
+          """CAST(SUM(CASE WHEN arm = 1 THEN converted END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           - CAST(SUM(CASE WHEN arm = 0 THEN converted END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)""", 6)}
+          AS uplift
+      FROM dec GROUP BY decile ORDER BY decile"""
+    })
+
+  // q253 — SHIPPING SLA CONFORMANCE per order priority: ship lag =
+  // l_shipdate − o_orderdate; per priority the within-30/60-day rates
+  // and the exact median lag. Fact-to-dim join then priority-grain —
+  // the operational-SLA twin of q248's financial reconciliation.
+  private val q253 = Q(
+    "q253_ship_sla",
+    (s, dir) => {
+      val j = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(broadcast(tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+      j.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          Det.roundAt(sum((col("lag") <= 30L).cast("long")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("within_30d"),
+          Det.roundAt(sum((col("lag") <= 60L).cast("long")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("within_60d"),
+          Det.roundAt(percentile(col("lag").cast("double"), lit(0.5)), 4)
+            .as("median_lag_days"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH j AS (SELECT o_orderpriority,
+          date_diff('day', o_orderdate, l_shipdate) AS lag
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+        floor(CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS within_30d,
+        floor(CAST(SUM(CASE WHEN lag <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS within_60d,
+        floor(quantile_cont(CAST(lag AS DOUBLE), 0.5) * 10000 + 0.5) / 10000
+          AS median_lag_days
+      FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5028,5 +5115,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253)
 }
