@@ -318,7 +318,23 @@ object Streams {
   private[graft] def ivmMergeBatch(batch: DataFrame, batchId: Long,
                                    key: String, value: String,
                                    snapDir: String, scale: Int,
-                                   keep: Int): Unit = {
+                                   keep: Int): Unit =
+    versionedMerge(batch, batchId, snapDir, keep) {
+      case (Some(prior), b) =>
+        graft.operators.Incremental.mergeCountSum(prior, b, key, value, scale)
+      case (None, b) =>
+        graft.operators.Incremental.snapshotCountSum(b, key, value, scale)
+    }
+
+  /** The shared versioned-snapshot commit protocol behind
+    * [[ivmMergeBatch]] and [[cdcMergeBatch]]: resolve the prior from
+    * COMPLETED versions (never the pointer), apply `merge`, write
+    * `v<batchId>`, then commit the pointer and prune old versions.
+    * Replays of an already-committed batch only re-commit the pointer —
+    * a delta can never double-apply. */
+  private def versionedMerge(batch: DataFrame, batchId: Long,
+                             snapDir: String, keep: Int)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val root = new Path(snapDir)
@@ -333,16 +349,47 @@ object Streams {
     }
     val done = completedVersions(fs, root)
     if (done.contains(batchId)) { commitPointerAndPrune(); return } // replay
-    val merged = done.filter(_ < batchId).maxOption match {
-      case Some(p) =>
-        val prior = spark.read.parquet(new Path(root, s"v$p").toString)
-        graft.operators.Incremental.mergeCountSum(prior, batch, key, value, scale)
-      case None =>
-        graft.operators.Incremental.snapshotCountSum(batch, key, value, scale)
-    }
-    merged.write.mode("overwrite").parquet(new Path(root, s"v$batchId").toString)
+    val prior = done.filter(_ < batchId).maxOption
+      .map(p => spark.read.parquet(new Path(root, s"v$p").toString))
+    merge(prior, batch).write.mode("overwrite")
+      .parquet(new Path(root, s"v$batchId").toString)
     commitPointerAndPrune()
   }
+
+  /** One idempotent row-level CDC micro-batch (see [[maintainMerge]]):
+    * [[graft.operators.Cdc.merge]] against the prior snapshot; the
+    * first batch applies against an empty target of the change batch's
+    * data schema (op/seq columns dropped). */
+  private[graft] def cdcMergeBatch(batch: DataFrame, batchId: Long,
+                                   key: String, opCol: String,
+                                   seqCols: Seq[String], snapDir: String,
+                                   keep: Int): Unit =
+    versionedMerge(batch, batchId, snapDir, keep) {
+      case (Some(prior), b) =>
+        graft.operators.Cdc.merge(prior, b, key, opCol, seqCols)
+      case (None, b) =>
+        graft.operators.Cdc.merge(
+          b.drop(opCol +: seqCols: _*).limit(0), b, key, opCol, seqCols)
+    }
+
+  /** Streaming MAINTAINED TABLE from a CDC change stream — the online
+    * twin of q222's batch MERGE: each micro-batch of tagged changes
+    * ('I'/'U'/'D' + seq) upserts into the versioned row snapshot with
+    * the same replay-idempotent commit protocol as [[maintainCountSum]].
+    * Read the current table with [[latestSnapshot]]. At scale each
+    * micro-batch touches only its own keys (broadcast anti-join inside
+    * Cdc.merge) — the snapshot is never reshuffled. */
+  def maintainMerge(changes: DataFrame, key: String, opCol: String,
+                    seqCols: Seq[String], snapDir: String,
+                    checkpointDir: String, keep: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcMergeBatch(batch, batchId, key, opCol, seqCols, snapDir, keep)
+      }
+      .start()
 
   /** Version ids under `root` whose parquet commit marker exists. */
   private def completedVersions(fs: org.apache.hadoop.fs.FileSystem,

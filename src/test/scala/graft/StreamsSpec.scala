@@ -306,6 +306,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maintainMerge: streamed CDC table equals the one-shot batch MERGE") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val in = MemoryStream[(Long, Double, String, Long)]
+    // globally-sequenced changes: upserts, a delete, a re-insert after
+    // delete, and a late update that must lose to a later delete
+    val batches = Seq(
+      Seq((1L, 10.0, "I", 1L), (2L, 20.0, "I", 2L)),
+      Seq((1L, 11.0, "U", 3L), (3L, 30.0, "I", 4L), (2L, 0.0, "D", 5L)),
+      Seq((2L, 22.0, "I", 6L), (3L, 0.0, "D", 8L), (3L, 33.0, "U", 7L)))
+    val q = Streams.maintainMerge(
+      in.toDF().toDF("k", "v", "op", "seq"), "k", "op", Seq("seq"),
+      s"$dir/snap", s"$dir/ckpt")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val (vid, snap) = Streams.latestSnapshot(spark, s"$dir/snap").get
+      val got = snap.select("k", "v").as[(Long, Double)].collect().sorted.toSeq
+      // one-shot twin: the whole change log applied to an empty target
+      val all = batches.flatten.toDF("k", "v", "op", "seq")
+      val oneShot = graft.operators.Cdc.merge(
+        all.drop("op", "seq").limit(0), all, "k", "op", Seq("seq"))
+        .as[(Long, Double)].collect().sorted.toSeq
+      assert(got == oneShot, s"streamed $got != one-shot $oneShot")
+      assert(got == Seq((1L, 11.0), (2L, 22.0))) // 3 deleted AFTER its update
+      // replaying the final batch id must be a no-op
+      Streams.cdcMergeBatch(batches.last.toDF("k", "v", "op", "seq"), vid,
+        "k", "op", Seq("seq"), s"$dir/snap", 3)
+      val again = Streams.latestSnapshot(spark, s"$dir/snap").get._2
+        .select("k", "v").as[(Long, Double)].collect().sorted.toSeq
+      assert(again == got, "replayed CDC batch double-applied")
+    } finally q.stop()
+  }
+
   test("ivmMergeBatch heals a committed version whose pointer write crashed") {
     import graft.operators.Incremental
     val dir = java.nio.file.Files.createTempDirectory("graft_ivm_heal").toString
