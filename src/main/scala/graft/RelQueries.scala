@@ -5105,6 +5105,83 @@ object RelQueries {
           AS median_lag_days
       FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // q254 — FORECAST ACCURACY EVAL (MASE): Holt's in-sample one-step
+  // absolute errors vs the naïve last-value forecast — MASE < 1 means
+  // the model beats naïve; the eval q228's fit was missing (every model
+  // here ships with its own eval: recsys→q236, langid→q234, forecast→
+  // this). One fold over the calendar-bounded hourly series carries
+  // (level, trend, Σ|err|·1e6, Σ|naïve err|·1e6) — both error sums are
+  // integer-quantized so the oracle's recursive CTE replays them
+  // exactly.
+  private val q254 = Q(
+    "q254_holt_mase",
+    (s, dir) => {
+      val q12 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e12) + lit(0.5)) / lit(1e12)
+      val q6l = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e6) + lit(0.5)).cast("long")
+      val hourly = tbl(s, dir, "events")
+        .groupBy(floor(col("ts").cast("long") / 3600L).as("h"))
+        .agg(Det.dsum(col("value")).as("y"))
+      val series = hourly
+        .agg(array_sort(collect_list(struct(col("h"), col("y")))).as("s"))
+        .select(transform(col("s"), x => x.getField("y")).as("ys"))
+        .filter(size(col("ys")) >= 3)
+      def yAt(i: org.apache.spark.sql.Column) = element_at(col("ys"), i)
+      // identical init to q228 (l=y₁, b=y₂−y₁) — this eval scores THE
+      // q228 model, not a variant
+      val init = struct(
+        yAt(lit(1)).as("l"),
+        (yAt(lit(2)) - yAt(lit(1))).as("b"),
+        lit(0L).as("sh"), lit(0L).as("sn"))
+      val state = aggregate(
+        sequence(lit(3), size(col("ys"))), init,
+        (acc, i) => {
+          val y = yAt(i)
+          val fc = acc.getField("l") + acc.getField("b")
+          val l1 = q12(lit(0.5) * y + lit(0.5) * fc)
+          val b1 = q12(lit(0.2) * (l1 - acc.getField("l"))
+            + lit(0.8) * acc.getField("b"))
+          struct(l1.as("l"), b1.as("b"),
+            (acc.getField("sh") + q6l(abs(y - fc))).as("sh"),
+            (acc.getField("sn") + q6l(abs(y - yAt(i - 1)))).as("sn"))
+        })
+      series.select(size(col("ys")).cast("long").as("n_obs"), state.as("st"))
+        .select(col("n_obs"),
+          Det.roundAt(col("st.sh").cast("double")
+            / (lit(1e6) * (col("n_obs") - 2).cast("double")), 6).as("mae_holt"),
+          Det.roundAt(col("st.sn").cast("double")
+            / (lit(1e6) * (col("n_obs") - 2).cast("double")), 6).as("mae_naive"),
+          Det.roundAt(col("st.sh").cast("double") / col("st.sn").cast("double"), 6)
+            .as("mase"))
+    },
+    Some("""WITH RECURSIVE hourly AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS h,
+          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS y
+        FROM events GROUP BY 1),
+      o AS (SELECT y, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM hourly),
+      n AS (SELECT COUNT(*) AS n_obs FROM o),
+      s(rk, l, b, sh, sn) AS (
+        SELECT 2, (SELECT y FROM o WHERE rk = 1),
+          (SELECT y FROM o WHERE rk = 2) - (SELECT y FROM o WHERE rk = 1),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT o.rk,
+          floor((0.5 * o.y + 0.5 * (s.l + s.b)) * 1e12 + 0.5) / 1e12,
+          floor((0.2 * (floor((0.5 * o.y + 0.5 * (s.l + s.b)) * 1e12 + 0.5) / 1e12 - s.l)
+            + 0.8 * s.b) * 1e12 + 0.5) / 1e12,
+          s.sh + CAST(floor(abs(o.y - (s.l + s.b)) * 1e6 + 0.5) AS BIGINT),
+          s.sn + CAST(floor(abs(o.y - op.y) * 1e6 + 0.5) AS BIGINT)
+        FROM s JOIN o ON o.rk = s.rk + 1 JOIN o op ON op.rk = s.rk),
+      fin AS (SELECT sh, sn FROM s ORDER BY rk DESC LIMIT 1)
+      SELECT n.n_obs AS n_obs,
+        floor(CAST(sh AS DOUBLE) / (1e6 * CAST(n.n_obs - 2 AS DOUBLE))
+          * 1000000 + 0.5) / 1000000 AS mae_holt,
+        floor(CAST(sn AS DOUBLE) / (1e6 * CAST(n.n_obs - 2 AS DOUBLE))
+          * 1000000 + 0.5) / 1000000 AS mae_naive,
+        floor(CAST(sh AS DOUBLE) / CAST(sn AS DOUBLE) * 1000000 + 0.5) / 1000000
+          AS mase
+      FROM fin CROSS JOIN n"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5115,5 +5192,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254)
 }
