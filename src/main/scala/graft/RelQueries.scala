@@ -5182,6 +5182,78 @@ object RelQueries {
           AS mase
       FROM fin CROSS JOIN n"""))
 
+  // q255 — CAPPED SESSIONIZATION (60-min inactivity gap OR 30-min max
+  // session duration): the cap needs the running session ANCHOR — a
+  // reset-on-condition recurrence no plain window/lag can express
+  // (q37's session_window only knows gaps) — so each user's bounded
+  // event array folds through (anchor, last, sessions, capBreaks)
+  // exactly like q228's smoother. The oracle replays the identical
+  // recurrence as a per-(user, rank) recursive CTE. Output is the
+  // global session census + how many sessions exist ONLY because of
+  // the cap.
+  private val q255 = Q(
+    "q255_capped_sessions",
+    (s, dir) => {
+      val GapS = 3600L; val CapS = 1800L
+      val arr = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"), col("event_id"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("sec"), col("event_id")))).as("a"))
+        .select(col("user_id"),
+          transform(col("a"), x => x.getField("sec")).as("secs"))
+      val init = struct(
+        element_at(col("secs"), 1).as("anchor"),
+        element_at(col("secs"), 1).as("last"),
+        lit(1L).as("sessions"), lit(0L).as("cap_breaks"))
+      val state = aggregate(
+        slice(col("secs"), lit(2), greatest(size(col("secs")) - 1, lit(0))),
+        init,
+        (acc, sec) => {
+          val gapBreak = sec - acc.getField("last") >= GapS
+          val capBreak = !gapBreak && (sec - acc.getField("anchor") > CapS)
+          struct(
+            when(gapBreak || capBreak, sec).otherwise(acc.getField("anchor")).as("anchor"),
+            sec.as("last"),
+            (acc.getField("sessions")
+              + (gapBreak || capBreak).cast("long")).as("sessions"),
+            (acc.getField("cap_breaks") + capBreak.cast("long")).as("cap_breaks"))
+        })
+      arr.select(col("user_id"), state.as("st"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("st.sessions")).as("n_sessions"),
+          sum(col("st.cap_breaks")).as("n_cap_splits"),
+          sum((col("st.cap_breaks") > 0L).cast("long")).as("n_users_capped"))
+    },
+    Some("""WITH RECURSIVE e AS (SELECT user_id,
+          epoch_ns(ts) // 1000000000 AS sec, event_id FROM events),
+      o AS (SELECT user_id, sec,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rk
+        FROM e),
+      s(user_id, rk, anchor, last, sessions, cap_breaks) AS (
+        SELECT user_id, 1, sec, sec, CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        FROM o WHERE rk = 1
+        UNION ALL
+        SELECT o.user_id, o.rk,
+          CASE WHEN o.sec - s.last >= 3600
+                 OR (o.sec - s.last < 3600 AND o.sec - s.anchor > 1800)
+               THEN o.sec ELSE s.anchor END,
+          o.sec,
+          s.sessions + CASE WHEN o.sec - s.last >= 3600
+              OR (o.sec - s.last < 3600 AND o.sec - s.anchor > 1800)
+            THEN 1 ELSE 0 END,
+          s.cap_breaks + CASE WHEN o.sec - s.last < 3600
+              AND o.sec - s.anchor > 1800 THEN 1 ELSE 0 END
+        FROM s JOIN o ON o.user_id = s.user_id AND o.rk = s.rk + 1),
+      fin AS (SELECT user_id, sessions, cap_breaks FROM (
+          SELECT user_id, sessions, cap_breaks,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rk DESC) AS rr
+          FROM s) z WHERE rr = 1)
+      SELECT COUNT(*) AS n_users, CAST(SUM(sessions) AS BIGINT) AS n_sessions,
+        CAST(SUM(cap_breaks) AS BIGINT) AS n_cap_splits,
+        CAST(SUM(CASE WHEN cap_breaks > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_users_capped
+      FROM fin"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5192,5 +5264,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255)
 }
