@@ -3752,7 +3752,8 @@ object RelQueries {
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-        .dropDuplicates("c", "s")
+      // raw (possibly duplicated) pairs: bfsLevels dedups edges once —
+      // deduping here too would add a redundant shuffle
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       val seeds = tbl(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
@@ -4429,7 +4430,6 @@ object RelQueries {
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-        .dropDuplicates("c", "s")
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       graft.operators.Graph.kcore(edges, k = 40, rounds = 4)
