@@ -5254,6 +5254,54 @@ object RelQueries {
           AS n_users_capped
       FROM fin"""))
 
+  // q256 — WINDOWED FUNNEL (per-stage conversion deadlines: view within
+  // 24 h of signup, click within 1 h of the view, purchase within 24 h
+  // of the click — q97's unbounded min-chain plus the timeout rule
+  // every real conversion definition carries). Same stage-grain
+  // min-aggregate joins as the oracle; each stage's candidate set is
+  // filtered to the window BEFORE its min, so late conversions don't
+  // count.
+  private val q256 = Q(
+    "q256_windowed_funnel",
+    (s, dir) => {
+      val e = graft.operators.Ckpt.local(
+        tbl(s, dir, "events").select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("sec")))
+      def stage(prev: org.apache.spark.sql.DataFrame, prevT: String,
+                typ: String, window: Long, outT: String) =
+        e.filter(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col(prevT)), "user_id")
+          .filter(col("sec") >= col(prevT) && col("sec") <= col(prevT) + window)
+          .groupBy("user_id").agg(min(col("sec")).as(outT))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("sec")).as("t1"))
+      val s2 = stage(s1, "t1", "view", 86400L, "t2")
+      val s3 = stage(s2, "t2", "click", 3600L, "t3")
+      val s4 = stage(s3, "t3", "purchase", 86400L, "t4")
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .join(s4, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signup"), count(col("t2")).as("n_view_24h"),
+          count(col("t3")).as("n_click_1h"), count(col("t4")).as("n_buy_24h"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          epoch_ns(ts) // 1000000000 AS sec FROM events),
+      s1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE event_type = 'view' AND sec >= t1 AND sec <= t1 + 86400
+        GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE event_type = 'click' AND sec >= t2 AND sec <= t2 + 3600
+        GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, MIN(sec) AS t4 FROM e JOIN s3 USING (user_id)
+        WHERE event_type = 'purchase' AND sec >= t3 AND sec <= t3 + 86400
+        GROUP BY e.user_id)
+      SELECT COUNT(*) AS n_signup, COUNT(t2) AS n_view_24h,
+        COUNT(t3) AS n_click_1h, COUNT(t4) AS n_buy_24h
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        LEFT JOIN s4 USING (user_id)"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5264,5 +5312,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256)
 }

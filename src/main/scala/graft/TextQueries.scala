@@ -273,6 +273,81 @@ object TextQueries {
       FROM cells JOIN tot ON cells.lang = tot.lang
       ORDER BY lang, pred_lang""" })
 
+  // q257 — MACRO-F1 of the language classifier (the single-number grade
+  // on q234's confusion grid — macro so rare languages count equally):
+  // per class, precision from the prediction marginal, recall from the
+  // truth marginal, F1 via the p·r form; 'unknown' abstentions dilute
+  // recall but never precision (no class is named 'unknown'). All
+  // counts integer; the macro mean is a decimal-exact sum of 6-rounded
+  // per-class F1s.
+  private val q257 = Q(
+    "q257_langid_macro_f1",
+    (s, dir) => {
+      val d = graft.operators.Ckpt.local(
+        tbl(s, dir, "documents")
+          .withColumn("pred_lang", TextFns.langId(col("text")))
+          .select("lang", "pred_lang"))
+      val tp = d.filter(col("lang") === col("pred_lang"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("tp"))
+      val truth = d.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      val pred = d.groupBy(col("pred_lang").as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      val per = truth.join(pred, Seq("lang"), "left")
+        .join(tp, Seq("lang"), "left")
+        .select(col("lang"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("precision", Det.roundAt(
+          when(col("n_pred") === 0L, 0.0).otherwise(
+            col("tp").cast("double") / col("n_pred").cast("double")), 6))
+        .withColumn("recall", Det.roundAt(
+          col("tp").cast("double") / col("n_true").cast("double"), 6))
+        .withColumn("f1", Det.roundAt(
+          when(col("precision") + col("recall") === 0.0, 0.0).otherwise(
+            lit(2.0) * col("precision") * col("recall")
+              / (col("precision") + col("recall"))), 6))
+      per.agg(count(lit(1)).as("n_classes"),
+          Det.roundAt(Det.dsum(col("precision"), 6) / count(lit(1)), 6)
+            .as("macro_precision"),
+          Det.roundAt(Det.dsum(col("recall"), 6) / count(lit(1)), 6)
+            .as("macro_recall"),
+          Det.roundAt(Det.dsum(col("f1"), 6) / count(lit(1)), 6).as("macro_f1"))
+    },
+    Some {
+      s"""WITH scored AS (SELECT lang, $predLangSelect FROM documents),
+        tp AS (SELECT lang, COUNT(*) AS tp FROM scored
+          WHERE lang = pred_lang GROUP BY lang),
+        truth AS (SELECT lang, COUNT(*) AS n_true FROM scored GROUP BY lang),
+        pred AS (SELECT pred_lang AS lang, COUNT(*) AS n_pred
+          FROM scored GROUP BY pred_lang),
+        per AS (SELECT truth.lang AS lang, n_true,
+            COALESCE(n_pred, 0) AS n_pred, COALESCE(tp, 0) AS tp
+          FROM truth LEFT JOIN pred ON truth.lang = pred.lang
+            LEFT JOIN tp ON truth.lang = tp.lang),
+        m AS (SELECT lang,
+            ${Det.roundAtSql(
+              "CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END",
+              6)} AS precision,
+            ${Det.roundAtSql("CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)", 6)}
+              AS recall
+          FROM per),
+        f AS (SELECT lang, precision, recall,
+            ${Det.roundAtSql(
+              "CASE WHEN precision + recall = 0.0 THEN 0.0 ELSE 2.0 * precision * recall / (precision + recall) END",
+              6)} AS f1
+          FROM m)
+      SELECT COUNT(*) AS n_classes,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(precision AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)}
+          AS macro_precision,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(recall AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)}
+          AS macro_recall,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(f1 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)}
+          AS macro_f1
+      FROM f""" })
+
   // q26 — quality scoring per (lang, source): deterministic closed-form
   // score in [0,1]; exact decimal sums for the aggregate.
   private val q26 = Q(
@@ -3611,5 +3686,5 @@ object TextQueries {
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
-    q234, q242, q249)
+    q234, q242, q249, q257)
 }
