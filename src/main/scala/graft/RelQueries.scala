@@ -5302,6 +5302,63 @@ object RelQueries {
       FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         LEFT JOIN s4 USING (user_id)"""))
 
+  // q258 — DRIFT TIMELINE: PSI of the value distribution between every
+  // pair of CONSECUTIVE ISO weeks (q144 compares two fixed halves; a
+  // monitor needs the week-over-week series). Fixed decade bins with
+  // the +1 Laplace smoothing and 6-rounded (p−q)·ln(p/q) terms of
+  // Profile.psiDrift; the week-pair join happens at (week, bin) grain —
+  // calendar-bounded, so the timeline costs nothing beyond the one
+  // bucket count pass.
+  private val q258 = Q(
+    "q258_drift_timeline",
+    (s, dir) => {
+      val NB = 10
+      val binned = tbl(s, dir, "events")
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          least(floor(col("value") / 50.0), lit(9.0)).cast("long").as("bin"))
+        .groupBy("week", "bin").agg(count(lit(1)).as("c"))
+      val spine = binned.select("week").distinct()
+        .crossJoin(broadcast(s.range(NB).select(col("id").as("bin"))))
+      val full = spine.join(binned, Seq("week", "bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = full.groupBy("week").agg(sum(col("c")).as("n"))
+      val wk = full.join(tot, "week")
+        .select(col("week"), col("bin"),
+          ((col("c") + lit(1)).cast("double")
+            / (col("n") + lit(NB)).cast("double")).as("p"), col("n"))
+      val nxt = wk.select(date_sub(col("week"), 7).as("week"),
+        col("bin"), col("p").as("q"), col("n").as("n_next"))
+      wk.join(nxt, Seq("week", "bin"))
+        .withColumn("term",
+          Det.roundAt((col("p") - col("q")) * log(col("p") / col("q")), 6))
+        .groupBy(col("week").cast("string").as("week_start"),
+          col("n"), col("n_next"))
+        .agg(Det.roundAt(Det.dsum(col("term"), 6), 6).as("psi"))
+        .select(col("week_start"), col("n").as("n_week"),
+          col("n_next").as("n_next_week"), col("psi"))
+        .orderBy("week_start")
+    },
+    Some("""WITH b AS (SELECT date_trunc('week', ts) AS week,
+          CAST(LEAST(floor(value / 50.0), 9.0) AS BIGINT) AS bin, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      spine AS (SELECT week, g.range AS bin
+        FROM (SELECT DISTINCT week FROM b) w CROSS JOIN range(0, 10) g),
+      fl AS (SELECT spine.week, spine.bin, COALESCE(c, 0) AS c
+        FROM spine LEFT JOIN b ON b.week = spine.week AND b.bin = spine.bin),
+      tot AS (SELECT week, CAST(SUM(c) AS BIGINT) AS n FROM fl GROUP BY week),
+      wk AS (SELECT fl.week, bin,
+          CAST(c + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE) AS p, n
+        FROM fl JOIN tot ON tot.week = fl.week),
+      j AS (SELECT a.week, a.bin, a.p, a.n, b2.p AS q, b2.n AS n_next,
+          floor((a.p - b2.p) * ln(a.p / b2.p) * 1000000 + 0.5) / 1000000 AS term
+        FROM wk a JOIN wk b2
+          ON b2.week = a.week + INTERVAL 7 DAY AND b2.bin = a.bin)
+      SELECT strftime(week, '%Y-%m-%d') AS week_start,
+        n AS n_week, n_next AS n_next_week,
+        floor(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) * 1000000 + 0.5)
+          / 1000000 AS psi
+      FROM j GROUP BY week, n, n_next ORDER BY week_start"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5312,5 +5369,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258)
 }
