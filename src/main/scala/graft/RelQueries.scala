@@ -5359,6 +5359,117 @@ object RelQueries {
           / 1000000 AS psi
       FROM j GROUP BY week, n, n_next ORDER BY week_start"""))
 
+  // q259 — DAILY VOLUME ANOMALIES vs the trailing 7-day baseline (the
+  // global ops-dashboard twin of q58's per-user state anomalies): each
+  // day's event count scored against the mean/ddof-1 std of the 7
+  // PRIOR days (rows-between window over the calendar-bounded day
+  // series — integer counts so the moments are decimal-exact), flagged
+  // at |z| > 2. Days without a full 7-day history are unscored (NULL z,
+  // standard warm-up rule).
+  private val q259 = Q(
+    "q259_daily_anomalies",
+    (s, dir) => {
+      val daily = tbl(s, dir, "events")
+        .groupBy(floor(col("ts").cast("long") / 86400L).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("n_prior", count(col("c")).over(w))
+        .withColumn("s1", sum(col("c")).over(w))
+        .withColumn("s2", sum(col("c") * col("c")).over(w))
+        .filter(col("n_prior") === 7L)
+        .withColumn("mean", col("s1").cast("double") / lit(7.0))
+        .withColumn("sd", sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / lit(7.0)) / lit(6.0)))
+        .withColumn("z", Det.roundAt(
+          (col("c").cast("double") - col("mean")) / col("sd"), 6))
+        .select(col("day"), col("c").as("n_events"),
+          Det.roundAt(col("mean"), 6).as("trailing_mean"), col("z"),
+          (abs(col("z")) > 2.0).cast("long").as("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+          COUNT(*) AS c FROM events GROUP BY 1),
+      wdw AS (SELECT day, c,
+          COUNT(c) OVER w AS n_prior,
+          CAST(SUM(c) OVER w AS BIGINT) AS s1,
+          CAST(SUM(c * c) OVER w AS BIGINT) AS s2
+        FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      sc AS (SELECT day, c, CAST(s1 AS DOUBLE) / 7.0 AS mean,
+          sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0) AS sd
+        FROM wdw WHERE n_prior = 7)
+      SELECT day, c AS n_events,
+        floor(mean * 1000000 + 0.5) / 1000000 AS trailing_mean,
+        floor((CAST(c AS DOUBLE) - mean) / sd * 1000000 + 0.5) / 1000000 AS z,
+        CAST(CASE WHEN abs((CAST(c AS DOUBLE) - mean) / sd) > 2.0
+          THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      FROM sc ORDER BY day"""))
+
+  // q260 — GROWTH ACCOUNTING (new / retained / resurrected / churned
+  // users per ISO week — the canonical DAU-decomposition that explains
+  // WHY q230's WAU moved): from the distinct user-week grain, each
+  // user-week is classified by last week's activity and any-prior
+  // history; churn counts users active last week who vanished this
+  // week. One entity-week shuffle + two self-references at the same
+  // grain.
+  private val q260 = Q(
+    "q260_growth_accounting",
+    (s, dir) => {
+      val uw = graft.operators.Ckpt.local(
+        tbl(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("week"))
+          .distinct())
+      val wU = Window.partitionBy("user_id").orderBy("week")
+      val flagged = uw
+        .withColumn("prev_week", lag(col("week"), 1).over(wU))
+        .withColumn("first_week", min(col("week")).over(
+          Window.partitionBy("user_id")))
+        .withColumn("kind",
+          when(col("week") === col("first_week"), "new")
+            .when(col("prev_week") === date_sub(col("week"), 7), "retained")
+            .otherwise("resurrected"))
+      val active = flagged.groupBy(col("week"))
+        .agg(sum((col("kind") === "new").cast("long")).as("n_new"),
+          sum((col("kind") === "retained").cast("long")).as("n_retained"),
+          sum((col("kind") === "resurrected").cast("long")).as("n_resurrected"),
+          count(lit(1)).as("n_active"))
+      // churned in week w = active in w−7 but not in w
+      val churn = uw.select(col("user_id"), date_add(col("week"), 7).as("week"))
+        .join(uw, Seq("user_id", "week"), "left_anti")
+        .groupBy("week").agg(count(lit(1)).as("n_churned"))
+      active.join(churn, Seq("week"), "left")
+        .select(col("week").cast("string").as("week_start"), col("n_active"),
+          col("n_new"), col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("week_start")
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events),
+      f AS (SELECT user_id, week,
+          lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+          MIN(week) OVER (PARTITION BY user_id) AS first_week
+        FROM uw),
+      k AS (SELECT week,
+          CASE WHEN week = first_week THEN 'new'
+            WHEN prev_week = week - INTERVAL 7 DAY THEN 'retained'
+            ELSE 'resurrected' END AS kind
+        FROM f),
+      act AS (SELECT week,
+          CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+          CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+          COUNT(*) AS n_active
+        FROM k GROUP BY week),
+      ch AS (SELECT a.week + INTERVAL 7 DAY AS week, COUNT(*) AS n_churned
+        FROM uw a LEFT JOIN uw b
+          ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+        WHERE b.user_id IS NULL GROUP BY 1)
+      SELECT strftime(act.week, '%Y-%m-%d') AS week_start, n_active, n_new,
+        n_retained, n_resurrected, COALESCE(n_churned, 0) AS n_churned
+      FROM act LEFT JOIN ch ON ch.week = act.week
+      ORDER BY week_start"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5369,5 +5480,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260)
 }
