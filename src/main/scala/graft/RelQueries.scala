@@ -5470,6 +5470,89 @@ object RelQueries {
       FROM act LEFT JOIN ch ON ch.week = act.week
       ORDER BY week_start"""))
 
+  // q261 — QUANTILE TREATMENT EFFECTS (p25/p50/p75 value gaps between
+  // the hash-assigned arms — q192's Welch test only sees the MEAN;
+  // heavy-tail effects live in the quantiles): exact linear-interp
+  // percentiles per arm, differenced. One arm-grain aggregate.
+  private val q261 = Q(
+    "q261_quantile_effects",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .withColumn("arm", pmod(graft.functions.TextFns.portableHash(
+          col("user_id").cast("string")), lit(2L)))
+      val perArm = e.groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          Det.roundAt(percentile(col("value"), lit(0.25)), 6).as("p25"),
+          Det.roundAt(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          Det.roundAt(percentile(col("value"), lit(0.75)), 6).as("p75"))
+      val t = perArm.filter(col("arm") === 1L)
+        .select(col("n").as("n_treat"), col("p25").as("t25"),
+          col("p50").as("t50"), col("p75").as("t75"))
+      val c = perArm.filter(col("arm") === 0L)
+        .select(col("n").as("n_ctrl"), col("p25").as("c25"),
+          col("p50").as("c50"), col("p75").as("c75"))
+      t.crossJoin(broadcast(c))
+        .select(col("n_treat"), col("n_ctrl"),
+          Det.roundAt(col("t25") - col("c25"), 6).as("qte_p25"),
+          Det.roundAt(col("t50") - col("c50"), 6).as("qte_p50"),
+          Det.roundAt(col("t75") - col("c75"), 6).as("qte_p75"))
+    },
+    Some {
+      val h = graft.functions.TextFns.portableHashSql("CAST(user_id AS VARCHAR)")
+      def q(p: String) = s"floor(quantile_cont(value, $p) * 1000000 + 0.5) / 1000000"
+      s"""WITH e AS (SELECT value, $h % 2 AS arm FROM events),
+        a AS (SELECT arm, COUNT(*) AS n, ${q("0.25")} AS p25,
+            ${q("0.5")} AS p50, ${q("0.75")} AS p75
+          FROM e GROUP BY arm)
+      SELECT t.n AS n_treat, c.n AS n_ctrl,
+        floor((t.p25 - c.p25) * 1000000 + 0.5) / 1000000 AS qte_p25,
+        floor((t.p50 - c.p50) * 1000000 + 0.5) / 1000000 AS qte_p50,
+        floor((t.p75 - c.p75) * 1000000 + 0.5) / 1000000 AS qte_p75
+      FROM (SELECT * FROM a WHERE arm = 1) t
+      CROSS JOIN (SELECT * FROM a WHERE arm = 0) c"""
+    })
+
+  // q262 — PEAK DETECTION in the hourly volume series (local maxima
+  // with a prominence floor over the ±3-hour neighborhood — the alert
+  // primitive behind "traffic spiked at 14:00"): strict local max vs
+  // both immediate neighbors, prominence = count − max(neighborhood
+  // min-side) computed from rows-between windows over the calendar-
+  // bounded series. Integer counts end to end.
+  private val q262 = Q(
+    "q262_peak_detection",
+    (s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .groupBy(floor(col("ts").cast("long") / 3600L).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val wo = Window.orderBy("h")
+      val wl = Window.orderBy("h").rowsBetween(-3, -1)
+      val wr = Window.orderBy("h").rowsBetween(1, 3)
+      hourly
+        .withColumn("prev", lag(col("c"), 1).over(wo))
+        .withColumn("nxt", lead(col("c"), 1).over(wo))
+        .withColumn("lmin", min(col("c")).over(wl))
+        .withColumn("rmin", min(col("c")).over(wr))
+        .filter(col("prev").isNotNull && col("nxt").isNotNull
+          && col("c") > col("prev") && col("c") > col("nxt"))
+        .withColumn("prominence", col("c") - greatest(col("lmin"), col("rmin")))
+        .filter(col("prominence") >= 8L)
+        .select(col("h").as("hour"), col("c").as("n_events"), col("prominence"))
+        .orderBy("hour")
+    },
+    Some("""WITH hourly AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS h,
+          COUNT(*) AS c FROM events GROUP BY 1),
+      x AS (SELECT h, c,
+          lag(c) OVER (ORDER BY h) AS prev, lead(c) OVER (ORDER BY h) AS nxt,
+          MIN(c) OVER (ORDER BY h ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lmin,
+          MIN(c) OVER (ORDER BY h ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rmin
+        FROM hourly)
+      SELECT h AS hour, c AS n_events,
+        CAST(c - GREATEST(lmin, rmin) AS BIGINT) AS prominence
+      FROM x
+      WHERE prev IS NOT NULL AND nxt IS NOT NULL AND c > prev AND c > nxt
+        AND c - GREATEST(lmin, rmin) >= 8
+      ORDER BY hour"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5480,5 +5563,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262)
 }
