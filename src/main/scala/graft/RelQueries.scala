@@ -5553,6 +5553,94 @@ object RelQueries {
         AND c - GREATEST(lmin, rmin) >= 8
       ORDER BY hour"""))
 
+  // q263 — INTER-ARRIVAL REGULARITY (coefficient of variation of each
+  // user's event gaps — the bot signal q238's Fano factor can't see:
+  // a cron-like client has NORMAL volume but near-zero gap variance):
+  // per user, ddof-1 CV of the consecutive-gap seconds off one lag
+  // window; integer gap moments so the CV is decimal-exact. CV < 0.3
+  // flags metronomic traffic.
+  private val q263 = Q(
+    "q263_interarrival_cv",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val gaps = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"), col("event_id"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("s1"),
+          sum(col("gap") * col("gap")).as("s2"))
+        .filter(col("n_gaps") >= 2)
+        .withColumn("mean", col("s1").cast("double") / col("n_gaps").cast("double"))
+        .withColumn("sd", sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double")
+            / col("n_gaps").cast("double"))
+          / (col("n_gaps") - 1).cast("double")))
+        .select(col("user_id"), col("n_gaps"),
+          Det.roundAt(col("mean"), 6).as("mean_gap_sec"),
+          Det.roundAt(col("sd") / col("mean"), 6).as("cv"),
+          (col("sd") / col("mean") < 0.3).cast("long").as("is_metronomic"))
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+          event_id FROM events),
+      g AS (SELECT user_id,
+          sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        FROM e),
+      u AS (SELECT user_id, COUNT(*) AS n_gaps,
+          CAST(SUM(gap) AS BIGINT) AS s1, CAST(SUM(gap * gap) AS BIGINT) AS s2
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      m AS (SELECT user_id, n_gaps,
+          CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+          sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps - 1 AS DOUBLE)) AS sd
+        FROM u WHERE n_gaps >= 2)
+      SELECT user_id, n_gaps,
+        floor(mean * 1000000 + 0.5) / 1000000 AS mean_gap_sec,
+        floor(sd / mean * 1000000 + 0.5) / 1000000 AS cv,
+        CAST(CASE WHEN sd / mean < 0.3 THEN 1 ELSE 0 END AS BIGINT)
+          AS is_metronomic
+      FROM m ORDER BY user_id"""))
+
+  // q264 — ONBOARDING BEHAVIOR BITMASK: each user's SET of event types
+  // within 24 h of their first event, as a 5-bit mask (signup=1, view=2,
+  // click=4, purchase=8, error=16) — the feature-adoption Venn of the
+  // activation window (over all time every user converges to 31; the
+  // onboarding slice is where segments differ). Per-user first-event
+  // broadcast, distinct (user, type), integer mask; ≤ 32 segment rows.
+  private val q264 = Q(
+    "q264_behavior_mask",
+    (s, dir) => {
+      val bit = when(col("event_type") === "signup", 1L)
+        .when(col("event_type") === "view", 2L)
+        .when(col("event_type") === "click", 4L)
+        .when(col("event_type") === "purchase", 8L).otherwise(16L)
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"), col("event_type"))
+      val first = ev.groupBy("user_id").agg(min(col("sec")).as("f0"))
+      val masks = ev.join(broadcast(first), "user_id")
+        .filter(col("sec") <= col("f0") + 86400L)
+        .select(col("user_id"), bit.as("bit")).distinct()
+        .groupBy("user_id").agg(sum(col("bit")).as("mask"))
+      masks.groupBy("mask")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("n_types", bit_count(col("mask")).cast("long"))
+        .select("mask", "n_types", "n_users")
+        .orderBy(desc("n_users"), asc("mask"))
+    },
+    Some("""WITH f AS (SELECT user_id, MIN(epoch_ns(ts) // 1000000000) AS f0
+          FROM events GROUP BY user_id),
+      b AS (SELECT DISTINCT e.user_id,
+          CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+            WHEN 'click' THEN 4 WHEN 'purchase' THEN 8 ELSE 16 END AS bit
+        FROM events e JOIN f ON f.user_id = e.user_id
+        WHERE epoch_ns(ts) // 1000000000 <= f0 + 86400),
+      m AS (SELECT user_id, CAST(SUM(bit) AS BIGINT) AS mask
+        FROM b GROUP BY user_id)
+      SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
+        COUNT(*) AS n_users
+      FROM m GROUP BY mask ORDER BY n_users DESC, mask ASC"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5563,5 +5651,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264)
 }
