@@ -5641,6 +5641,66 @@ object RelQueries {
         COUNT(*) AS n_users
       FROM m GROUP BY mask ORDER BY n_users DESC, mask ASC"""))
 
+  // q265 — PRICE-VOLUME REVENUE BRIDGE per brand, 1996→1997 (the FP&A
+  // decomposition "how much of the revenue change was volume, how much
+  // price": Δrev = Δqty·p̄ + q̄·Δprice with midpoint anchors, residual
+  // zero by construction — the two effects provably sum to the total).
+  // Fact rows reduce once to (brand, year) decimal-exact qty/revenue;
+  // everything after is brand-grain arithmetic on exact sums.
+  private val q265 = Q(
+    "q265_revenue_bridge",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .filter(col("yr").isin(1996, 1997))
+      val by = li.groupBy(col("p_brand"), col("yr"))
+        .agg(Det.dsum(col("l_quantity")).as("qty"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("rev"))
+      def side(y: Int, p: String) = by.filter(col("yr") === y)
+        .select(col("p_brand"), col("qty").as(s"q$p"), col("rev").as(s"r$p"))
+      side(1996, "1").join(side(1997, "2"), Seq("p_brand"), "inner")
+        .withColumn("p1", col("r1") / col("q1"))
+        .withColumn("p2", col("r2") / col("q2"))
+        .withColumn("vol_effect", Det.roundAt(
+          (col("q2") - col("q1")) * (col("p1") + col("p2")) / 2.0, 4))
+        .withColumn("price_effect", Det.roundAt(
+          (col("p2") - col("p1")) * (col("q1") + col("q2")) / 2.0, 4))
+        .select(col("p_brand"),
+          Det.roundAt(col("r2") - col("r1"), 4).as("delta_rev"),
+          col("vol_effect"), col("price_effect"),
+          Det.roundAt(col("r2") - col("r1")
+            - ((col("q2") - col("q1")) * (col("p1") + col("p2")) / 2.0
+              + (col("p2") - col("p1")) * (col("q1") + col("q2")) / 2.0), 4)
+            .as("residual"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH li AS (SELECT p_brand, EXTRACT(YEAR FROM o_orderdate) AS yr,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+        GROUP BY p_brand, yr),
+      a AS (SELECT p_brand, qty AS q1, rev AS r1 FROM li WHERE yr = 1996),
+      b AS (SELECT p_brand, qty AS q2, rev AS r2 FROM li WHERE yr = 1997),
+      j AS (SELECT a.p_brand AS p_brand, q1, r1, q2, r2,
+          r1 / q1 AS p1, r2 / q2 AS p2
+        FROM a JOIN b ON a.p_brand = b.p_brand)
+      SELECT p_brand,
+        floor((r2 - r1) * 10000 + 0.5) / 10000 AS delta_rev,
+        floor((q2 - q1) * (p1 + p2) / 2.0 * 10000 + 0.5) / 10000 AS vol_effect,
+        floor((p2 - p1) * (q1 + q2) / 2.0 * 10000 + 0.5) / 10000 AS price_effect,
+        floor((r2 - r1 - ((q2 - q1) * (p1 + p2) / 2.0
+          + (p2 - p1) * (q1 + q2) / 2.0)) * 10000 + 0.5) / 10000 AS residual
+      FROM j ORDER BY p_brand"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5651,5 +5711,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265)
 }
