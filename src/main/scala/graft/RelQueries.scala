@@ -5701,6 +5701,48 @@ object RelQueries {
           + (p2 - p1) * (q1 + q2) / 2.0)) * 10000 + 0.5) / 10000 AS residual
       FROM j ORDER BY p_brand"""))
 
+  // q266 — SPEARMAN RANK CORRELATION (discount vs quantity per return
+  // flag — the monotone-association complement to q10's Pearson, immune
+  // to the outliers and nonlinearity that bend r): average ranks for
+  // ties DOUBLED to stay integer (avg rank = min-rank + (ties−1)/2 →
+  // 2·avg is exact), then the decimal-exact Pearson of the rank pairs.
+  // Ranks come from two windows over the same per-group sort grain.
+  private val q266 = Q(
+    "q266_spearman",
+    (s, dir) => {
+      def ranks2(c: String, out: String) = {
+        val wMin = Window.partitionBy("l_returnflag").orderBy(col(c))
+        val wTie = Window.partitionBy("l_returnflag", c)
+        (rank().over(wMin) * 2 + count(lit(1)).over(wTie) - 1)
+          .cast("long").as(out)
+      }
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_discount"), col("l_quantity"))
+        .select(col("l_returnflag"),
+          ranks2("l_discount", "rx"), ranks2("l_quantity", "ry"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Det.roundAt(Det.dcorr(col("rx"), col("ry"), 0), 6).as("spearman_rho"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,0))) AS DOUBLE)"
+      val (sx, sy) = (ds("rx"), ds("ry"))
+      val (sxx, syy, sxy) = (ds("rx * rx"), ds("ry * ry"), ds("rx * ry"))
+      s"""WITH r AS (SELECT l_returnflag,
+          CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_discount) * 2
+            + COUNT(*) OVER (PARTITION BY l_returnflag, l_discount) - 1 AS BIGINT) AS rx,
+          CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) * 2
+            + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS BIGINT) AS ry
+        FROM lineitem)
+      SELECT l_returnflag, COUNT(*) AS n,
+        ${Det.roundAtSql(
+          s"($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))",
+          6)} AS spearman_rho
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5711,5 +5753,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266)
 }
