@@ -5743,6 +5743,99 @@ object RelQueries {
       FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""
     })
 
+  // q267 — LAGGED CROSS-CORRELATION between the hourly view and
+  // purchase series (does browsing LEAD buying, and by how many
+  // hours?): Pearson r of (viewₜ, purchaseₜ₊ₖ) for k = 0…6, each lag an
+  // equi-join of the calendar-bounded hourly series at h+k (only hours
+  // where both exist — calendar gaps never fabricate a pair). Integer
+  // counts → decimal-exact cross-moments; q146's ACF machinery pointed
+  // across two series.
+  private val q267 = Q(
+    "q267_cross_correlation",
+    (s, dir) => {
+      val hourly = graft.operators.Ckpt.local(
+        tbl(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(floor(col("ts").cast("long") / 3600L).as("h"), col("event_type"))
+          .agg(count(lit(1)).as("c")))
+      val v = hourly.filter(col("event_type") === "view")
+        .select(col("h"), col("c").as("x"))
+      val p = hourly.filter(col("event_type") === "purchase")
+        .select(col("h").as("hp"), col("c").as("y"))
+      val lags = (0 to 6).map { k =>
+        v.join(p, col("hp") === col("h") + k)
+          .agg(lit(k.toLong).as("lag_hours"), count(lit(1)).as("n"),
+            Det.roundAt(Det.dcorr(col("x"), col("y"), 0), 6).as("ccf"))
+      }
+      lags.reduce(_.unionByName(_)).orderBy("lag_hours")
+    },
+    Some {
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(28,0))) AS DOUBLE)"
+      val (sx, sy) = (ds("x"), ds("y"))
+      val (sxx, syy, sxy) = (ds("x * x"), ds("y * y"), ds("x * y"))
+      val corr = Det.roundAtSql(
+        s"($n * $sxy - $sx * $sy) / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy))", 6)
+      val one = (k: Int) =>
+        s"""SELECT $k AS lag_hours, COUNT(*) AS n, $corr AS ccf
+          FROM v JOIN p ON p.hp = v.h + $k"""
+      s"""WITH hourly AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS h,
+            event_type, COUNT(*) AS c
+          FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        v AS (SELECT h, CAST(c AS BIGINT) AS x FROM hourly
+          WHERE event_type = 'view'),
+        p AS (SELECT h AS hp, CAST(c AS BIGINT) AS y FROM hourly
+          WHERE event_type = 'purchase')
+      ${(0 to 6).map(one).mkString("\n      UNION ALL ")}
+      ORDER BY lag_hours"""
+    })
+
+  // q268 — RANK MOVERS: which props.k "tags" rose or fell hardest
+  // between the corpus' first and second half (frequency rank shift —
+  // the movers-and-shakers board behind every trending UI): per half,
+  // deterministic dense ranks by count; output the top-10 |shift|.
+  // Tag-grain everything after one day-split count.
+  private val q268 = Q(
+    "q268_rank_movers",
+    (s, dir) => {
+      val kcol = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k")
+      val e = tbl(s, dir, "events")
+        .select(kcol, col("ts").cast("long").as("sec"))
+      val mid = e.agg(((min(col("sec")) + max(col("sec"))) / 2).cast("long")
+        .as("mid"))
+      val counts = e.crossJoin(broadcast(mid))
+        .groupBy(col("k"), (col("sec") <= col("mid")).cast("int").as("first_half"))
+        .agg(count(lit(1)).as("c"))
+      def half(fh: Int, p: String) = {
+        val w = Window.orderBy(desc("c"), asc("k"))
+        counts.filter(col("first_half") === fh)
+          .withColumn(s"rank_$p", row_number().over(w).cast("long"))
+          .select(col("k"), col("c").as(s"c_$p"), col(s"rank_$p"))
+      }
+      half(1, "a").join(half(0, "b"), Seq("k"), "inner")
+        .withColumn("shift", col("rank_a") - col("rank_b"))
+        .orderBy(abs(col("shift")).desc, col("k").asc)
+        .limit(10)
+        .select("k", "c_a", "rank_a", "c_b", "rank_b", "shift")
+    },
+    Some("""WITH e AS (SELECT CAST(props->>'$.k' AS BIGINT) AS k,
+          epoch_ns(ts) // 1000000000 AS sec FROM events),
+      mid AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e),
+      counts AS (SELECT k, CASE WHEN sec <= mid THEN 1 ELSE 0 END AS first_half,
+          COUNT(*) AS c
+        FROM e CROSS JOIN mid GROUP BY 1, 2),
+      a AS (SELECT k, c AS c_a,
+          CAST(ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS BIGINT) AS rank_a
+        FROM counts WHERE first_half = 1),
+      b AS (SELECT k, c AS c_b,
+          CAST(ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS BIGINT) AS rank_b
+        FROM counts WHERE first_half = 0)
+      SELECT a.k AS k, c_a, rank_a, c_b, rank_b, rank_a - rank_b AS shift
+      FROM a JOIN b ON a.k = b.k
+      ORDER BY abs(rank_a - rank_b) DESC, a.k ASC LIMIT 10"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5753,5 +5846,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268)
 }
