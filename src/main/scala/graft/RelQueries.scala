@@ -5836,6 +5836,61 @@ object RelQueries {
       FROM a JOIN b ON a.k = b.k
       ORDER BY abs(rank_a - rank_b) DESC, a.k ASC LIMIT 10"""))
 
+  // q269 — ENGAGEMENT DEPTH (days-active-per-week histogram: how many
+  // user-weeks were 1-day drive-bys vs 7-day habits — the depth
+  // dimension q230's DAU/WAU ratio only averages): distinct user-day,
+  // roll to user-week depth, histogram ≤ 7 buckets.
+  private val q269 = Q(
+    "q269_engagement_depth",
+    (s, dir) => {
+      val ud = tbl(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"),
+          floor(col("ts").cast("long") / 86400L).as("day"))
+        .distinct()
+      ud.groupBy("user_id", "week")
+        .agg(count(lit(1)).as("days_active"))
+        .groupBy("days_active")
+        .agg(count(lit(1)).as("n_user_weeks"))
+        .orderBy("days_active")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week,
+          epoch_ns(ts) // 1000000000 // 86400 AS day FROM events),
+      uw AS (SELECT user_id, week, COUNT(*) AS days_active
+        FROM ud GROUP BY user_id, week)
+      SELECT days_active, COUNT(*) AS n_user_weeks
+      FROM uw GROUP BY days_active ORDER BY days_active"""))
+
+  // q270 — VALUE BY TENURE (average event value as a function of weeks
+  // since the user's first activity — the lifecycle curve under q250's
+  // LTV): tenure from a broadcast per-user first-week; week-offset
+  // grain output with decimal-exact means.
+  private val q270 = Q(
+    "q270_value_by_tenure",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"), col("value"))
+      val first = e.groupBy("user_id").agg(min(col("week")).as("w0"))
+      e.join(broadcast(first), "user_id")
+        .groupBy((datediff(col("week"), col("w0")) / 7).cast("long")
+          .as("tenure_weeks"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Det.roundAt(Det.dsum(col("value")) / count(lit(1)), 6)
+            .as("avg_value"))
+        .orderBy("tenure_weeks")
+    },
+    Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) AS week, value
+          FROM events),
+      f AS (SELECT user_id, MIN(week) AS w0 FROM e GROUP BY user_id)
+      SELECT CAST(date_diff('day', w0, week) // 7 AS BIGINT) AS tenure_weeks,
+        COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_users,
+        floor(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+          * 1000000 + 0.5) / 1000000 AS avg_value
+      FROM e JOIN f ON f.user_id = e.user_id
+      GROUP BY 1 ORDER BY tenure_weeks"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5846,5 +5901,5 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
 }
