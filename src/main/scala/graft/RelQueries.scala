@@ -5891,6 +5891,169 @@ object RelQueries {
       FROM e JOIN f ON f.user_id = e.user_id
       GROUP BY 1 ORDER BY tenure_weeks"""))
 
+  // q271 — RETENTION BY ACQUISITION TYPE (does how a user ARRIVED
+  // predict whether they come back? first event type as the acquisition
+  // channel, next-week return rate per channel): per-user first event
+  // via one min-struct aggregate, return = any activity in days 7–13
+  // after the first day. Channel-grain output.
+  private val q271 = Q(
+    "q271_acquisition_retention",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"),
+          col("event_id"), col("event_type"))
+      val first = e.groupBy("user_id")
+        .agg(min(struct(col("sec"), col("event_id"), col("event_type")))
+          .as("f"))
+        .select(col("user_id"), col("f.sec").as("f_sec"),
+          col("f.event_type").as("channel"))
+      val d0 = floor(col("f_sec") / 86400L)
+      val ret = e.select(col("user_id"), floor(col("sec") / 86400L).as("day"))
+        .distinct()
+        .join(broadcast(first.select(col("user_id"), d0.as("d0"))), "user_id")
+        .filter(col("day") >= col("d0") + 7 && col("day") <= col("d0") + 13)
+        .select(col("user_id")).distinct()
+        .withColumn("returned", lit(1L))
+      first.join(ret, Seq("user_id"), "left")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("returned"), lit(0L))).as("n_returned"))
+        .withColumn("week1_retention", Det.roundAt(
+          col("n_returned").cast("double") / col("n_users").cast("double"), 6))
+        .orderBy("channel")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+          event_id, event_type FROM events),
+      f AS (SELECT user_id,
+          MIN({'sec': sec, 'eid': event_id, 'et': event_type}) AS fr
+        FROM e GROUP BY user_id),
+      fx AS (SELECT user_id, fr.sec AS f_sec, fr.et AS channel,
+          fr.sec // 86400 AS d0 FROM f),
+      act AS (SELECT DISTINCT e.user_id, sec // 86400 AS day FROM e),
+      ret AS (SELECT DISTINCT act.user_id FROM act JOIN fx USING (user_id)
+        WHERE day >= d0 + 7 AND day <= d0 + 13)
+      SELECT channel, COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN ret.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_returned,
+        floor(CAST(SUM(CASE WHEN ret.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS week1_retention
+      FROM fx LEFT JOIN ret ON ret.user_id = fx.user_id
+      GROUP BY channel ORDER BY channel"""))
+
+  // q272 — VALUE CONCENTRATION ("whale curve": what share of total
+  // value do the top 1% / 10% users produce — the skew number behind
+  // every monetization plan): user-grain decimal-exact totals, one
+  // descending rank, two threshold sums. Complements q211's ABC classes
+  // with user-population percentiles.
+  private val q272 = Q(
+    "q272_value_concentration",
+    (s, dir) => {
+      val u = tbl(s, dir, "events")
+        .groupBy("user_id").agg(Det.dsum(col("value")).as("v"))
+      val n = u.agg(count(lit(1)).as("n_users"),
+        Det.dsum(col("v"), 2).as("total"))
+      val ranked = u.withColumn("rk",
+        row_number().over(Window.orderBy(desc("v"), asc("user_id"))))
+      ranked.crossJoin(broadcast(n))
+        .select(col("n_users"), col("total"),
+          when(col("rk") * 100 <= col("n_users"), col("v")).as("top1"),
+          when(col("rk") * 10 <= col("n_users"), col("v")).as("top10"))
+        .groupBy("n_users", "total")
+        .agg(Det.dsum(col("top1"), 2).as("top1_value"),
+          Det.dsum(col("top10"), 2).as("top10_value"))
+        .select(col("n_users"),
+          Det.roundAt(col("total"), 2).as("total_value"),
+          Det.roundAt(col("top1_value") / col("total"), 6).as("top1pct_share"),
+          Det.roundAt(col("top10_value") / col("total"), 6).as("top10pct_share"))
+    },
+    Some("""WITH u AS (SELECT user_id,
+          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+        FROM events GROUP BY user_id),
+      n AS (SELECT COUNT(*) AS n_users,
+          CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS total FROM u),
+      r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, user_id ASC) AS rk
+        FROM u)
+      SELECT n_users,
+        floor(total * 100 + 0.5) / 100 AS total_value,
+        floor(CAST(SUM(CASE WHEN rk * 100 <= n_users
+            THEN CAST(v AS DECIMAL(28,2)) END) AS DOUBLE) / total
+          * 1000000 + 0.5) / 1000000 AS top1pct_share,
+        floor(CAST(SUM(CASE WHEN rk * 10 <= n_users
+            THEN CAST(v AS DECIMAL(28,2)) END) AS DOUBLE) / total
+          * 1000000 + 0.5) / 1000000 AS top10pct_share
+      FROM r CROSS JOIN n GROUP BY n_users, total"""))
+
+  // q273 — REPEAT-PURCHASE CADENCE: the distribution of gaps between a
+  // user's consecutive purchases (the replenishment-cycle number behind
+  // send-time optimization): one lag window over purchase events only,
+  // exact global percentiles of the day gaps.
+  private val q273 = Q(
+    "q273_repurchase_cadence",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      val gaps = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("sec"), col("event_id"))
+        .withColumn("gap_days",
+          (col("sec") - lag(col("sec"), 1).over(w)).cast("double") / 86400.0)
+        .filter(col("gap_days").isNotNull)
+      gaps.agg(count(lit(1)).as("n_gaps"),
+        Det.roundAt(percentile(col("gap_days"), lit(0.25)), 4).as("p25_days"),
+        Det.roundAt(percentile(col("gap_days"), lit(0.5)), 4).as("p50_days"),
+        Det.roundAt(percentile(col("gap_days"), lit(0.75)), 4).as("p75_days"),
+        Det.roundAt(max(col("gap_days")), 4).as("max_days"))
+    },
+    Some("""WITH p AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, event_id
+          FROM events WHERE event_type = 'purchase'),
+      g AS (SELECT CAST(sec - lag(sec) OVER (PARTITION BY user_id
+            ORDER BY sec, event_id) AS DOUBLE) / 86400.0 AS gap_days FROM p)
+      SELECT COUNT(*) AS n_gaps,
+        floor(quantile_cont(gap_days, 0.25) * 10000 + 0.5) / 10000 AS p25_days,
+        floor(quantile_cont(gap_days, 0.5) * 10000 + 0.5) / 10000 AS p50_days,
+        floor(quantile_cont(gap_days, 0.75) * 10000 + 0.5) / 10000 AS p75_days,
+        floor(MAX(gap_days) * 10000 + 0.5) / 10000 AS max_days
+      FROM g WHERE gap_days IS NOT NULL"""))
+
+  // q274 — CONVERSION BY SESSION DEPTH (does a longer session convert
+  // better? sessions bucketed by event count, purchase share per
+  // bucket): q37's 30-min session grain, integer CASE depth buckets,
+  // bucket-grain output.
+  private val q274 = Q(
+    "q274_depth_conversion",
+    (s, dir) => {
+      val sess = tbl(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("depth"),
+          max((col("event_type") === "purchase").cast("long")).as("converted"))
+      val bucket = when(col("depth") === 1L, "1")
+        .when(col("depth") <= 3L, "2-3").when(col("depth") <= 6L, "4-6")
+        .otherwise("7+")
+      sess.groupBy(bucket.as("depth_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"))
+        .withColumn("conversion_rate", Det.roundAt(
+          col("n_converted").cast("double") / col("n_sessions").cast("double"), 6))
+        .orderBy("depth_bucket")
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, event_type,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+      sess AS (SELECT user_id, sid, COUNT(*) AS depth,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM s GROUP BY user_id, sid),
+      b AS (SELECT CASE WHEN depth = 1 THEN '1' WHEN depth <= 3 THEN '2-3'
+          WHEN depth <= 6 THEN '4-6' ELSE '7+' END AS depth_bucket, converted
+        FROM sess)
+      SELECT depth_bucket, COUNT(*) AS n_sessions,
+        CAST(SUM(converted) AS BIGINT) AS n_converted,
+        floor(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS conversion_rate
+      FROM b GROUP BY depth_bucket ORDER BY depth_bucket"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -5901,5 +6064,6 @@ object RelQueries {
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
-    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270)
+    q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
+    q271, q272, q273, q274)
 }
