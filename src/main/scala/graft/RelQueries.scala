@@ -6054,6 +6054,150 @@ object RelQueries {
           * 1000000 + 0.5) / 1000000 AS conversion_rate
       FROM b GROUP BY depth_bucket ORDER BY depth_bucket"""))
 
+  // q275 — INCIDENT IMPACT ON CONVERSION: sessions that overlap a
+  // global error-burst window (q216's outage grain and cell-join shape)
+  // vs clean sessions — the SRE-to-revenue bridge "did the incident
+  // cost us purchases?". Session and outage intervals in integer
+  // seconds; overlap via hour-cell equi-join + pair dedup; one
+  // two-row impact report.
+  private val q275 = Q(
+    "q275_incident_impact",
+    (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      def toSec(c: org.apache.spark.sql.Column) = c.cast("long")
+      val sess = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(toSec(min(col("ts"))).as("a_s"),
+          (toSec(max(col("ts"))) + 1800L).as("a_e"),
+          max((col("event_type") === "purchase").cast("long")).as("converted"))
+        .select("user_id", "a_s", "a_e", "converted")
+      val outage = ev.filter(col("event_type") === "error")
+        .groupBy(session_window(col("ts"), "10 minutes"))
+        .agg(toSec(min(col("ts"))).as("o_s"),
+          (toSec(max(col("ts"))) + 600L).as("o_e"))
+        .select("o_s", "o_e")
+      def cells(df: org.apache.spark.sql.DataFrame, s0: String, e0: String) =
+        df.withColumn("cell",
+          explode(sequence(col(s0) / 3600L cast "long", col(e0) / 3600L cast "long")))
+      val hit = cells(sess, "a_s", "a_e")
+        .join(cells(outage, "o_s", "o_e"), "cell")
+        .filter(col("a_s") < col("o_e") && col("o_s") < col("a_e"))
+        .select("user_id", "a_s").distinct()
+        .withColumn("overlapped", lit(1L))
+      sess.join(hit, Seq("user_id", "a_s"), "left")
+        .groupBy(coalesce(col("overlapped"), lit(0L)).as("overlapped_outage"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"))
+        .withColumn("conversion_rate", Det.roundAt(
+          col("n_converted").cast("double") / col("n_sessions").cast("double"), 6))
+        .orderBy("overlapped_outage")
+    },
+    Some("""WITH ue AS (SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      us AS (SELECT user_id, ts, event_type,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid FROM ue),
+      a AS (SELECT user_id, epoch_ns(MIN(ts)) // 1000000000 AS a_s,
+          epoch_ns(MAX(ts)) // 1000000000 + 1800 AS a_e,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM us GROUP BY user_id, sid),
+      ee AS (SELECT ts, event_id,
+          CASE WHEN lag(ts) OVER v IS NULL
+            OR ts - lag(ts) OVER v >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS ns
+        FROM events WHERE event_type = 'error'
+        WINDOW v AS (ORDER BY ts, event_id)),
+      es AS (SELECT ts, SUM(ns) OVER (ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid FROM ee),
+      o AS (SELECT epoch_ns(MIN(ts)) // 1000000000 AS o_s,
+          epoch_ns(MAX(ts)) // 1000000000 + 600 AS o_e FROM es GROUP BY sid),
+      hit AS (SELECT DISTINCT a.user_id, a.a_s FROM a JOIN o
+        ON a.a_s < o.o_e AND o.o_s < a.a_e)
+      SELECT CASE WHEN hit.user_id IS NOT NULL THEN 1 ELSE 0 END
+          AS overlapped_outage,
+        COUNT(*) AS n_sessions, CAST(SUM(converted) AS BIGINT) AS n_converted,
+        floor(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS conversion_rate
+      FROM a LEFT JOIN hit ON hit.user_id = a.user_id AND hit.a_s = a.a_s
+      GROUP BY 1 ORDER BY overlapped_outage"""))
+
+  // q276 — AUDIENCE OVERLAP per week (Jaccard of the weekly viewer and
+  // buyer sets — the "how much of my buying audience also browses"
+  // number): two distinct entity-week sets, full-outer at (user, week),
+  // integer intersection/union counts.
+  private val q276 = Q(
+    "q276_audience_overlap",
+    (s, dir) => {
+      def wk(t: String) = tbl(s, dir, "events")
+        .filter(col("event_type") === t)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct().withColumn(s"is_$t", lit(1L))
+      wk("view").join(wk("purchase"), Seq("user_id", "week"), "full_outer")
+        .groupBy("week")
+        .agg(sum(coalesce(col("is_view"), lit(0L))).as("n_viewers"),
+          sum(coalesce(col("is_purchase"), lit(0L))).as("n_buyers"),
+          sum((col("is_view").isNotNull && col("is_purchase").isNotNull)
+            .cast("long")).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .withColumn("jaccard", Det.roundAt(
+          col("n_both").cast("double") / col("n_union").cast("double"), 6))
+        .select(col("week").cast("string").as("week_start"), col("n_viewers"),
+          col("n_buyers"), col("n_both"), col("jaccard"))
+        .orderBy("week_start")
+    },
+    Some("""WITH v AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events WHERE event_type = 'view'),
+      p AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+          COALESCE(v.week, p.week) AS week,
+          CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_v,
+          CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_p
+        FROM v FULL OUTER JOIN p
+          ON v.user_id = p.user_id AND v.week = p.week)
+      SELECT strftime(week, '%Y-%m-%d') AS week_start,
+        CAST(SUM(is_v) AS BIGINT) AS n_viewers,
+        CAST(SUM(is_p) AS BIGINT) AS n_buyers,
+        CAST(SUM(is_v * is_p) AS BIGINT) AS n_both,
+        floor(CAST(SUM(is_v * is_p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS jaccard
+      FROM j GROUP BY week ORDER BY week_start"""))
+
+  // q277 — WEEKLY BOUNCE-RATE TREND (share of single-event sessions —
+  // the engagement-quality line on every web dashboard): q37's session
+  // grain keyed to the session's start week; week-grain output.
+  private val q277 = Q(
+    "q277_bounce_trend",
+    (s, dir) => {
+      val sess = tbl(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("depth"), min(col("ts")).as("t0"))
+      sess.groupBy(date_trunc("week", col("t0")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum((col("depth") === 1L).cast("long")).as("n_bounces"))
+        .withColumn("bounce_rate", Det.roundAt(
+          col("n_bounces").cast("double") / col("n_sessions").cast("double"), 6))
+        .select(col("week").cast("string").as("week_start"),
+          col("n_sessions"), col("n_bounces"), col("bounce_rate"))
+        .orderBy("week_start")
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts,
+          SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+      sess AS (SELECT user_id, sid, COUNT(*) AS depth, MIN(ts) AS t0
+        FROM s GROUP BY user_id, sid)
+      SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS week_start,
+        COUNT(*) AS n_sessions,
+        CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        floor(CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bounce_rate
+      FROM sess GROUP BY 1 ORDER BY week_start"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -6065,5 +6209,5 @@ object RelQueries {
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
     q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274)
+    q271, q272, q273, q274, q275, q276, q277)
 }
