@@ -6198,6 +6198,109 @@ object RelQueries {
           / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bounce_rate
       FROM sess GROUP BY 1 ORDER BY week_start"""))
 
+  // q278 — ERROR RATE vs LOAD (does the error share climb with hourly
+  // volume? the capacity-planning correlation): hourly (volume, error
+  // count), volume quintiles by ntile over the calendar-bounded series,
+  // pooled error share per quintile.
+  private val q278 = Q(
+    "q278_error_vs_load",
+    (s, dir) => {
+      val hourly = tbl(s, dir, "events")
+        .groupBy(floor(col("ts").cast("long") / 3600L).as("h"))
+        .agg(count(lit(1)).as("c"),
+          sum((col("event_type") === "error").cast("long")).as("errs"))
+      hourly
+        .withColumn("load_quintile", ntile(5).over(
+          Window.orderBy(col("c").asc, col("h").asc)).cast("long"))
+        .groupBy("load_quintile")
+        .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
+          sum(col("errs")).as("n_errors"))
+        .withColumn("error_rate", Det.roundAt(
+          col("n_errors").cast("double") / col("n_events").cast("double"), 6))
+        .orderBy("load_quintile")
+    },
+    Some("""WITH hourly AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS h,
+          COUNT(*) AS c,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+            AS errs
+        FROM events GROUP BY 1),
+      q AS (SELECT c, errs,
+          CAST(NTILE(5) OVER (ORDER BY c ASC, h ASC) AS BIGINT) AS load_quintile
+        FROM hourly)
+      SELECT load_quintile, COUNT(*) AS n_hours,
+        CAST(SUM(c) AS BIGINT) AS n_events,
+        CAST(SUM(errs) AS BIGINT) AS n_errors,
+        floor(CAST(SUM(errs) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS error_rate
+      FROM q GROUP BY load_quintile ORDER BY load_quintile"""))
+
+  // q279 — BASKET DIVERSITY (distinct brands per order — single-brand
+  // loyalty vs cross-brand baskets): order-grain distinct count off the
+  // broadcast part dim, histogram per diversity level.
+  private val q279 = Q(
+    "q279_basket_diversity",
+    (s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("p_brand")).as("n_brands"),
+          count(lit(1)).as("n_lines"))
+        .groupBy("n_brands")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.roundAt(sum(col("n_lines")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("avg_lines"))
+        .orderBy("n_brands")
+    },
+    Some("""WITH li AS (SELECT l_orderkey, p_brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+      o AS (SELECT l_orderkey, COUNT(DISTINCT p_brand) AS n_brands,
+          COUNT(*) AS n_lines FROM li GROUP BY l_orderkey)
+      SELECT n_brands, COUNT(*) AS n_orders,
+        floor(CAST(SUM(n_lines) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS avg_lines
+      FROM o GROUP BY n_brands ORDER BY n_brands"""))
+
+  // q280 — EARLY-SIGNAL VALIDATION (does week-1 spend predict lifetime
+  // spend? the quartile transition matrix between each user's first-week
+  // value and their total value — the audit behind every "predictive
+  // LTV" model): two deterministic ntile(4) rankings over the user
+  // grain, ≤16 cell rows. Diagonal mass = early signal quality.
+  private val q280 = Q(
+    "q280_early_signal",
+    (s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("long").as("sec"), col("value"))
+      val first = e.groupBy("user_id").agg(min(col("sec")).as("f0"))
+      val u = e.join(broadcast(first), "user_id")
+        .groupBy("user_id")
+        .agg(Det.dsum(when(col("sec") <= col("f0") + 604800L, col("value"))
+          .otherwise(lit(0.0))).as("w1_value"),
+          Det.dsum(col("value")).as("total_value"))
+      def quart(c: String) = ntile(4).over(
+        Window.orderBy(col(c).desc, col("user_id").asc)).cast("long")
+      u.withColumn("w1_q", quart("w1_value"))
+        .withColumn("total_q", quart("total_value"))
+        .groupBy("w1_q", "total_q")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("w1_q", "total_q")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+          FROM events),
+      f AS (SELECT user_id, MIN(sec) AS f0 FROM e GROUP BY user_id),
+      u AS (SELECT e.user_id,
+          CAST(SUM(CAST(CASE WHEN sec <= f0 + 604800 THEN value ELSE 0.0 END
+            AS DECIMAL(28,2))) AS DOUBLE) AS w1_value,
+          CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM e JOIN f ON f.user_id = e.user_id GROUP BY e.user_id),
+      q AS (SELECT user_id,
+          CAST(NTILE(4) OVER (ORDER BY w1_value DESC, user_id ASC) AS BIGINT) AS w1_q,
+          CAST(NTILE(4) OVER (ORDER BY total_value DESC, user_id ASC) AS BIGINT) AS total_q
+        FROM u)
+      SELECT w1_q, total_q, COUNT(*) AS n_users
+      FROM q GROUP BY w1_q, total_q ORDER BY w1_q, total_q"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q32, q33, q37, q38,
     q40, q41, q42, q43, q46, q48, q58, q59, q65, q66, q67, q69, q70, q74,
@@ -6209,5 +6312,5 @@ object RelQueries {
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
     q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
     q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q275, q276, q277)
+    q271, q272, q273, q274, q275, q276, q277, q278, q279, q280)
 }
