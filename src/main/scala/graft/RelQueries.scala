@@ -4290,7 +4290,7 @@ object RelQueries {
         floor((l + b) * 1000000 + 0.5) / 1000000 AS forecast_1h,
         floor((l + 2.0 * b) * 1000000 + 0.5) / 1000000 AS forecast_2h,
         floor((l + 3.0 * b) * 1000000 + 0.5) / 1000000 AS forecast_3h
-      FROM fin CROSS JOIN n"""))
+      FROM fin CROSS JOIN n WHERE n.n_obs >= 2"""))
 
   // q229 — ITEM-ITEM CO-OCCURRENCE SIMILARITY (the classic recsys
   // "customers also bought" neighborhood): cosine = co/√(cₐ·c_b) over
@@ -4738,6 +4738,49 @@ object RelQueries {
       FROM e"""
     })
 
+  // q233 — WEIGHTED-DEGREE (STRENGTH) HUBS: the degree-weighted variant
+  // of q240/q241 — each trading edge weighted by the number of distinct
+  // orders carried, node strength = Σ edge weights, top-5 hubs per node
+  // kind by strength. Edge weights land in the same groupBy that
+  // deduplicates the pair list (no second pass over lineitem); the node
+  // roll-up is node-grain; the per-kind top-5 compiles to
+  // WindowGroupLimit, so at 100 TB nothing beyond the ranked head ever
+  // leaves the map side.
+  private val q233 = Q(
+    "q233_strength_hubs",
+    (s, dir) => {
+      val pairs = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .agg(countDistinct(col("o_orderkey")).as("w"))
+      val ends = pairs.select(col("c").as("id"), col("w"))
+        .union(pairs.select(col("s").as("id"), col("w")))
+      ends.groupBy("id")
+        .agg(count(lit(1)).as("deg"), sum(col("w")).as("strength"))
+        .withColumn("kind",
+          when(col("id") % 2 === 0, "customer").otherwise("supplier"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("kind"))
+            .orderBy(col("strength").desc, col("id").asc)).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("kind"), col("rank"), col("id"), col("deg"), col("strength"))
+        .orderBy("kind", "rank")
+    },
+    Some("""WITH p AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+          COUNT(DISTINCT o_orderkey) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+      u AS (SELECT c AS id, w FROM p UNION ALL SELECT s, w FROM p),
+      node AS (SELECT id, COUNT(*) AS deg, CAST(SUM(w) AS BIGINT) AS strength
+        FROM u GROUP BY id),
+      r AS (SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+          id, deg, strength,
+          ROW_NUMBER() OVER (PARTITION BY id % 2
+            ORDER BY strength DESC, id ASC) AS rank
+        FROM node)
+      SELECT kind, rank, id, deg, strength FROM r WHERE rank <= 5
+      ORDER BY kind, rank"""))
+
   // q245 — MANN-KENDALL TREND TEST per user (the non-parametric partner
   // to q223's Theil-Sen slope): S = Σ_{i<j} sign(vⱼ − vᵢ) over the
   // time-ordered pairs — an INTEGER statistic, no libm anywhere — and
@@ -5180,7 +5223,7 @@ object RelQueries {
           * 1000000 + 0.5) / 1000000 AS mae_naive,
         floor(CAST(sh AS DOUBLE) / CAST(sn AS DOUBLE) * 1000000 + 0.5) / 1000000
           AS mase
-      FROM fin CROSS JOIN n"""))
+      FROM fin CROSS JOIN n WHERE n.n_obs >= 3"""))
 
   // q255 — CAPPED SESSIONIZATION (60-min inactivity gap OR 30-min max
   // session duration): the cap needs the running session ANCHOR — a
@@ -6310,7 +6353,7 @@ object RelQueries {
     q146, q147, q148, q149, q151, q152, q153, q154, q155, q156, q157, q167,
     q181, q182, q185, q187, q191, q192, q197, q199, q201, q202, q203, q204,
     q205, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q221,
-    q222, q223, q225, q226, q227, q228, q229, q230, q231, q235, q236,
+    q222, q223, q225, q226, q227, q228, q229, q230, q231, q233, q235, q236,
     q237, q238, q239, q240, q241, q244, q245, q246, q247, q248, q250, q251, q252, q253, q254, q255, q256, q258, q259, q260, q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
     q271, q272, q273, q274, q275, q276, q277, q278, q279, q280)
 }

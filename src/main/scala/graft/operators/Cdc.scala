@@ -45,20 +45,29 @@ object Cdc {
     *
     * Scale shape: the change-batch compaction is one window on the
     * (small) batch; the apply is ONE anti-join of the target against the
-    * touched-key set — broadcastable whenever the batch fits, so the
-    * 100 TB target is never shuffled — plus a union. No full outer join,
-    * no target rewrite beyond the rows actually touched.
+    * touched-key set — broadcast when the compacted key count is at most
+    * `maxBroadcastKeys` (so the 100 TB target is never shuffled for
+    * normal change batches), degrading to a shuffled left_anti for
+    * oversized batches (e.g. a backfill) instead of OOMing the driver —
+    * plus a union. No full outer join, no target rewrite beyond the
+    * rows actually touched. Counting the compacted keys costs one extra
+    * batch-grain job (and one recompute of the batch-grain window when
+    * the plan runs); no checkpoint is taken here because the result is
+    * consumed lazily by the caller — including streaming foreachBatch
+    * threads — and a checkpoint could not be scope-released safely.
     *
     * `changes` must carry every `target` column plus `opCol` (+ seq). */
   def merge(target: DataFrame, changes: DataFrame, key: String,
-            opCol: String, seqCols: Seq[String]): DataFrame = {
+            opCol: String, seqCols: Seq[String],
+            maxBroadcastKeys: Long = 5000000L): DataFrame = {
     val w = Window.partitionBy(key).orderBy(seqCols.map(c => col(c).desc): _*)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val survivors = target.join(
-      broadcast(latest.select(col(key))), Seq(key), "left_anti")
+    val keys = latest.select(col(key))
+    val keyRel = if (keys.count() <= maxBroadcastKeys) broadcast(keys) else keys
+    val survivors = target.join(keyRel, Seq(key), "left_anti")
     val applied = latest.filter(col(opCol) =!= "D")
       .select(target.columns.map(col).toIndexedSeq: _*)
     survivors.unionByName(applied)

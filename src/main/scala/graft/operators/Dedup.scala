@@ -309,14 +309,22 @@ object Dedup {
 
   /** Connected components over a near-dup pair list: each doc labeled
     * with the minimum doc id reachable through pairs (its cluster
-    * representative). Iterative min-label propagation — per round one
-    * join + one min-aggregate, converging in O(log diameter) rounds
-    * (near-dup clusters are clique-like: 1-3 rounds in practice). The
-    * standard shuffle-based connected-components shape; no driver-side
-    * graph, only a scalar convergence check per round.
+    * representative). Iterative min-label propagation WITH pointer
+    * doubling — per round one edge join (1-hop propagation) + one
+    * label self-join (each node jumps to its representative's label,
+    * doubling the propagated distance) + one min-aggregate, so a chain
+    * of length L converges in O(log L) rounds rather than O(L); on the
+    * clique-like clusters near-dedup produces it is still 1-3 rounds.
+    * The standard shuffle-based connected-components shape; no
+    * driver-side graph, only a scalar convergence check per round.
+    *
+    * Throws IllegalArgumentException if the checksum has not reached a
+    * fixpoint within `maxRounds` rounds (would need a component of
+    * diameter ≳ 2^maxRounds) — never returns silently-unconverged
+    * labels.
     *
     * Input columns (id_a, id_b); output (id, cluster). */
-  def clusters(pairs: DataFrame): DataFrame = {
+  def clusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // materialize pairs BEFORE the union — otherwise both union branches
     // re-derive the (expensive) pair pipeline independently
@@ -339,11 +347,21 @@ object Dedup {
     var prevIds = Set.empty[Int]
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val msgs = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
+      // Pointer doubling: every cluster label is itself a node id present
+      // in `labels`, so one label self-join rewrites each node's label to
+      // its representative's (smaller-or-equal) label — the propagated
+      // distance doubles per round, giving O(log diameter) convergence
+      // on chains where 1-hop propagation alone would need O(diameter).
+      val jump = labels
+        .join(labels.select(col("id").as("cluster"), col("cluster").as("c2")),
+          "cluster")
+        .select(col("id"), col("c2").as("cluster"))
       val (next, nextIds) = Ckpt.localScoped(
-        labels.union(msgs).groupBy("id").agg(min("cluster").as("cluster")))
+        labels.union(msgs).union(jump)
+          .groupBy("id").agg(min("cluster").as("cluster")))
       labels = next
       val cur = checksum(labels) // materializes this round's checkpoint …
       Ckpt.releaseIds(spark, prevIds) // … so last round's blocks can go
@@ -351,6 +369,13 @@ object Dedup {
       converged = cur == prev
       prev = cur
       rounds += 1
+    }
+    if (!converged) { // fail loudly, but free this invocation's blocks first
+      Ckpt.releaseIds(spark, pIds ++ edgeIds ++ prevIds)
+      require(converged,
+        s"Dedup.clusters: min-label propagation not at a fixpoint after " +
+          s"$maxRounds rounds (component diameter ≳ 2^$maxRounds?) — " +
+          "refusing to return unconverged cluster labels")
     }
     // The final labels are materialized, so the pair/edge checkpoints are
     // no longer reachable from any future action — free them now. The

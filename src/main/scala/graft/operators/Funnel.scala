@@ -133,7 +133,11 @@ object Funnel {
     val base = pconv(None)
     val outRows = ("none", r6(base), 0.0) +: channels.map { c =>
       val pc = pconv(Some(c))
-      (c, r6(pc), r6(1.0 - pc / base))
+      // conversion-free corpus: base = 0 makes 1 − pc/base a 0/0 NaN;
+      // removing a channel from a chain that never converts changes
+      // nothing, so the defined answer is 0.
+      val eff = if (base == 0.0) 0.0 else r6(1.0 - pc / base)
+      (c, r6(pc), eff)
     }
     import spark.implicits._
     outRows.toDF("removed", "p_conv", "removal_effect").orderBy("removed")

@@ -62,7 +62,13 @@ object Graph {
     * real graphs converge in a handful of rounds — and the fixed unroll
     * keeps the operator a deterministic constant-depth plan an oracle
     * can replay. Per round: two alive-semi-joins + one degree count,
-    * all node/edge grain. */
+    * all node/edge grain.
+    *
+    * `edges` must be SYMMETRIZED (both directions present for every
+    * undirected edge, like [[bfsLevels]]): the node set is seeded from
+    * distinct `src` and degrees are counted by grouping on `src`, so a
+    * one-direction edge list would silently drop dst-only nodes and
+    * undercount degrees. */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e = Ckpt.local(
       edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))

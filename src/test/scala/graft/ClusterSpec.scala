@@ -23,4 +23,24 @@ class ClusterSpec extends SparkSpec {
     assert(cl.forall(_.getLong(1) == 1L))
     assert(cl.length == 20)
   }
+
+  test("clusters converges on a chain far longer than the round cap (pointer doubling)") {
+    // 60-link chain: 1-hop propagation alone would need ~60 rounds and
+    // trip the default 20-round cap; pointer doubling closes it in
+    // O(log 60) rounds.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+    assert(cl.forall(_.getLong(1) == 1L))
+    assert(cl.length == 60)
+  }
+
+  test("clusters fails loudly instead of returning unconverged labels") {
+    // maxRounds = 1 cannot reach a fixpoint on a 60-link chain — the
+    // guard must throw rather than silently return partial labels.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(pairs, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("not at a fixpoint"))
+  }
 }
