@@ -1937,10 +1937,13 @@ object TextQueries {
   // rank: scores quantize to their exact 1e-6 grain (qualityScore is
   // already 6-dp), reduce to a score-grain histogram of (n_pos, n_neg)
   // — bounded by the 10⁶ score domain, not the corpus — and the
-  // rank-sum numerator folds over that histogram with one running
-  // window (ties get the exact midrank via the ×2-integer form). All
-  // integer arithmetic until the final guarded division. At 100 TB the
-  // only corpus-grain work is the LSH label build (q22's plan) and the
+  // rank-sum numerator folds over that histogram with a TWO-LEVEL
+  // prefix sum ([[graft.operators.PrefixSum]] — per-4096-score-block
+  // running sums in parallel, one tiny block-offset window; ties get
+  // the exact midrank via the ×2-integer form), so even a saturated
+  // 10⁶-value score grain never funnels through one task. All integer
+  // arithmetic until the final guarded division. At 100 TB the only
+  // corpus-grain work is the LSH label build (q22's plan) and the
   // histogram's partial agg; the positive-id set rides a broadcast.
   private val q158 = Q(
     "q158_auc",
@@ -1959,9 +1962,9 @@ object TextQueries {
       val hist = labeled.groupBy("q")
         .agg(count(when(col("is_dup"), lit(1))).as("n_pos"),
           count(when(!col("is_dup"), lit(1))).as("n_neg"))
-      val wq = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-      hist
-        .withColumn("cumneg_lt", coalesce(sum(col("n_neg")).over(wq), lit(0L)))
+      graft.operators.PrefixSum.overKeys(hist, "q",
+          floor(col("q") / 4096L).cast("long"), inclusive = false,
+          Seq("n_neg" -> "cumneg_lt"))
         .agg(sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"),
           sum(col("n_pos") * (lit(2) * col("cumneg_lt") + col("n_neg"))).as("num2"))
         .select(col("np").as("n_pos"), col("nn").as("n_neg"),
@@ -2578,12 +2581,14 @@ object TextQueries {
   // q173 — TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test between two sources'
   // quality-score distributions — the distribution-shape complement to
   // q144's binned PSI (KS needs no bin choice and catches shifts PSI's
-  // bins smear). Exact: per distinct score the per-source counts, one
-  // cumulative window ordered by score, D = max |F̂₁ − F̂₂| — integers
-  // until a single division per distinct value, so both engines agree
-  // bitwise. The window runs at SCORE grain (distinct rounded values ≪
-  // rows); the critical value c(α)·√((n₁+n₂)/(n₁n₂)) at α = 0.05 ships
-  // with the verdict bit.
+  // bins smear). Exact: per distinct score the per-source counts, both
+  // cumulative counts via ONE two-level prefix sum over the score grain
+  // ([[graft.operators.PrefixSum]] — 4096-wide micro-unit blocks in
+  // parallel, one tiny block-offset window, never a single-partition
+  // window even when the 10⁶-value grain saturates), D = max |F̂₁ − F̂₂|
+  // — integers until a single division per distinct value, so both
+  // engines agree bitwise. The critical value c(α)·√((n₁+n₂)/(n₁n₂)) at
+  // α = 0.05 ships with the verdict bit.
   private val q173 = Q(
     "q173_ks_drift",
     (s, dir) => {
@@ -2593,11 +2598,10 @@ object TextQueries {
       val cell = d.groupBy("v").agg(
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = cell.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-      cell
-        .withColumn("cuma", sum(col("ca")).over(w))
-        .withColumn("cumb", sum(col("cb")).over(w))
+      graft.operators.PrefixSum.overKeys(cell, "v",
+          floor(col("v") * 1000000.0 / 4096.0).cast("long"), inclusive = true,
+          Seq("ca" -> "cuma", "cb" -> "cumb"))
         .crossJoin(broadcast(tot))
         .select(col("na"), col("nb"),
           abs(col("cuma").cast("double") / col("na").cast("double")
@@ -2971,10 +2975,12 @@ object TextQueries {
         .select(col("source"), col("q"), col("n"),
           (col("cum").cast("double") / col("n_src").cast("double")).as("pr"),
           lit(1).as("k"))
-      val wG = Window.orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val globCdf = base.groupBy("q").agg(count(lit(1)).as("ng"))
-        .withColumn("cum", sum(col("ng")).over(wG))
+      // global CDF at score grain via the two-level prefix sum (no
+      // single-partition window even at a saturated 10⁶-value grain)
+      val globCdf = graft.operators.PrefixSum.overKeys(
+          base.groupBy("q").agg(count(lit(1)).as("ng")), "q",
+          floor(col("q") * 1000000.0 / 4096.0).cast("long"), inclusive = true,
+          Seq("ng" -> "cum"))
         .crossJoin(broadcast(base.agg(count(lit(1)).as("n_tot"))))
         .select(col("q").as("gq"),
           (col("cum").cast("double") / col("n_tot").cast("double")).as("pr"),

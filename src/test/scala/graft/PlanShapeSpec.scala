@@ -59,6 +59,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("_rj_bucket"), s"q80 lost the time-bucket equi key:\n$p")
   }
 
+  test("score-grain running sums run two-level: no partition-less Window over the fine grain") {
+    // q158/q173/q183 cumulate over the 1e-6 score histogram. Bounded ≠
+    // small: a saturated grain is ~10⁶ rows, so the running sum must be
+    // the PrefixSum two-level shape — fine-grain windows partitioned by
+    // the _psg block, the only partition-less Window the tiny
+    // block-totals frame (ordered BY _psg). A physical Window prints
+    // `Window [exprs], [part], [order]` (two `], [` separators) when
+    // partitioned; `Window [exprs], [order]` with ASC/DESC sort marks
+    // when ORDERED but partition-less (the shape this test forbids);
+    // `Window [exprs], [part]` with no sort marks when partition-only.
+    for (q <- Seq("q158_auc", "q173_ks_drift", "q183_quantile_norm")) {
+      val windows = plan(q).split('\n').filter(_.contains("Window ["))
+      val global = windows.filter { l =>
+        val tail = l.substring(l.lastIndexOf("], [") + 2)
+        "\\], \\[".r.findAllIn(l).size < 2 &&
+          (tail.contains(" ASC") || tail.contains(" DESC")) &&
+          !l.contains("WindowGroupLimit")
+      }
+      assert(global.forall(_.contains("_psg")),
+        s"$q has a partition-less Window over a non-block frame:\n" +
+          global.mkString("\n"))
+      graft.operators.Ckpt.release(spark)
+    }
+  }
+
   test("equi-depth histogram plans without any window operator") {
     // the naive encoding is ntile() over a global order — one partition
     // sees every row; the cut-point design must keep Window out entirely
