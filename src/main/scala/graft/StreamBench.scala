@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Streaming micro-benchmark: drives the three load-bearing Structured
+  * Streaming operators over a FILE stream of the sf events table split
+  * into 16 time-ordered parquet slices (`maxFilesPerTrigger = 1` → one
+  * micro-batch per slice) and reports per-operator throughput and batch
+  * latency from the engine's own StreamingQueryProgress:
+  *
+  *   - sessionize — session_window state agg (append mode, watermarked)
+  *   - dedup     — dropDuplicatesWithinWatermark ingest compaction
+  *   - maintainMerge — CDC upsert into a versioned parquet snapshot
+  *     (each batch: compact → anti-join → union → snapshot write)
+  *
+  * Prints ONE JSON line {"metric":"stream_total","queries":{name:
+  * {rows_per_sec, median_batch_ms, batches, rows}}} and mirrors it to
+  * the path in arg0 / SPARK_GRAFT_STREAMBENCH_OUT (default
+  * STREAMBENCH.json). Batch latency is `triggerExecution` from query
+  * progress — the engine-reported wall time of each micro-batch. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      app = "graft-streambench")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sb").toString
+
+    // Stage the events table as 16 ascending time slices so the file
+    // stream replays it in (approximate) event-time order and the
+    // watermark advances batch-over-batch like a live feed's would.
+    val ev = Queries.tbl(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$stage/events")
+    val schema = spark.read.parquet(s"$stage/events").schema
+    def fileStream: DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/events")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    val stagedRows = spark.read.parquet(s"$stage/events").count()
+
+    /** Runs a streaming query to completion over the staged slices and
+      * folds its progress into (rows, wallSec, medianBatchMs, batches).
+      * Throughput uses the STAGED row count, not progress numInputRows —
+      * a foreachBatch body that executes its batch more than once (e.g.
+      * an uncached merge) would otherwise inflate the input-row metric. */
+    def measure(name: String)(start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
+        : (String, Long, Double, Double, Int) = {
+      val q = start(fileStream)
+      try q.processAllAvailable() finally q.stop()
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val lat = prog.map(_.durationMs.get("triggerExecution").toDouble)
+      val wallSec = lat.sum / 1000.0
+      (name, stagedRows, if (wallSec > 0) stagedRows / wallSec else 0.0,
+        median(lat), prog.size)
+    }
+
+    val session = measure("sessionize") { in =>
+      Streams.sessionize(in, gap = "30 minutes", watermark = "10 minutes")
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$stage/ckpt_sess").start()
+    }
+    val dedup = measure("dedup") { in =>
+      Streams.dedup(in, watermark = "10 minutes")
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$stage/ckpt_dedup").start()
+    }
+    val merge = measure("maintain_merge") { in =>
+      // CDC shape over the event feed: upsert each user's latest state,
+      // delete on error events; seq = (sec, event_id) total order.
+      val changes = in.select(
+        col("user_id").as("k"), col("value").as("v"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        (col("ts").cast("long") * 1000000L + col("event_id")).as("seq"))
+      Streams.maintainMerge(changes, "k", "op", Seq("seq"),
+        s"$stage/snap", s"$stage/ckpt_merge")
+    }
+
+    val all = Seq(session, dedup, merge)
+    val qjson = all.map { case (n, rows, rps, med, b) =>
+      s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"stream_total","unit":"rows_per_sec","queries":$qjson,"slices":16,"sf":"$sfDir"}"""
+    val outPath = args.headOption.orElse(sys.env.get("SPARK_GRAFT_STREAMBENCH_OUT"))
+      .getOrElse("STREAMBENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -351,8 +351,15 @@ object Streams {
     if (done.contains(batchId)) { commitPointerAndPrune(); return } // replay
     val prior = done.filter(_ < batchId).maxOption
       .map(p => spark.read.parquet(new Path(root, s"v$p").toString))
-    merge(prior, batch).write.mode("overwrite")
+    // The merge plans consume the micro-batch more than once (Cdc.merge:
+    // key count + both union branches) — cache it for the batch's scope
+    // so the stream source is scanned once, not 3×. Plain persist (not a
+    // Ckpt-registry checkpoint): lifecycle is local to this call and the
+    // foreachBatch thread must not touch the single-writer registry.
+    batch.persist()
+    try merge(prior, batch).write.mode("overwrite")
       .parquet(new Path(root, s"v$batchId").toString)
+    finally batch.unpersist(blocking = false)
     commitPointerAndPrune()
   }
 
