@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-data generator mirroring TESTDATA.md's
+  * schema + distribution recipe, for scale experiments ABOVE the
+  * driver-shipped sf0.1 (the shipped testdata is read-only; this writes
+  * to a caller-chosen dir, e.g. /tmp/graft-sf1).
+  *
+  * Usage: `runMain graft.GenData <outDir> <sf>` — row counts scale as
+  * in the shipped sets (lineitem ≈ 6 M × sf, events = 1 M × sf, …);
+  * region/nation are the shipped constant tables, copied verbatim.
+  *
+  * Every value is a PURE FUNCTION of (table, row id) via xxhash64 —
+  * no RNG state, no partitioning sensitivity: the same (outDir, sf)
+  * always produces byte-identical data, and generation parallelizes
+  * over `spark.range` with no shuffle. Distribution shapes match the
+  * shipped sf0.1 measurements:
+  *   - lineitem: qty 1-50, discount 0-0.10 step .01, tax 0-.08,
+  *     extendedprice ~ U(900, 105000), 1-7 lines/order, flags uniform
+  *   - orders: totalprice ~ U(1000, 500000), dates U(1995..2001-08)
+  *   - events: 30 days of Jan-2024, users = customers/10,
+  *     value ~ Exp(mean 50), props {"k": 0..99}, 5 uniform types
+  *   - documents: 10-100 words uniform over the 30-word vocab;
+  *     5% of docs are an exact copy of a random base doc + " dup"
+  *     (the planted near-dup structure the LSH family mines);
+  *     lang ~ {en 41%, zh/es/fr/de ~15%}, source src0..src19
+  *   - embeddings: 64-dim isotropic gaussian, L2-normalized, no
+  *     planted near-dups (as shipped), label = hash mod 10
+  */
+object GenData {
+
+  /** Uniform in [0,1) from (id, salt) — fully deterministic. */
+  private def u(id: Column, salt: Int): Column =
+    (pmod(xxhash64(id, lit(salt)), lit(1000000000L)).cast("double") + lit(0.5)) /
+      lit(1000000000.0)
+
+  /** Integer in [0, n) from (id, salt). */
+  private def ui(id: Column, salt: Int, n: Long): Column =
+    pmod(xxhash64(id, lit(salt)), lit(n))
+
+  private val Vocab = Seq("spark", "window", "merge", "table", "column",
+    "vector", "stream", "value", "data", "small", "join", "filter", "big",
+    "group", "hash", "customer", "sort", "order", "slow", "line", "part",
+    "fast", "row", "the", "agg", "key", "query", "a", "scan", "batch")
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val sf = args(1).toDouble
+    val spark = GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-gen")
+    import spark.implicits._
+
+    val nCust = math.max(150, (150000 * sf).toLong)
+    val nSupp = math.max(10, (100000 * sf).toLong / 10)
+    val nPart = math.max(200, (2000000 * sf).toLong / 10)
+    val nOrd  = math.max(1500, (1500000 * sf).toLong)
+    val nEv   = math.max(1000, (1000000 * sf).toLong)
+    val nUser = nCust / 10
+    val nDoc  = math.max(500L, (50000 * sf).toLong)
+    val nEmb  = math.max(500L, (20000 * sf).toLong)
+
+    // constant dimension tables: copy the shipped ones verbatim
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    def id = col("id")
+
+    spark.range(nCust).select(
+        id.as("c_custkey"),
+        format_string("Customer#%09d", id).as("c_name"),
+        ui(id, 11, 25).cast("int").as("c_nationkey"),
+        round(u(id, 12) * 11000.0 - 1000.0, 2).as("c_acctbal"),
+        element_at(typedLit(Seq("MACHINERY", "FURNITURE", "AUTOMOBILE",
+          "HOUSEHOLD", "BUILDING")), ui(id, 13, 5).cast("int") + 1)
+          .as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    spark.range(nSupp).select(
+        id.as("s_suppkey"),
+        format_string("Supplier#%09d", id).as("s_name"),
+        ui(id, 21, 25).cast("int").as("s_nationkey"),
+        round(u(id, 22) * 11000.0 - 1000.0, 2).as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    val adj = typedLit(Seq("large", "hot", "blue", "dark", "light",
+      "small", "cold", "red", "green", "shiny"))
+    val noun = typedLit(Seq("ring", "bolt", "screw", "wheel", "plate",
+      "rod", "cap", "gear", "pin", "valve"))
+    spark.range(nPart).select(
+        id.as("p_partkey"),
+        concat(element_at(adj, ui(id, 31, 10).cast("int") + 1), lit(" "),
+          element_at(noun, ui(id, 32, 10).cast("int") + 1)).as("p_name"),
+        concat(lit("Brand#"), (ui(id, 33, 25) + 1).cast("string")).as("p_brand"),
+        element_at(typedLit(Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO",
+          "SMALL", "STANDARD")), ui(id, 34, 6).cast("int") + 1).as("p_type"),
+        (ui(id, 35, 50) + 1).cast("int").as("p_size"),
+        round(u(id, 36) * 99.9 + 900.0, 2).as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // orderdate: uniform seconds over [1995-01-01, 2001-08-01], at day
+    // granularity like the shipped set
+    val ordEpoch0 = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val ordDays = java.time.LocalDate.of(2001, 8, 1).toEpochDay - ordEpoch0
+    spark.range(nOrd).select(
+        id.as("o_orderkey"),
+        ui(id, 41, nCust).as("o_custkey"),
+        element_at(typedLit(Seq("O", "P", "F")), ui(id, 42, 3).cast("int") + 1)
+          .as("o_orderstatus"),
+        round(u(id, 43) * 499000.0 + 1000.0, 2).as("o_totalprice"),
+        timestamp_seconds((ui(id, 44, ordDays) + ordEpoch0) * 86400L)
+          .as("o_orderdate"),
+        element_at(typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW",
+          "4-NOT SPECIFIED")), ui(id, 45, 5).cast("int") + 1)
+          .as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // lineitem: 1-7 lines per order (avg 4 → ≈ 6 M × sf rows), shipdate
+    // independent uniform like the shipped set
+    val shipEpoch0 = java.time.LocalDate.of(1995, 1, 2).toEpochDay
+    val shipDays = java.time.LocalDate.of(2001, 11, 4).toEpochDay - shipEpoch0
+    val li = spark.range(nOrd)
+      .select(id.as("l_orderkey"),
+        explode(sequence(lit(1), (ui(id, 51, 7) + 1).cast("int")))
+          .as("l_linenumber"))
+      .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber"))
+    li.select(
+        col("l_orderkey"),
+        ui(col("lid"), 52, nPart).as("l_partkey"),
+        ui(col("lid"), 53, nSupp).as("l_suppkey"),
+        col("l_linenumber"),
+        (ui(col("lid"), 54, 50) + 1).cast("double").as("l_quantity"),
+        round(u(col("lid"), 55) * 104100.0 + 900.0, 2).as("l_extendedprice"),
+        (ui(col("lid"), 56, 11).cast("double") / 100.0).as("l_discount"),
+        (ui(col("lid"), 57, 9).cast("double") / 100.0).as("l_tax"),
+        element_at(typedLit(Seq("N", "A", "R")), ui(col("lid"), 58, 3).cast("int") + 1)
+          .as("l_returnflag"),
+        element_at(typedLit(Seq("O", "F")), ui(col("lid"), 59, 2).cast("int") + 1)
+          .as("l_linestatus"),
+        timestamp_seconds((ui(col("lid"), 60, shipDays) + shipEpoch0) * 86400L)
+          .as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // events: microsecond timestamps uniform over Jan 2024
+    val evEpoch0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay * 86400L
+    val evSpan = 30L * 86400L * 1000000L // 30 days in micros
+    spark.range(nEv).select(
+        id.as("event_id"),
+        timestamp_micros(lit(evEpoch0 * 1000000L) +
+          pmod(xxhash64(id, lit(61)), lit(evSpan))).as("ts"),
+        ui(id, 62, nUser).as("user_id"),
+        element_at(typedLit(Seq("signup", "purchase", "view", "click",
+          "error")), ui(id, 63, 5).cast("int") + 1).as("event_type"),
+        round(-lit(50.0) * log(u(id, 64)), 2).as("value"),
+        format_string("{\"k\": %d}", ui(id, 65, 100)).as("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // documents: pure-function word sequence per BASE id so a dup doc
+    // can regenerate its base's text without a join
+    def wordsFor(base: Column): Column = {
+      val len = (ui(base, 71, 91) + 10).cast("int")
+      concat_ws(" ", transform(sequence(lit(1), len),
+        k => element_at(typedLit(Vocab),
+          pmod(xxhash64(base * 128 + k, lit(72)), lit(30)).cast("int") + 1)))
+    }
+    val isDup = u(id, 73) < 0.05
+    val baseId = when(isDup, ui(id, 74, nDoc)).otherwise(id)
+    spark.range(nDoc)
+      .select(id.as("doc_id"),
+        when(isDup, concat(wordsFor(baseId), lit(" dup")))
+          .otherwise(wordsFor(id)).as("text"),
+        element_at(typedLit(Seq("zh", "es", "fr", "de")),
+          when(ui(id, 75, 100) < 41, lit(null).cast("int"))
+            .otherwise(pmod(ui(id, 75, 100) - 41, lit(4)).cast("int") + 1))
+          .as("lang0"),
+        concat(lit("src"), ui(id, 76, 20).cast("string")).as("source"))
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lang0"), lit("en")).as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: Box-Muller gaussian per (vec, dim), L2-normalized
+    def gauss(vid: Column, d: Column): Column = {
+      val cell = vid * 64 + d
+      sqrt(lit(-2.0) * log(u(cell, 81))) * cos(lit(2.0 * math.Pi) * u(cell, 82))
+    }
+    val raw = spark.range(nEmb).select(id.as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d => gauss(id, d)).as("g"))
+    raw.select(col("vec_id"),
+        transform(col("g"), x => (x / sqrt(aggregate(col("g"), lit(0.0),
+          (acc, y) => acc + y * y))).cast("float")).as("embedding"),
+        ui(col("vec_id"), 83, 10).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val counts = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings").map { t =>
+      t -> spark.read.parquet(s"$out/$t.parquet").count()
+    }
+    println("GENDATA " + counts.map { case (t, c) => s"$t=$c" }.mkString(" "))
+    spark.stop()
+  }
+}

@@ -77,6 +77,30 @@ final class JdbcSource(url: String, props: java.util.Properties = new java.util.
     catch { case _: Exception => spark.emptyDataFrame }
 }
 
+/** Live MongoDB wire source — the seam that closes declared divergence
+  * #1 (extraccion.py:54-70 connects to a live mongod) when a cluster is
+  * actually reachable. Delegates to the MongoDB Spark connector's
+  * DataSource V2 (format "mongodb"), which must be on the runtime
+  * classpath; this build intentionally does NOT bundle it (the sandbox
+  * has zero egress, so a wire client is untestable here — see
+  * COVERAGE.md). With the connector present this is the complete
+  * drop-in: same `Source` contract as every landed-file source, the
+  * connector handles partitioned parallel reads ($sample-based split
+  * vectors) and pushes projections/filters down to the server.
+  * Collection absence surfaces as the connector's empty result, not an
+  * error, preserving the absent-table rule. Without the connector jar,
+  * `load` fails fast with the DataSource-lookup error (asserted in
+  * SourcesSpec) rather than silently returning empty — a
+  * misconfigured production classpath should be loud. */
+final class MongoSource(uri: String, database: String) extends Source {
+  def load(spark: SparkSession, name: String): DataFrame =
+    spark.read.format("mongodb")
+      .option("spark.mongodb.read.connection.uri", uri)
+      .option("spark.mongodb.read.database", database)
+      .option("spark.mongodb.read.collection", name)
+      .load()
+}
+
 object Sinks {
   /** S5 sink rule (carga.py:34-47): drop Mongo `_id`, stringify every
     * string column with nulls becoming the literal 'nan' (the pandas

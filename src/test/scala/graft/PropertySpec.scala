@@ -311,4 +311,31 @@ class PropertySpec extends SparkSpec {
     }
     graft.operators.Ckpt.release(spark)
   }
+
+  test("PrefixSum.overKeys equals the single global window on random histograms") {
+    import org.apache.spark.sql.expressions.Window
+    val rowGen = for {
+      k <- Gen.chooseNum(-5000L, 5000L)
+      a <- Gen.chooseNum(0L, 100L)
+      b <- Gen.chooseNum(0L, 100L)
+    } yield (k, a, b)
+    // distinct keys (the operator's contract), including negatives so the
+    // floor-division block stays monotone below zero
+    val hist = sample(rowGen, 400).distinctBy(_._1).toDF("k", "a", "b")
+    for (inclusive <- Seq(true, false)) {
+      val hi = if (inclusive) Window.currentRow else -1L
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, hi)
+      val want = hist
+        .withColumn("ca", coalesce(sum(col("a")).over(w), lit(0L)))
+        .withColumn("cb", coalesce(sum(col("b")).over(w), lit(0L)))
+        .select("k", "ca", "cb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = graft.operators.PrefixSum.overKeys(hist, "k",
+          floor(col("k") / 64L).cast("long"), inclusive,
+          Seq("a" -> "ca", "b" -> "cb"))
+        .select("k", "ca", "cb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"inclusive=$inclusive: ${(want -- got).take(5)}")
+    }
+  }
 }

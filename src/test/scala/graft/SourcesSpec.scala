@@ -74,4 +74,17 @@ class SourcesSpec extends SparkSpec {
     assert(reads(0) == reads(1) && reads(1) == reads(2))
     assert(reads(0).map(_._3) == micros.map(_ / 1000000L))
   }
+
+  test("MongoSource is a loud seam: without the connector jar, load fails at lookup") {
+    // The wire source delegates to the mongo-spark-connector DataSource
+    // ("mongodb" format), deliberately not bundled (zero-egress sandbox).
+    // The contract this spec pins: a missing connector is a FAST, NAMED
+    // failure at source lookup — not a silent empty frame.
+    val src = new graft.pipeline.MongoSource(
+      "mongodb://localhost:27017", "airbnb")
+    val e = intercept[Exception] { src.load(spark, "listings") }
+    assert(e.getMessage.toLowerCase.contains("mongodb") ||
+      e.getMessage.toLowerCase.contains("failed to find"),
+      s"unexpected failure mode: ${e.getMessage}")
+  }
 }
