@@ -30,7 +30,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-bench")
-    val headline = Queries.all.filter(q => q.headline || Promoted(q.name))
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so round benches always cover the full benched set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val headline = Queries.all
+      .filter(q => q.headline || Promoted(q.name))
+      .filter(q => only.forall(_.contains(q.name)))
     def time(q: Q): Option[Double] = {
       val t0 = System.nanoTime()
       val r = try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

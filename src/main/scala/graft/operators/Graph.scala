@@ -70,18 +70,38 @@ object Graph {
     * one-direction edge list would silently drop dst-only nodes and
     * undercount degrees. */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val e = Ckpt.local(
+    // Monotone EDGE-SHRINKING formulation: each round computes the
+    // degree of the surviving subgraph (one groupBy on src), finds the
+    // round's DEAD nodes (deg < k — node-grain, and usually tiny after
+    // round 1), and anti-joins the edge list against them on both
+    // endpoints. Equivalent to re-inducing the subgraph on the alive
+    // set every round (the previous formulation: two alive-semi-joins
+    // per round over the FULL edge list), but per-round cost tracks the
+    // shrinkage: with lazily-checkpointed rounds AQE sees the dead
+    // set's true (small) size and plans broadcast anti-joins, so late
+    // rounds cost ~one map pass over the surviving edges. Isolated
+    // survivors (all neighbors peeled) drop out exactly as before —
+    // they have no surviving edge, so no degree row.
+    //
+    // Only the DEAD sets are checkpointed (node-grain): the surviving
+    // edge relation stays a lazy anti-join chain over the one base
+    // checkpoint, so no round rewrites the edge list to storage —
+    // round r's degree pass is one scan of the base edges through r
+    // (usually broadcast) anti-filters.
+    val e0 = Ckpt.local(
       edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
-    var alive = Ckpt.local(e.select(col("src").as("id")).distinct())
-    def degAmongAlive(a: DataFrame): DataFrame = e
-      .join(a.withColumnRenamed("id", "src"), "src")
-      .join(a.withColumnRenamed("id", "dst"), "dst")
-      .groupBy("src").agg(count(lit(1)).as("deg"))
+    var e = e0
+    def deg(g: DataFrame): DataFrame =
+      g.groupBy("src").agg(count(lit(1)).as("deg"))
     (1 to rounds).foreach { _ =>
-      alive = Ckpt.local(
-        degAmongAlive(alive).filter(col("deg") >= k).select(col("src").as("id")))
+      val dead = Ckpt.local(
+        deg(e).filter(col("deg") < k).select(col("src").as("id")))
+      e = e
+        .join(dead.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(dead.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
     }
-    degAmongAlive(alive).select(col("src").as("id"), col("deg"))
+    deg(e).select(col("src").as("id"), col("deg"))
   }
 
   /** Earliest-arrival TIME-RESPECTING reachability (temporal BFS): an
