@@ -3685,6 +3685,126 @@ object TextQueries {
           6)} AS waste_frac
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  // q281 — INTRA-DOC REPETITION FILTERS (the Gopher rule family, Rae et
+  // al. 2021 arXiv:2112.11446 Table A1, adapted to token occurrences):
+  // top-2-gram fraction (most frequent bigram's share of all bigram
+  // occurrences) and duplicate-3-gram fraction (share of trigram
+  // occurrences that are repeats) per doc, summarized as a corpus
+  // pass-rate under top2 ≤ 0.20 ∧ dup3 ≤ 0.18. Everything is ROW-LOCAL
+  // higher-order-function work over the materialized token array — the
+  // top-2-gram share folds over the SORTED bigram array (longest equal
+  // run = max multiplicity; the array is a real column, so lambda
+  // element access is O(1), never a re-sort per element) — and the only
+  // shuffle is the final one-row summary agg. Per-doc fractions floor
+  // at 6 dp before the decimal-exact means, so both engines agree
+  // bitwise. At 100 TB this is the cheapest quality gate in the funnel:
+  // one map pass, no joins, trivially fused by codegen.
+  private val q281 = Q(
+    "q281_repetition_filters",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def gram(n: Int) = transform(
+        sequence(lit(1), size(col("tk")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o =>
+          element_at(col("tk"), (i + o).cast("int"))): _*))
+      def maxRun(sorted: Column) = aggregate(
+        sequence(lit(2), size(sorted)),
+        struct(lit(1L).as("run"), lit(1L).as("mx")),
+        (acc, i) => {
+          val r = when(element_at(sorted, i.cast("int"))
+              === element_at(sorted, i.cast("int") - 1),
+            acc.getField("run") + lit(1L)).otherwise(lit(1L))
+          struct(r.as("run"), greatest(acc.getField("mx"), r).as("mx"))
+        }).getField("mx")
+      val per = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .withColumn("g2s", array_sort(gram(2)))
+        .withColumn("g3", gram(3))
+        .select(col("doc_id"),
+          Det.roundAt(maxRun(col("g2s")).cast("double")
+            / size(col("g2s")).cast("double"), 6).as("top2"),
+          Det.roundAt((size(col("g3")) - size(array_distinct(col("g3"))))
+            .cast("double") / size(col("g3")).cast("double"), 6).as("dup3"))
+      val pass = col("top2") <= lit(0.20) && col("dup3") <= lit(0.18)
+      per.agg(
+          count(lit(1)).as("nd"),
+          sum(when(pass, 1L).otherwise(0L)).as("np"),
+          sum(col("top2").cast(DecimalType(28, 6))).as("st"),
+          sum(col("dup3").cast(DecimalType(28, 6))).as("sd"))
+        .select(col("nd").as("n_docs"), col("np").as("n_pass"),
+          Det.roundAt(col("np").cast("double") / col("nd").cast("double"), 6)
+            .as("pass_rate"),
+          Det.roundAt(col("st").cast("double") / col("nd").cast("double"), 6)
+            .as("mean_top2_frac"),
+          Det.roundAt(col("sd").cast("double") / col("nd").cast("double"), 6)
+            .as("mean_dup3_frac"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+        f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+        g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+          FROM f, unnest(range(1, len(tk))) AS r(i)),
+        c2 AS (SELECT doc_id, ${Det.roundAtSql(
+          "CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)", 6)} AS top2
+          FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+          GROUP BY doc_id),
+        g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+          FROM f, unnest(range(1, len(tk) - 1)) AS r(i)),
+        c3 AS (SELECT doc_id, ${Det.roundAtSql(
+          "CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+          6)} AS dup3
+          FROM g3 GROUP BY doc_id),
+        per AS (SELECT c2.doc_id, top2, dup3
+          FROM c2 JOIN c3 ON c2.doc_id = c3.doc_id)
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN top2 <= 0.20 AND dup3 <= 0.18 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_pass,
+        ${Det.roundAtSql(
+          "CAST(SUM(CASE WHEN top2 <= 0.20 AND dup3 <= 0.18 THEN 1 ELSE 0 END)" +
+          " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 6)} AS pass_rate,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(top2 AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+          6)} AS mean_top2_frac,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(dup3 AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)",
+          6)} AS mean_dup3_frac
+      FROM per"""))
+
+  // q282 — TOKENIZER FERTILITY BY LANGUAGE (tokens per 100 characters —
+  // the budget dial multilingual-corpus planning reads before fixing a
+  // language mix: a language that tokenizes fat consumes its token
+  // budget in fewer documents). Whitespace tokens over the normalized
+  // text against the raw n_chars column; per-language mean and sample
+  // sd (ddof=1) from decimal-exact sums (the q08 describe() machinery,
+  // per group). One map pass + a language-grain aggregate.
+  private val q282 = Q(
+    "q282_token_fertility",
+    (s, dir) => {
+      val per = tbl(s, dir, "documents")
+        .select(col("lang"),
+          Det.roundAt(size(TextFns.tokens(col("text"))).cast("double")
+            * lit(100.0) / col("n_chars").cast("double"), 6).as("t100"))
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          Det.roundAt(Det.davg(col("t100"), 6), 6).as("mean_tok_per_100c"),
+          Det.roundAt(Det.dstddev(col("t100"), 6), 6).as("sd_tok_per_100c"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH per AS (SELECT lang, ${Det.roundAtSql(
+          s"CAST(len($toks) AS DOUBLE) * 100.0 / CAST(n_chars AS DOUBLE)", 6)}
+          AS t100 FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        ${Det.roundAtSql(
+          "CAST(SUM(CAST(t100 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)}
+          AS mean_tok_per_100c,
+        ${Det.roundAtSql(
+          "sqrt((CAST(SUM(CAST(t100 * t100 AS DECIMAL(28,12))) AS DOUBLE)" +
+          " - CAST(SUM(CAST(t100 AS DECIMAL(28,6))) AS DOUBLE)" +
+          " * CAST(SUM(CAST(t100 AS DECIMAL(28,6))) AS DOUBLE)" +
+          " / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0))", 6)}
+          AS sd_tok_per_100c
+      FROM per GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -3692,5 +3812,5 @@ object TextQueries {
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
-    q234, q242, q249, q257)
+    q234, q242, q249, q257, q281, q282)
 }
