@@ -24,7 +24,10 @@ object Bench {
     * set stays comparable round-over-round. */
   val Promoted: Set[String] = Set(
     "q215_cheapest_route", "q227_temporal_reach", "q235_kcore",
-    "q188_bpe_train", "q218_margin_mining_ivf", "q221_markov_attribution")
+    "q188_bpe_train", "q218_margin_mining_ivf", "q221_markov_attribution",
+    // round 7: the two-level prefix-sum rewrites and the new repetition
+    // gate — benched so a regression in those shapes is visible
+    "q158_auc", "q183_quantile_norm", "q281_repetition_filters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
