@@ -915,7 +915,73 @@ object VecQueries {
           6)} AS suspect_rate
       FROM maj GROUP BY own_label ORDER BY label"""))
 
+  // q283 — INT8 QUANTIZATION AUDIT (the serving/storage dial next to
+  // PQ q162: affine per-dimension int8 shrinks an embedding store 4×,
+  // and this is the fidelity report that says whether it's safe): per
+  // dim, min/max calibration → scale = (max−min)/255, quantize
+  // q = clamp(⌊(v−min)/scale + ½⌋, 0, 255), and report the
+  // reconstruction RMSE and max |error|. Plan: posexplode to value
+  // grain (map-side partial agg collapses it to 64 dim rows), stats
+  // broadcast back onto the value stream, error moments as INTEGER
+  // micro-unit sums (err²·1e15, |err|·1e9 — decimal-summed so the
+  // 1e11-value corpus can't overflow) — both engines agree bitwise.
+  // At 100 TB: two corpus map passes (stats, errors), dim-grain
+  // shuffles only; an element-wise array aggregator would save the
+  // explode but the shuffled volume is already dim-grain.
+  private val q283 = Q(
+    "q283_int8_quant_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val e = tbl(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v0")))
+        .select(col("dim").cast("long").as("dim"), col("v0").cast(DoubleType).as("v"))
+      val stats = e.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      val sc = (col("mx") - col("mn")) / lit(255.0)
+      val qv = least(greatest(floor((col("v") - col("mn")) / sc + lit(0.5)),
+        lit(0.0)), lit(255.0))
+      val err = when(sc === 0.0, lit(0.0))
+        .otherwise(col("v") - (col("mn") + qv * sc))
+      e.join(broadcast(stats), "dim")
+        .select(col("dim"), col("mn"), col("mx"),
+          floor(err * err * lit(1e15) + lit(0.5)).cast(DecimalType(38, 0)).as("e2"),
+          floor(abs(err) * lit(1e9) + lit(0.5)).cast("long").as("ae"))
+        .groupBy("dim", "mn", "mx")
+        .agg(sum(col("e2")).as("s2"), max(col("ae")).as("mae"),
+          count(lit(1)).as("n"))
+        .select(col("dim"),
+          Det.roundAt(col("mn"), 6).as("mn"),
+          Det.roundAt(col("mx"), 6).as("mx"),
+          Det.roundAt((col("mx") - col("mn")) / lit(255.0), 9).as("q_scale"),
+          Det.roundAt(sqrt(col("s2").cast(DoubleType) / lit(1e15)
+            / col("n").cast(DoubleType)), 9).as("rmse"),
+          (col("mae").cast(DoubleType) / lit(1e9)).as("max_abs_err"))
+        .orderBy("dim")
+    },
+    Some(s"""WITH e AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+        st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY dim),
+        j AS (SELECT e.dim, mn, mx, v, (mx - mn) / 255.0 AS sc
+          FROM e JOIN st ON st.dim = e.dim),
+        q AS (SELECT dim, mn, mx,
+            CASE WHEN sc = 0.0 THEN 0.0
+              ELSE v - (mn + LEAST(GREATEST(floor((v - mn) / sc + 0.5), 0.0), 255.0) * sc)
+            END AS err
+          FROM j),
+        g AS (SELECT dim, mn, mx,
+            SUM(CAST(floor(err * err * 1e15 + 0.5) AS BIGINT)) AS s2,
+            MAX(CAST(floor(abs(err) * 1e9 + 0.5) AS BIGINT)) AS mae,
+            COUNT(*) AS n
+          FROM q GROUP BY 1, 2, 3)
+      SELECT CAST(dim AS BIGINT) AS dim,
+        ${Det.roundAtSql("mn", 6)} AS mn,
+        ${Det.roundAtSql("mx", 6)} AS mx,
+        ${Det.roundAtSql("(mx - mn) / 255.0", 9)} AS q_scale,
+        ${Det.roundAtSql(
+          "sqrt(CAST(s2 AS DOUBLE) / 1e15 / CAST(n AS DOUBLE))", 9)} AS rmse,
+        CAST(mae AS DOUBLE) / 1e9 AS max_abs_err
+      FROM g ORDER BY dim"""))
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
     q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196,
-    q217, q218, q220, q243)
+    q217, q218, q220, q243, q283)
 }
