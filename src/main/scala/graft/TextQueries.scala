@@ -2956,10 +2956,18 @@ object TextQueries {
   // CDFs live at distinct-score grain (quality is 6-dp, domain ≤ 10⁶
   // values regardless of corpus size); the quantile lookup "smallest
   // global score whose CDF ≥ the source-local CDF" IS a forward as-of
-  // join, so the q70/q124 operator is reused on (constant key, CDF
-  // value) — one union + one running window, no inequality join. CDF
-  // values are exact integer ratios, so the as-of match points are
-  // engine-identical; shifts are 6-dp quantized before the decimal sum.
+  // join, encoded here in the BLOCKED two-level shape (an as-of on a
+  // constant key would funnel the whole score grain through one window
+  // task): both CDFs are bucketed by floor(pr·4096) — monotone in pr —
+  // the in-block match is the standard tagged-union forward carry
+  // partitioned BY BLOCK, and a src row whose block holds no global row
+  // at-or-after its pr takes the minimum global score of the strictly
+  // later blocks from a block-grain suffix lookup (≤ 4097 rows, the
+  // PrefixSum block-totals pattern, broadcast back). Exactly the rows
+  // the constant-key as-of would match — DuckDB's ASOF JOIN replays it
+  // directly. CDF values are exact integer ratios, so the match points
+  // are engine-identical; shifts are 6-dp quantized before the decimal
+  // sum.
   private val q183 = Q(
     "q183_quantile_norm",
     (s, dir) => {
@@ -2973,21 +2981,45 @@ object TextQueries {
         .withColumn("cum", sum(col("n")).over(wS))
         .withColumn("n_src", sum(col("n")).over(Window.partitionBy("source")))
         .select(col("source"), col("q"), col("n"),
-          (col("cum").cast("double") / col("n_src").cast("double")).as("pr"),
-          lit(1).as("k"))
+          (col("cum").cast("double") / col("n_src").cast("double")).as("pr"))
       // global CDF at score grain via the two-level prefix sum (no
       // single-partition window even at a saturated 10⁶-value grain)
-      val globCdf = graft.operators.PrefixSum.overKeys(
-          base.groupBy("q").agg(count(lit(1)).as("ng")), "q",
-          floor(col("q") * 1000000.0 / 4096.0).cast("long"), inclusive = true,
-          Seq("ng" -> "cum"))
-        .crossJoin(broadcast(base.agg(count(lit(1)).as("n_tot"))))
-        .select(col("q").as("gq"),
-          (col("cum").cast("double") / col("n_tot").cast("double")).as("pr"),
-          lit(1).as("k"))
-      graft.operators.AsOf.forward(srcCdf, globCdf, "k", "k", "pr", "pr", Seq("gq"))
+      // materialized once (lazy local checkpoint): it feeds BOTH the
+      // tagged union and the block-suffix fallback lookup
+      val globCdf = graft.operators.Ckpt.local(
+        graft.operators.PrefixSum.overKeys(
+            base.groupBy("q").agg(count(lit(1)).as("ng")), "q",
+            floor(col("q") * 1000000.0 / 4096.0).cast("long"), inclusive = true,
+            Seq("ng" -> "cum"))
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("n_tot"))))
+          .select(col("q").as("gq"),
+            (col("cum").cast("double") / col("n_tot").cast("double")).as("pr")))
+      // blocked forward as-of: tag, union, carry "first global score at
+      // or after this pr" within each pr block; cross-block fallback =
+      // min global score of strictly later blocks (block-grain suffix)
+      val block = floor(col("pr") * 4096.0).cast("long").as("_ab")
+      val lRows = srcCdf.select(block, col("pr"), lit(1).as("_evt"),
+        col("source"), col("q"), col("n"), lit(null).cast("double").as("gq"))
+      val rRows = globCdf.select(block, col("pr"), lit(0).as("_evt"),
+        lit(null).cast("string").as("source"), lit(null).cast("double").as("q"),
+        lit(null).cast("long").as("n"), col("gq"))
+      val wBlk = Window.partitionBy("_ab").orderBy(col("pr").desc, col("_evt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carried = lRows.unionByName(rRows)
+        .withColumn("_m", last(col("gq"), ignoreNulls = true).over(wBlk))
+        .filter(col("_evt") === 1)
+      val wSuf = Window.orderBy(col("_ab").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val nextBlk = lRows.select("_ab").union(rRows.select("_ab")).distinct()
+        .join(globCdf.select(floor(col("pr") * 4096.0).cast("long").as("_ab"),
+          col("gq")).groupBy("_ab").agg(min(col("gq")).as("_bg")),
+          Seq("_ab"), "left")
+        .withColumn("_ng", min(col("_bg")).over(wSuf))
+        .select("_ab", "_ng")
+      carried.join(broadcast(nextBlk), Seq("_ab"))
         .select(col("source"), col("n"),
-          Det.roundAt(abs(col("asof.gq") - col("q")), 6).as("shift"))
+          Det.roundAt(abs(coalesce(col("_m"), col("_ng")) - col("q")), 6)
+            .as("shift"))
         .groupBy("source")
         .agg(sum(col("n")).as("n_docs"),
           Det.roundAt(sum((col("shift") * col("n").cast("double"))

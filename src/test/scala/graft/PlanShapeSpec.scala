@@ -77,7 +77,10 @@ class PlanShapeSpec extends SparkSpec {
           (tail.contains(" ASC") || tail.contains(" DESC")) &&
           !l.contains("WindowGroupLimit")
       }
-      assert(global.forall(_.contains("_psg")),
+      // _psg = PrefixSum block totals; _ab = q183's blocked-as-of
+      // block-suffix lookup — both frames are block-grain (bounded by
+      // the block constant, never the corpus)
+      assert(global.forall(l => l.contains("_psg") || l.contains("_ab")),
         s"$q has a partition-less Window over a non-block frame:\n" +
           global.mkString("\n"))
       graft.operators.Ckpt.release(spark)
