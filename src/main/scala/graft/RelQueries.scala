@@ -4607,27 +4607,33 @@ object RelQueries {
   // q239 — RFM SEGMENTATION (recency / frequency / monetary quintiles —
   // the classic customer-value grid): per customer, days since last
   // order, order count, decimal-exact spend; each metric scored 1–5 by
-  // ntile with a FULL deterministic order (metric, then custkey), then
-  // customers rolled up per 3-digit segment. Customer-grain throughout;
-  // the ntile windows are single-partition but customer-grain is the
-  // entity grain every CRM export already fits in one report.
+  // the exact NTILE rule over a FULL deterministic order (metric, then
+  // custkey), then customers rolled up per 3-digit segment. Customer
+  // grain throughout, and since r7 the quintiles run as three two-level
+  // exact ranks (Rank.globalRowNumber + the arithmetic ntile rule) —
+  // bit-identical to window ntile(5), but nothing funnels the customer
+  // population through one task.
   private val q239 = Q(
     "q239_rfm",
     (s, dir) => {
       val o = tbl(s, dir, "orders")
       val horizon = o.agg(max(col("o_orderdate")).as("d1"))
-      val cust = o.groupBy(col("o_custkey"))
+      val cust = graft.operators.Ckpt.local(o.groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_d"),
           count(lit(1)).as("freq"), Det.dsum(col("o_totalprice")).as("mon"))
         .crossJoin(broadcast(horizon))
-        .withColumn("rec", datediff(col("d1"), col("last_d")).cast("long"))
-      def score(c: String, asc0: Boolean) = ntile(5).over(
-        if (asc0) Window.orderBy(col(c).asc, col("o_custkey").asc)
-        else Window.orderBy(col(c).desc, col("o_custkey").asc))
-      cust
-        .withColumn("r", score("rec", asc0 = true).cast("long"))
-        .withColumn("f", score("freq", asc0 = false).cast("long"))
-        .withColumn("m", score("mon", asc0 = false).cast("long"))
+        .withColumn("rec", datediff(col("d1"), col("last_d")).cast("long")))
+      val withN = cust.crossJoin(broadcast(cust.agg(count(lit(1)).as("_n"))))
+      def score(df: org.apache.spark.sql.DataFrame, c: String,
+                asc0: Boolean, w: Double, out: String) =
+        graft.operators.Rank.globalRowNumber(df, c, "o_custkey",
+            desc0 = !asc0, floor(col("_rnk_v") / lit(w)).cast("long"), "_rk")
+          .withColumn(out,
+            graft.operators.Rank.ntileFromRank(col("_rk"), col("_n"), 5))
+          .drop("_rk")
+      score(score(score(withN, "rec", asc0 = true, 32.0, "r"),
+          "freq", asc0 = false, 32.0, "f"),
+          "mon", asc0 = false, 16384.0, "m")
         .groupBy(concat(col("r"), col("f"), col("m")).as("segment"))
         .agg(count(lit(1)).as("n_customers"),
           Det.roundAt(sum(col("rec")).cast("double") / count(lit(1)), 6)
@@ -5071,15 +5077,22 @@ object RelQueries {
   private val q252 = Q(
     "q252_uplift_deciles",
     (s, dir) => {
-      val u = tbl(s, dir, "events")
+      val u = graft.operators.Ckpt.local(tbl(s, dir, "events")
         .groupBy("user_id")
         .agg(count(lit(1)).as("score"),
           max((col("event_type") === "purchase").cast("long")).as("converted"))
         .withColumn("arm",
           pmod(graft.functions.TextFns.portableHash(
-            col("user_id").cast("string")), lit(2L)))
-      val dec = u.withColumn("decile", ntile(10).over(
-        Window.orderBy(desc("score"), asc("user_id"))).cast("long"))
+            col("user_id").cast("string")), lit(2L))))
+      // user-grain global decile WITHOUT a single-partition window: the
+      // two-level exact rank (Rank.globalRowNumber) + the arithmetic
+      // NTILE rule — bit-identical to ntile(10) over the same order
+      val dec = graft.operators.Rank.globalRowNumber(u, "score", "user_id",
+          desc0 = true, floor(col("_rnk_v") / lit(64.0)).cast("long"), "_rk")
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("_n"))))
+        .withColumn("decile",
+          graft.operators.Rank.ntileFromRank(col("_rk"), col("_n"), 10))
+        .drop("_rk", "_n")
       dec.groupBy("decile")
         .agg(sum((col("arm") === 1L).cast("long")).as("n_treat"),
           sum(when(col("arm") === 1L, col("converted"))).as("conv_treat"),
@@ -5991,12 +6004,15 @@ object RelQueries {
   private val q272 = Q(
     "q272_value_concentration",
     (s, dir) => {
-      val u = tbl(s, dir, "events")
-        .groupBy("user_id").agg(Det.dsum(col("value")).as("v"))
+      val u = graft.operators.Ckpt.local(
+        tbl(s, dir, "events")
+          .groupBy("user_id").agg(Det.dsum(col("value")).as("v")))
       val n = u.agg(count(lit(1)).as("n_users"),
         Det.dsum(col("v"), 2).as("total"))
-      val ranked = u.withColumn("rk",
-        row_number().over(Window.orderBy(desc("v"), asc("user_id"))))
+      // user-grain global rank via the two-level shape (no
+      // single-partition window over the user population)
+      val ranked = graft.operators.Rank.globalRowNumber(u, "v", "user_id",
+        desc0 = true, floor(col("_rnk_v") / lit(16384.0)).cast("long"), "rk")
       ranked.crossJoin(broadcast(n))
         .select(col("n_users"), col("total"),
           when(col("rk") * 100 <= col("n_users"), col("v")).as("top1"),
@@ -6316,15 +6332,21 @@ object RelQueries {
       val e = tbl(s, dir, "events")
         .select(col("user_id"), col("ts").cast("long").as("sec"), col("value"))
       val first = e.groupBy("user_id").agg(min(col("sec")).as("f0"))
-      val u = e.join(broadcast(first), "user_id")
+      val u = graft.operators.Ckpt.local(e.join(broadcast(first), "user_id")
         .groupBy("user_id")
         .agg(Det.dsum(when(col("sec") <= col("f0") + 604800L, col("value"))
           .otherwise(lit(0.0))).as("w1_value"),
-          Det.dsum(col("value")).as("total_value"))
-      def quart(c: String) = ntile(4).over(
-        Window.orderBy(col(c).desc, col("user_id").asc)).cast("long")
-      u.withColumn("w1_q", quart("w1_value"))
-        .withColumn("total_q", quart("total_value"))
+          Det.dsum(col("value")).as("total_value")))
+      // two user-grain quartile rankings, each the two-level exact rank
+      // + arithmetic NTILE (no single-partition window over users)
+      val withN = u.crossJoin(broadcast(u.agg(count(lit(1)).as("_n"))))
+      def quart(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
+        graft.operators.Rank.globalRowNumber(df, c, "user_id", desc0 = true,
+            floor(col("_rnk_v") / lit(16384.0)).cast("long"), "_rk")
+          .withColumn(out,
+            graft.operators.Rank.ntileFromRank(col("_rk"), col("_n"), 4))
+          .drop("_rk")
+      quart(quart(withN, "w1_value", "w1_q"), "total_value", "total_q")
         .groupBy("w1_q", "total_q")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("w1_q", "total_q")

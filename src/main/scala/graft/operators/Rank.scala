@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.{Det, TextFns}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Lexical relevance ranking (BM25) over a document corpus for a fixed
   * query-term set — the retrieval front of a RAG / data-curation
@@ -98,5 +98,58 @@ object Rank {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("item", "partner", "co", "cos", "rank")
+  }
+
+  /** GLOBAL exact row_number over (valCol asc|desc, tieCol asc) WITHOUT
+    * a single-partition window — the scale shape for corpus-wide
+    * rankings (RFM scores, uplift deciles, concentration curves) whose
+    * entity grain can reach billions:
+    *
+    *   1. within-VALUE rank: `row_number` partitioned by the exact
+    *      ranking value, ordered by the (unique) tiebreak — entity
+    *      grain, keyed, parallel;
+    *   2. value offsets: the value HISTOGRAM (one groupBy) through
+    *      [[PrefixSum.overKeys]] — two-level itself, so the only
+    *      partition-less window is block-grain;
+    *   3. global rank = offset + within-rank, joined back at value
+    *      grain (both sides already hash-partitioned on the value).
+    *
+    * `block` must be a monotone non-decreasing expression of the SIGNED
+    * rank key exposed as column `_rnk_v` (= valCol negated when `desc`),
+    * e.g. `floor(col("_rnk_v") / 1024.0)` — it bounds the PrefixSum
+    * block-totals frame exactly as in the score-grain queries.
+    * `tieCol` must be unique per row (an entity id), or ranks within a
+    * tied value would be nondeterministic in any engine. */
+  def globalRowNumber(df: DataFrame, valCol: String, tieCol: String,
+                      desc0: Boolean, block: Column, out: String): DataFrame = {
+    val keyed = df.withColumn("_rnk_v",
+      if (desc0) negate(col(valCol)) else col(valCol))
+    val wIn = Window.partitionBy("_rnk_v").orderBy(col(tieCol).asc)
+    val hist = keyed.groupBy("_rnk_v").agg(count(lit(1)).as("_rnk_c"))
+    val offs = PrefixSum.overKeys(hist, "_rnk_v", block, inclusive = false,
+        Seq("_rnk_c" -> "_rnk_off"))
+      .select(col("_rnk_v"), col("_rnk_off"))
+    keyed
+      .withColumn("_rnk_i", row_number().over(wIn).cast("long"))
+      .join(offs, Seq("_rnk_v"))
+      .withColumn(out, col("_rnk_off") + col("_rnk_i"))
+      .drop("_rnk_v", "_rnk_i", "_rnk_off")
+  }
+
+  /** Exact SQL NTILE(n) from a global rank and the total row count —
+    * the standard uneven-bucket rule (the first `N mod n` buckets get
+    * one extra row), arithmetically identical to `ntile(n)` over the
+    * same total order, so swapping a window ntile for
+    * [[globalRowNumber]] + this leaves every result untouched. */
+  def ntileFromRank(rank: Column, total: Column, n: Int): Column = {
+    // Column./ is DOUBLE division — spell integer division as
+    // floor(a/b) cast long (exact below 2^53, far past any row count)
+    def ldiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val size = ldiv(total, lit(n.toLong))
+    val rem = total - size * n
+    val cut = rem * (size + 1L)
+    when(rank <= cut, ldiv(rank + size, size + 1L)) // = ceil(rank/(size+1))
+      .otherwise(rem + ldiv(rank - cut + greatest(size, lit(1L)) - 1L,
+        greatest(size, lit(1L))))
   }
 }

@@ -69,7 +69,12 @@ class PlanShapeSpec extends SparkSpec {
     // partitioned; `Window [exprs], [order]` with ASC/DESC sort marks
     // when ORDERED but partition-less (the shape this test forbids);
     // `Window [exprs], [part]` with no sort marks when partition-only.
-    for (q <- Seq("q158_auc", "q173_ks_drift", "q183_quantile_norm")) {
+    // q239/q252/q272/q280 rank the customer/user population — their
+    // quintiles/deciles run as Rank.globalRowNumber (two-level exact
+    // rank), so the same no-global-window invariant applies
+    for (q <- Seq("q158_auc", "q173_ks_drift", "q183_quantile_norm",
+        "q239_rfm", "q252_uplift_deciles", "q272_value_concentration",
+        "q280_early_signal")) {
       val windows = plan(q).split('\n').filter(_.contains("Window ["))
       val global = windows.filter { l =>
         val tail = l.substring(l.lastIndexOf("], [") + 2)

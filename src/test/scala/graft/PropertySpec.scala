@@ -338,4 +338,29 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"inclusive=$inclusive: ${(want -- got).take(5)}")
     }
   }
+
+  test("globalRowNumber + ntileFromRank equal the single-window row_number/ntile") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (201 distinct values over 500 rows) exercise the
+    // within-value/offset split; id is the unique tiebreak
+    val rows = sample(Gen.chooseNum(-100L, 100L), 500).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val n = rows.count()
+    for (desc0 <- Seq(true, false)) {
+      val ord = if (desc0) Seq(col("v").desc, col("id").asc)
+                else Seq(col("v").asc, col("id").asc)
+      val w = Window.orderBy(ord: _*)
+      val want = rows
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("nt", ntile(7).over(w).cast("long"))
+        .select("id", "rk", "nt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = graft.operators.Rank.globalRowNumber(rows, "v", "id", desc0,
+          floor(col("_rnk_v") / lit(16.0)).cast("long"), "rk")
+        .withColumn("nt", graft.operators.Rank.ntileFromRank(col("rk"), lit(n), 7))
+        .select("id", "rk", "nt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"desc=$desc0: ${(want -- got).take(5)}")
+    }
+  }
 }
