@@ -33,13 +33,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-bench")
-    // dev-only subset filter (comma-separated names); the driver never
-    // sets it, so round benches always cover the full benched set
+    // dev-only subset filter (comma-separated names, ANY registry query
+    // — not just the benched set); the driver never sets it, so round
+    // benches always cover the full benched set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    val headline = Queries.all
-      .filter(q => q.headline || Promoted(q.name))
-      .filter(q => only.forall(_.contains(q.name)))
+    val headline = only match {
+      case Some(names) => Queries.all.filter(q => names.contains(q.name))
+      case None => Queries.all.filter(q => q.headline || Promoted(q.name))
+    }
     def time(q: Q): Option[Double] = {
       val t0 = System.nanoTime()
       val r = try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

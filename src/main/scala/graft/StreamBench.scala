@@ -14,6 +14,9 @@ import graft.streaming.Streams
   *   - dedup     — dropDuplicatesWithinWatermark ingest compaction
   *   - maintainMerge — CDC upsert into a versioned parquet snapshot
   *     (each batch: compact → anti-join → union → snapshot write)
+  *   - maintainCountSum — IVM aggregate snapshot maintenance
+  *   - attribution — stream-stream interval join (purchases × prior
+  *     views, both sides file streams over the same slices)
   *
   * Prints ONE JSON line {"metric":"stream_total","queries":{name:
   * {rows_per_sec, median_batch_ms, batches, rows}}} and mirrors it to
@@ -85,8 +88,23 @@ object StreamBench {
       Streams.maintainMerge(changes, "k", "op", Seq("seq"),
         s"$stage/snap", s"$stage/ckpt_merge")
     }
+    val ivm = measure("maintain_count_sum") { in =>
+      Streams.maintainCountSum(in, "event_type", "value",
+        s"$stage/ivm_snap", s"$stage/ckpt_ivm")
+    }
+    val attr = measure("attribution_join") { in =>
+      // stream-stream interval join: purchases from this feed, views
+      // from a SECOND file stream over the same slices (each side
+      // replays the 100 k-row feed; rows/s is per feed)
+      Streams.attribution(
+          in.filter(col("event_type") === "purchase"),
+          fileStream.filter(col("event_type") === "view"),
+          windowSec = 3600L)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$stage/ckpt_attr").start()
+    }
 
-    val all = Seq(session, dedup, merge)
+    val all = Seq(session, dedup, merge, ivm, attr)
     val qjson = all.map { case (n, rows, rps, med, b) =>
       s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b}"""
     }.mkString("{", ",", "}")
