@@ -42,14 +42,23 @@ object Graph {
       seeds.select(col("id")).distinct().withColumn("level", lit(0L)))
     var visited = seed0
     var frontier = seed0.select("id")
-    (1 to maxHops).foreach { h =>
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val nf = Ckpt.local(
         e.join(frontier.select(col("id").as("src")), "src")
           .select(col("dst").as("id")).distinct()
           .join(visited.select("id"), Seq("id"), "left_anti")
           .withColumn("level", lit(h.toLong)))
+      // An empty frontier means every remaining hop is a no-op — skip
+      // them (the result is the fixpoint either way; the count also
+      // materializes this hop's checkpoint before the next join reuses
+      // it). One scalar action per hop, vs one full join round saved
+      // whenever the graph is exhausted before maxHops.
+      exhausted = nf.count() == 0
       frontier = nf.select("id")
       visited = visited.union(nf)
+      h += 1
     }
     visited
   }
@@ -120,13 +129,27 @@ object Graph {
     val e = Ckpt.local(
       edges.select(col("src"), col("dst"), col("ets").cast("long").as("ets")))
     var arr = seeds.select(col("id")).distinct().withColumn("arr", lit(0L))
-    (1 to maxHops).foreach { _ =>
+    var prev = (-1L, -1L)
+    var h = 0
+    var converged = false
+    while (h < maxHops && !converged) {
       val relaxed = e
         .join(arr.withColumnRenamed("id", "src"), "src")
         .filter(col("ets") >= col("arr"))
         .select(col("dst").as("id"), col("ets").as("arr"))
       arr = Ckpt.local(
         arr.union(relaxed).groupBy("id").agg(min("arr").as("arr")))
+      // node count only grows and per-node arrivals only decrease, so
+      // an unchanged (count, Σarr) PAIR is a fixpoint — remaining
+      // rounds are no-ops, skip them (exact LONG sums, no float
+      // drift). The scalar read also materializes this round's
+      // checkpoint before the next join reuses it.
+      val r = arr.agg(count(lit(1)), coalesce(sum(col("arr")), lit(0L)))
+        .collect()(0)
+      val cur = (r.getLong(0), r.getLong(1))
+      converged = cur == prev
+      prev = cur
+      h += 1
     }
     arr
   }
@@ -146,11 +169,25 @@ object Graph {
     val e = Ckpt.local(
       edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
     var costs = seeds.select(col("id")).distinct().withColumn("cost", lit(0L))
-    (1 to maxHops).foreach { _ =>
+    var prev = (-1L, -1L)
+    var h = 0
+    var converged = false
+    while (h < maxHops && !converged) {
       val relaxed = e.join(costs.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
       costs = Ckpt.local(
         costs.union(relaxed).groupBy("id").agg(min("cost").as("cost")))
+      // Bellman-Ford is monotone (node set grows, per-node cost only
+      // decreases), so an unchanged (count, Σcost) pair proves the
+      // fixpoint and the remaining rounds are no-ops — skip them.
+      // Integer LONG sums, no float drift; the scalar read also
+      // materializes this round's checkpoint.
+      val r = costs.agg(count(lit(1)), coalesce(sum(col("cost")), lit(0L)))
+        .collect()(0)
+      val cur = (r.getLong(0), r.getLong(1))
+      converged = cur == prev
+      prev = cur
+      h += 1
     }
     costs
   }
