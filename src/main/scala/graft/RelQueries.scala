@@ -3991,7 +3991,7 @@ object RelQueries {
         .withColumn("op", lit("I")).withColumn("seq", lit(1L))
       val merged = graft.operators.Cdc.merge(
         o, ups.unionByName(dels).unionByName(ins),
-        "o_orderkey", "op", Seq("seq"))
+        "o_orderkey", "op", Seq("seq"), materialize = true)
       merged.agg(
         count(lit(1)).as("n_rows"),
         Det.dsum(col("o_totalprice")).as("total_price"),

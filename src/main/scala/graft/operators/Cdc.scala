@@ -51,20 +51,25 @@ object Cdc {
     * oversized batches (e.g. a backfill) instead of OOMing the driver —
     * plus a union. No full outer join, no target rewrite beyond the
     * rows actually touched. Counting the compacted keys costs one extra
-    * batch-grain job (and one recompute of the batch-grain window when
-    * the plan runs); no checkpoint is taken here because the result is
-    * consumed lazily by the caller — including streaming foreachBatch
-    * threads — and a checkpoint could not be scope-released safely.
+    * batch-grain job; the compacted batch is consumed three times
+    * (count + both union branches), so BATCH callers should pass
+    * `materialize = true` to lazily localCheckpoint it and pay the
+    * window pass once. The default is false because streaming
+    * foreachBatch threads must not touch the single-writer [[Ckpt]]
+    * registry (and there the result is fully written inside the batch,
+    * with the source already cached by versionedMerge).
     *
     * `changes` must carry every `target` column plus `opCol` (+ seq). */
   def merge(target: DataFrame, changes: DataFrame, key: String,
             opCol: String, seqCols: Seq[String],
-            maxBroadcastKeys: Long = 5000000L): DataFrame = {
+            maxBroadcastKeys: Long = 5000000L,
+            materialize: Boolean = false): DataFrame = {
     val w = Window.partitionBy(key).orderBy(seqCols.map(c => col(c).desc): _*)
-    val latest = changes
+    val compacted = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    val latest = if (materialize) Ckpt.local(compacted) else compacted
     val keys = latest.select(col(key))
     val keyRel = if (keys.count() <= maxBroadcastKeys) broadcast(keys) else keys
     val survivors = target.join(keyRel, Seq(key), "left_anti")
