@@ -339,6 +339,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q281's sorted-run fold equals the max bigram multiplicity") {
+    // the repetition filter's top-2-gram share comes from a longest-
+    // equal-run fold over the sorted bigram array; pin it against a
+    // plain explode+groupBy max count on random token streams
+    val vocab = Seq("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(3, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val docs = sample(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val g2 = transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat_ws(" ", element_at(col("tk"), i.cast("int")),
+        element_at(col("tk"), i.cast("int") + 1)))
+    val base = docs
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("tk"))
+      .withColumn("g2s", array_sort(g2))
+    val brute = base.select(col("doc_id"), explode(col("g2s")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxRun = aggregate(
+      sequence(lit(2), size(col("g2s"))),
+      struct(lit(1L).as("run"), lit(1L).as("mx")),
+      (acc, i) => {
+        val r = when(element_at(col("g2s"), i.cast("int"))
+            === element_at(col("g2s"), i.cast("int") - 1),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(r.as("run"), greatest(acc.getField("mx"), r).as("mx"))
+      }).getField("mx")
+    val folded = base.select(col("doc_id"), maxRun.as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == brute)
+  }
+
   test("globalRowNumber + ntileFromRank equal the single-window row_number/ntile") {
     import org.apache.spark.sql.expressions.Window
     // heavy ties (201 distinct values over 500 rows) exercise the
