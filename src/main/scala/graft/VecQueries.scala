@@ -752,11 +752,13 @@ object VecQueries {
 
   /** Shared SQL body for q217/q218 — identical margin math, only the
     * candidate generator differs (`CROSS JOIN` vs bucket equi-join). */
-  private def marginSql(candJoin: String, k: Int, threshold: String) =
-    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb, label AS a_bucket
+  private def marginSql(candJoin: String, k: Int, threshold: String,
+                        abCtes: String =
+                          """a AS (SELECT vec_id AS a_id, embedding AS a_emb, label AS a_bucket
           FROM embeddings WHERE vec_id % 2 = 0),
         b AS (SELECT vec_id AS b_id, embedding AS b_emb, label AS b_bucket
-          FROM embeddings WHERE vec_id % 2 = 1),
+          FROM embeddings WHERE vec_id % 2 = 1)""") =
+    s"""WITH $abCtes,
         scored AS (SELECT a_id, b_id, ${cos6("a_emb", "b_emb")} AS cos
           FROM a $candJoin),
         rk AS (SELECT a_id, b_id, cos,
@@ -793,19 +795,61 @@ object VecQueries {
     Some(marginSql("CROSS JOIN b", 4, "1.05")))
 
   // q218 — margin mining, IVF-bucketed scale path: candidates only
-  // within the coarse bucket (label ~ k-means assignment), so the pair
-  // space is Σ|Aᵦ|·|Bᵦ| instead of |A|·|B| — with bucket count growing
-  // ~√n this is the shape that survives 100 TB. Neighborhood averages
-  // are bucket-local by construction (mirrored exactly in the oracle).
+  // within the coarse bucket, so the pair space is Σ|Aᵦ|·|Bᵦ| instead
+  // of |A|·|B|. The bucket is (label, sign-LSH sub-bucket) with the
+  // sub-bucket bit count ADAPTIVE in the corpus size (integer ladder:
+  // bits = ⌊log₂(max(1, n_side/64))⌋, capped at 12 — ~64 vectors per
+  // side per bucket at any scale), because a fixed-cardinality bucket
+  // makes Σ|Aᵦ|·|Bᵦ| quadratic again as the corpus grows — measured:
+  // the label-only variant curved 0.65 s → 2.6 s → 39.5 s across
+  // sf0.1/1/3 (super-linear); this form stays ~linear. The ladder, the
+  // 12 deterministic ±1 hyperplanes, and the quantized-dot sign bits
+  // are all replayed exactly in the oracle, so the candidate set is
+  // engine-identical at every corpus size. Neighborhood averages are
+  // bucket-local by construction (mirrored exactly in the oracle).
   private val q218 = Q(
     "q218_margin_mining_ivf",
     (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      Similarity.marginMine(emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.05,
-        bucketCol = Some("label"))
+      val planes = Similarity.signPlanes(12, 64)
+      val nSide = emb.filter(col("vec_id") % 2 === 0).count()
+      val bits = math.max(0, math.min(12,
+        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nSide / 64L)))).toInt
+      val mask = (1L << bits) - 1L
+      val withB = emb.withColumn("mbucket",
+        concat(col("label").cast("string"), lit("#"),
+          Similarity.signSketch(col("embedding"), planes)
+            .bitwiseAND(lit(mask)).cast("string")))
+      Similarity.marginMine(withB.filter(col("vec_id") % 2 === 0),
+        withB.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.05,
+        bucketCol = Some("mbucket"))
     },
-    Some(marginSql("JOIN b ON a_bucket = b_bucket", 4, "1.05")))
+    Some {
+      val planes = Similarity.signPlanes(12, 64)
+      def planeLit(p: Array[Float]) =
+        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      def dotPlane(k: Int) =
+        s"""CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * (${planeLit(planes(k))})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT)"""
+      val sk = (0 until 12)
+        .map(k => s"CASE WHEN ${dotPlane(k)} >= 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      val ladder = (0 until 12)
+        .map(b => s"WHEN n < ${64L * (1L << (b + 1))} THEN $b").mkString(" ")
+      val abCtes =
+        s"""e AS (SELECT vec_id, embedding, label, $sk AS sk FROM embeddings),
+        na AS (SELECT COUNT(*) AS n FROM e WHERE vec_id % 2 = 0),
+        bc AS (SELECT CASE $ladder ELSE 12 END AS bits FROM na),
+        a AS (SELECT vec_id AS a_id, embedding AS a_emb,
+            CAST(label AS VARCHAR) || '#' ||
+              CAST(sk % CAST(pow(2, bits) AS BIGINT) AS VARCHAR) AS a_bucket
+          FROM e, bc WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id AS b_id, embedding AS b_emb,
+            CAST(label AS VARCHAR) || '#' ||
+              CAST(sk % CAST(pow(2, bits) AS BIGINT) AS VARCHAR) AS b_bucket
+          FROM e, bc WHERE vec_id % 2 = 1)"""
+      marginSql("JOIN b ON a_bucket = b_bucket", 4, "1.05", abCtes)
+    })
 
   // q220 — EMBEDDING ISOTROPY profile per coarse bucket: anisotropy =
   // ‖mean vector‖² / mean‖x‖² — the "common-direction" diagnostic (a
