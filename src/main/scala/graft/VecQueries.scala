@@ -33,6 +33,57 @@ object VecQueries {
     * the broadcast query side never grows with the corpus. */
   private val isQuery = "vec_id % 100 = 0 AND vec_id < 5000"
 
+  // ── adaptive sub-bucketing (the round-7 scale fix) ────────────────────
+  // A FIXED-cardinality bucket makes within-bucket pair work quadratic in
+  // the corpus (measured: q218's label-only bucket hit 39.5 s at sf3).
+  // These helpers derive a sign-LSH sub-bucket whose bit count follows an
+  // integer ladder in the corpus size — ⌊log₂(max(1, n/64))⌋ capped at 12,
+  // i.e. ~64 vectors per (label, sub) bucket at any scale — with the
+  // ladder, the 12 deterministic ±1 hyperplanes, and the quantized-dot
+  // sign bits all replayed exactly in DuckDB, so candidate sets stay
+  // engine-identical at every corpus size.
+  private val subPlanes = Similarity.signPlanes(12, 64)
+
+  private def subBits(n: Long): Int =
+    math.max(0, math.min(12,
+      63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 64L)))).toInt
+
+  /** CASE body matching [[subBits]] over a column named `n`. */
+  private val subLadder = (0 until 12)
+    .map(b => s"WHEN n < ${64L * (1L << (b + 1))} THEN $b").mkString(" ")
+
+  private def planeLit(p: Array[Float]) =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+
+  /** The 12-plane sign sketch of `embedding`, as SQL (mirrors
+    * [[Similarity.signSketch]] over [[subPlanes]]). */
+  private def sk12Sql: String = {
+    def dotPlane(k: Int) =
+      s"""CAST(list_sum(list_transform(range(1, 65),
+          i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * (${planeLit(subPlanes(k))})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT)"""
+    (0 until 12)
+      .map(k => s"CASE WHEN ${dotPlane(k)} >= 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+  }
+
+  /** Spark side: label#sub bucket column for a corpus of `n` rows. */
+  private def adaptiveBucket(n: Long): org.apache.spark.sql.Column =
+    concat(col("label").cast("string"), lit("#"),
+      Similarity.signSketch(col("embedding"), subPlanes)
+        .bitwiseAND(lit((1L << subBits(n)) - 1L)).cast("string"))
+
+  /** Oracle CTEs ending in `eb(vec_id, embedding, label, mb)` where `mb`
+    * is the label#sub bucket; `countWhere` selects the rows the ladder
+    * counts (whole corpus or one side). */
+  private def adaptiveBucketCtes(countWhere: String = "TRUE"): String =
+    s"""sk12 AS (SELECT vec_id, embedding, label, $sk12Sql AS sk FROM embeddings),
+        nc AS (SELECT COUNT(*) AS n FROM sk12 WHERE $countWhere),
+        bc AS (SELECT CASE $subLadder ELSE 12 END AS bits FROM nc),
+        eb AS (SELECT vec_id, embedding, label,
+            CAST(label AS VARCHAR) || '#' ||
+              CAST(sk % CAST(pow(2, bits) AS BIGINT) AS VARCHAR) AS mb
+          FROM sk12, bc)"""
+
   // q28 — brute-force cosine top-10 per query vector: broadcast the query
   // set, one scan of the corpus, rank-limited window. The exact-ANN
   // baseline; headline vector op.
@@ -88,11 +139,20 @@ object VecQueries {
   // cross join shrinks from n² to Σ bucketᵢ² — the production dedup shape.
   private val q35 = Q(
     "q35_embed_neardup_ivf",
-    (s, dir) => Similarity.bucketedNearDupPairs(tbl(s, dir, "embeddings"), "label", 0.3),
-    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      // bucket = (label, adaptive sign-LSH sub-bucket): a fixed 10-way
+      // label bucket makes the within-bucket pair space quadratic (the
+      // q218 lesson, measured at sf3); the ladder keeps ~64 vectors per
+      // bucket at any scale, candidates mirrored exactly in the oracle
+      Similarity.bucketedNearDupPairs(
+        emb.withColumn("mbucket", adaptiveBucket(emb.count())), "mbucket", 0.3)
+    },
+    Some(s"""WITH ${adaptiveBucketCtes()}
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ${cos6("a.embedding", "b.embedding")} AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM eb a JOIN eb b
+        ON a.mb = b.mb AND a.vec_id < b.vec_id
       WHERE ${cos6("a.embedding", "b.embedding")} >= 0.3
       ORDER BY id_a, id_b"""))
 
@@ -132,25 +192,39 @@ object VecQueries {
       FROM lineitem"""))
 
   // q47 — sign-LSH near-dup: deterministic ±1 hyperplane sketches bucket
-  // the corpus in 4×4-bit bands (any-band match → candidate, OR-amplified
-  // recall); exact-cosine verify only on collisions. The oracle receives
-  // the identical plane literals and band slicing, so candidate sets
-  // match.
+  // the corpus in 4 bands (any-band match → candidate, OR-amplified
+  // recall); exact-cosine verify only on collisions. The band key WIDTH
+  // is adaptive — w = clamp(⌈log₂(n/32)⌉, 4, 15) bits of each 15-bit
+  // slice of a 60-plane sketch, ~32 vectors per band bucket at any
+  // scale — because a fixed 4-bit key space made Σ bucketᵢ² quadratic
+  // (the sf3 checkpoint OOM'd this query before the fix). Recall
+  // follows the standard 1−(1−p_bitʷ)⁴ curve: wider keys at larger n
+  // trade per-band recall for bounded bucket volume, the textbook LSH
+  // tuning knob. The oracle receives the identical plane literals,
+  // ladder, and band slicing, so candidate sets match bit-for-bit.
   private val q47 = Q(
     "q47_embed_lsh",
-    (s, dir) => Similarity.lshNearDupPairs(tbl(s, dir, "embeddings"), 0.2, nPlanes = 16, bands = 4),
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val n = emb.count()
+      val w = (4 to 15).find(b => n <= 32L * (1L << b)).getOrElse(15)
+      Similarity.lshNearDupPairs(emb, 0.2, nPlanes = 60, bands = 4, useBits = w)
+    },
     Some {
-      val planes = Similarity.signPlanes(16, 64)
-      // compact plane literal: one DOUBLE[] per plane
-      def planeLit(p: Array[Float]) = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      val planes = Similarity.signPlanes(60, 64)
       def sketch(e: String) = planes.zipWithIndex.map { case (p, i) =>
         s"""CASE WHEN CAST(list_sum(list_transform(range(1, 65),
             i -> CAST(floor(CAST($e[i] AS DOUBLE) * (${planeLit(p)})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT) >= 0
             THEN ${1L << i} ELSE 0 END""" }
         .mkString("(", " + ", ")")
+      val ladder = (4 to 15)
+        .map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b").mkString(" ")
       s"""WITH sk AS (SELECT vec_id, ${sketch("embedding")} AS sk FROM embeddings),
-      bands AS (SELECT vec_id, bb.b AS band, (sk >> (4 * bb.b)) & 15 AS key
-        FROM sk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+      nc AS (SELECT COUNT(*) AS n FROM embeddings),
+      wc AS (SELECT CASE $ladder ELSE 15 END AS w FROM nc),
+      bands AS (SELECT vec_id, bb.b AS band,
+          (sk >> (15 * bb.b)) & (CAST(pow(2, w) AS BIGINT) - 1) AS key
+        FROM sk CROSS JOIN wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
@@ -417,13 +491,22 @@ object VecQueries {
   // the apply is a slim anti join on vec_id.
   private val q112 = Q(
     "q112_semdedup",
-    (s, dir) => Similarity.semDedup(tbl(s, dir, "embeddings"), "label", 0.3)
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
-      .orderBy("label"),
-    Some(s"""WITH dropped AS (SELECT DISTINCT b.vec_id
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      // same adaptive (label, sub) clusters as q35 — SemDeDup's own
+      // prescription is a cluster count that grows with the corpus
+      // (arXiv:2303.09540 uses k ~ 10-100k on LAION); the fixed 10-way
+      // label stand-in was quadratic at sf3
+      Similarity.semDedup(
+          emb.withColumn("mbucket", adaptiveBucket(emb.count())), "mbucket", 0.3)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+        .orderBy("label")
+    },
+    Some(s"""WITH ${adaptiveBucketCtes()},
+      dropped AS (SELECT DISTINCT b.vec_id
+        FROM eb a JOIN eb b
+          ON a.mb = b.mb AND a.vec_id < b.vec_id
         WHERE ${cos6("a.embedding", "b.embedding")} >= 0.3)
       SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS id_sum
       FROM embeddings e WHERE NOT EXISTS
@@ -811,43 +894,19 @@ object VecQueries {
     "q218_margin_mining_ivf",
     (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val planes = Similarity.signPlanes(12, 64)
       val nSide = emb.filter(col("vec_id") % 2 === 0).count()
-      val bits = math.max(0, math.min(12,
-        63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nSide / 64L)))).toInt
-      val mask = (1L << bits) - 1L
-      val withB = emb.withColumn("mbucket",
-        concat(col("label").cast("string"), lit("#"),
-          Similarity.signSketch(col("embedding"), planes)
-            .bitwiseAND(lit(mask)).cast("string")))
+      val withB = emb.withColumn("mbucket", adaptiveBucket(nSide))
       Similarity.marginMine(withB.filter(col("vec_id") % 2 === 0),
         withB.filter(col("vec_id") % 2 === 1), k = 4, threshold = 1.05,
         bucketCol = Some("mbucket"))
     },
     Some {
-      val planes = Similarity.signPlanes(12, 64)
-      def planeLit(p: Array[Float]) =
-        p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      def dotPlane(k: Int) =
-        s"""CAST(list_sum(list_transform(range(1, 65),
-            i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * (${planeLit(planes(k))})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT)"""
-      val sk = (0 until 12)
-        .map(k => s"CASE WHEN ${dotPlane(k)} >= 0 THEN ${1L << k} ELSE 0 END")
-        .mkString(" + ")
-      val ladder = (0 until 12)
-        .map(b => s"WHEN n < ${64L * (1L << (b + 1))} THEN $b").mkString(" ")
       val abCtes =
-        s"""e AS (SELECT vec_id, embedding, label, $sk AS sk FROM embeddings),
-        na AS (SELECT COUNT(*) AS n FROM e WHERE vec_id % 2 = 0),
-        bc AS (SELECT CASE $ladder ELSE 12 END AS bits FROM na),
-        a AS (SELECT vec_id AS a_id, embedding AS a_emb,
-            CAST(label AS VARCHAR) || '#' ||
-              CAST(sk % CAST(pow(2, bits) AS BIGINT) AS VARCHAR) AS a_bucket
-          FROM e, bc WHERE vec_id % 2 = 0),
-        b AS (SELECT vec_id AS b_id, embedding AS b_emb,
-            CAST(label AS VARCHAR) || '#' ||
-              CAST(sk % CAST(pow(2, bits) AS BIGINT) AS VARCHAR) AS b_bucket
-          FROM e, bc WHERE vec_id % 2 = 1)"""
+        s"""${adaptiveBucketCtes("vec_id % 2 = 0")},
+        a AS (SELECT vec_id AS a_id, embedding AS a_emb, mb AS a_bucket
+          FROM eb WHERE vec_id % 2 = 0),
+        b AS (SELECT vec_id AS b_id, embedding AS b_emb, mb AS b_bucket
+          FROM eb WHERE vec_id % 2 = 1)"""
       marginSql("JOIN b ON a_bucket = b_bucket", 4, "1.05", abCtes)
     })
 

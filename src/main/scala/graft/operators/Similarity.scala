@@ -204,8 +204,18 @@ object Similarity {
     * into the DuckDB oracle, so sketches match across engines. */
   def signPlanes(planes: Int, dim: Int): Array[Array[Float]] =
     Array.tabulate(planes, dim) { (i, j) =>
-      var x = i.toLong * 1_000_003L + j * 7919L + 12345L
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17 // xorshift
+      // splitmix64 finalizer — a REAL avalanche. The previous xorshift
+      // of a linear (i, j) combination was GF(2)-structured: distinct
+      // plane indices produced perfectly correlated (even identical)
+      // sign rows, which collapsed band-key entropy into mega-buckets
+      // (measured at sf3: 5k-vector buckets from an 11-bit key and a
+      // 200 s q47). Every plane literal in the DuckDB oracles is
+      // rendered from THIS function at SQL-build time, so both engines
+      // move together.
+      var x = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31
       if ((x & 1L) == 0L) 1.0f else -1.0f
     }
 
@@ -226,12 +236,22 @@ object Similarity {
     * recall with candidate volume still Σ bucketᵢ² per band, never O(n²).
     * Same shuffle shape as [[graft.operators.Dedup.minhashLshPairs]]: the
     * banded relation is slim (id, band, key) and lineage-truncated so the
-    * self-join does not re-derive the sketch per side. */
+    * self-join does not re-derive the sketch per side.
+    *
+    * `useBits` (0 = use the full slice): band keys keep only the LOW
+    * `useBits` bits of each nPlanes/bands-wide slice. This is the
+    * adaptive-cardinality hook — with a fixed key space the per-band
+    * bucket population grows linearly and Σ bucketᵢ² quadratically, so a
+    * caller tracking corpus growth widens `useBits` on an integer ladder
+    * (see q47) to hold bucket sizes roughly constant; per-bit collision
+    * probability is unchanged (each bit is one hyperplane), so recall
+    * follows the standard 1−(1−p_bit^useBits)^bands curve. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
                       nPlanes: Int = 16, bands: Int = 4,
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = 100000, useBits: Int = 0): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
-    val bits = nPlanes / bands
+    val width = nPlanes / bands
+    val bits = if (useBits > 0) math.min(useBits, width) else width
     val mask = (1L << bits) - 1
     val planes = signPlanes(nPlanes, 64)
     val base = corpus.select(
@@ -240,7 +260,7 @@ object Similarity {
       signSketch(col("embedding"), planes).as("sk"))
     val banded = base.select(col("vec_id"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("sk"), b * bits).bitwiseAND(lit(mask))): _*))
+        shiftright(col("sk"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "key")))
     val (lhs, rhs) = Dedup.capBuckets(banded, maxBucket, "embed_lsh")
     val cand = lhs.select(col("band"), col("key"), col("vec_id").as("id_a"))
@@ -370,6 +390,11 @@ object Similarity {
   /** Bucket-pruned near-dup: pairs restricted to the same coarse bucket —
     * the n² cross join becomes Σ bucketᵢ², the production dedup shape at
     * 100 TB (bucket = quantizer/LSH cell). */
+  /** Within-bucket exact-cosine near-dup pairs. The pair space is
+    * Σ|bucketᵢ|² — callers MUST supply a bucket whose CARDINALITY grows
+    * with the corpus (e.g. the adaptive label#sign-sub-bucket ladder
+    * q35/q112 build); a fixed-cardinality bucket makes this quadratic
+    * (measured: the 10-way label bucket hit 36 s at sf3). */
   def bucketedNearDupPairs(corpus: DataFrame, bucketCol: String, threshold: Double): DataFrame = {
     def side(p: String) = corpus.select(
       col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}emb"),
