@@ -14,7 +14,12 @@ import org.apache.spark.sql.SparkSession
   * break): it is reported by name under "failed" and excluded from every
   * total. */
 object Bench {
-  val WarmRuns = 3
+  /** 5 warm passes (was 3 through round 7): same-binary runs on a shared
+    * box differed by ±20% in total, swamping the regression signal. With 5
+    * samples we report the median plus a per-query coefficient of variation
+    * so a delta can be adjudicated as real only when it exceeds the
+    * measured run-to-run noise. */
+  val WarmRuns = 5
 
   /** Expensive iterative/ML families promoted into the benched set in
     * round 7 so a perf regression there is visible: graph traversal
@@ -38,6 +43,14 @@ object Bench {
     // benches always cover the full benched set
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
+    // a typo'd name must fail loudly — a silently-empty bench run would
+    // write a green-looking BENCH.json that masks the regression it was
+    // meant to measure
+    only.foreach { names =>
+      val unknown = names -- Queries.all.map(_.name).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY has unknown query name(s): ${unknown.mkString(",")}")
+    }
     val headline = only match {
       case Some(names) => Queries.all.filter(q => names.contains(q.name))
       case None => Queries.all.filter(q => q.headline || Promoted(q.name))
@@ -62,13 +75,21 @@ object Bench {
     val failed = results.collect { case (n, c, w) if c.isEmpty || w.size < WarmRuns => n }
     val warm = results.collect { case (n, _, w) if w.size == WarmRuns => n -> median(w) }
     val cold = results.collect { case (n, Some(c), w) if w.size == WarmRuns => n -> c }
+    // coefficient of variation (stddev/mean) of the warm passes — the
+    // run-to-run noise floor a round-over-round delta must clear to be real
+    def cvOf(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      if (m == 0.0) 0.0
+      else math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size) / m
+    }
+    val cv = results.collect { case (n, _, w) if w.size == WarmRuns => n -> cvOf(w) }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = warm.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(warm)},"cold_total":$coldTotal,"cold_queries":${toJson(cold)},"failed":$failedJson,"warm_runs":$WarmRuns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(warm)},"cv":${toJson(cv)},"cold_total":$coldTotal,"cold_queries":${toJson(cold)},"failed":$failedJson,"warm_runs":$WarmRuns,"sf":"$sfDir"}"""
     // The driver parses stdout, but sbt interleaves [info]/log noise — also
     // write the line to a file so the result is machine-readable either way.
     val outPath = args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))

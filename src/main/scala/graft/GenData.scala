@@ -166,7 +166,19 @@ object GenData {
           pmod(xxhash64(base * 128 + k, lit(72)), lit(30)).cast("int") + 1)))
     }
     val isDup = u(id, 73) < 0.05
-    val baseId = when(isDup, ui(id, 74, nDoc)).otherwise(id)
+    // A dup's base must itself be a NON-dup, or wordsFor(base) regenerates
+    // text the base doc never carried (its actual text is its own base's
+    // words + " dup"). Chain two hash candidates, then an exact fallback
+    // (the smallest non-dup id, one cheap doc-grain job) — every planted
+    // dup is a true exact copy of an existing doc's text + " dup".
+    val minNonDup = spark.range(nDoc).filter(u(id, 73) >= 0.05)
+      .agg(min(id)).first().getLong(0)
+    val cand1 = ui(id, 74, nDoc)
+    val cand2 = ui(id, 77, nDoc)
+    val baseId = when(!isDup, id)
+      .when(u(cand1, 73) >= 0.05, cand1)
+      .when(u(cand2, 73) >= 0.05, cand2)
+      .otherwise(lit(minNonDup))
     spark.range(nDoc)
       .select(id.as("doc_id"),
         when(isDup, concat(wordsFor(baseId), lit(" dup")))

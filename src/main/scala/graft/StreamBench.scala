@@ -53,19 +53,41 @@ object StreamBench {
     val stagedRows = spark.read.parquet(s"$stage/events").count()
 
     /** Runs a streaming query to completion over the staged slices and
-      * folds its progress into (rows, wallSec, medianBatchMs, batches).
-      * Throughput uses the STAGED row count, not progress numInputRows —
-      * a foreachBatch body that executes its batch more than once (e.g.
-      * an uncached merge) would otherwise inflate the input-row metric. */
-    def measure(name: String)(start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
-        : (String, Long, Double, Double, Int) = {
-      val q = start(fileStream)
+      * folds its progress into (rows, wallSec, medianBatchMs, batches,
+      * maxStateRows). Throughput uses the STAGED row count, not progress
+      * numInputRows — a foreachBatch body that executes its batch more
+      * than once (e.g. an uncached merge) would otherwise inflate the
+      * input-row metric. `maxStateRows` is the peak of the engine's own
+      * stateOperators.numRowsTotal across batches — the direct evidence
+      * that watermark eviction keeps state at the in-horizon working
+      * set, not full history.
+      *
+      * `statePartitions` sizes the state-store layout for the query
+      * (spark.sql.shuffle.partitions is read at FIRST start and frozen
+      * into the checkpoint): every micro-batch opens+commits each state
+      * store once per partition, so a state-heavy operator at this feed
+      * rate (~6 k rows/batch) pays pure store-commit overhead for
+      * partitions beyond its data. A stream-stream join runs FOUR
+      * stores per partition (keyToNumValues / keyWithIndexToValue ×
+      * both sides) — 32 partitions = 128 store commits per ~6 k-row
+      * batch, which is what throttled attribution_join to 2.4 k rows/s
+      * in round 7. At a 100 TB feed you size this UP with volume; the
+      * knob being per-query is exactly how it works on a real cluster. */
+    def measure(name: String, statePartitions: Int = 32)
+               (start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
+        : (String, Long, Double, Double, Int, Long) = {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+      val q = try start(fileStream)
+              finally spark.conf.set("spark.sql.shuffle.partitions", before)
       try q.processAllAvailable() finally q.stop()
       val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
       val lat = prog.map(_.durationMs.get("triggerExecution").toDouble)
       val wallSec = lat.sum / 1000.0
+      val maxState = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .maxOption.getOrElse(0L)
       (name, stagedRows, if (wallSec > 0) stagedRows / wallSec else 0.0,
-        median(lat), prog.size)
+        median(lat), prog.size, maxState)
     }
 
     val session = measure("sessionize") { in =>
@@ -92,10 +114,16 @@ object StreamBench {
       Streams.maintainCountSum(in, "event_type", "value",
         s"$stage/ivm_snap", s"$stage/ckpt_ivm")
     }
-    val attr = measure("attribution_join") { in =>
+    val attr = measure("attribution_join", statePartitions = 8) { in =>
       // stream-stream interval join: purchases from this feed, views
       // from a SECOND file stream over the same slices (each side
-      // replays the 100 k-row feed; rows/s is per feed)
+      // replays the 100 k-row feed; rows/s is per feed). State is
+      // interval-bound by construction — both sides watermarked and the
+      // join condition bounds v_ts into [p_ts − window, p_ts], so views
+      // evict at watermark − window and purchases at the watermark; the
+      // reported max_state_rows is the engine's own proof. 8 state
+      // partitions: 4 stores/partition × 8 ≈ the per-batch store-commit
+      // budget of the single-store operators at 32 (see measure()).
       Streams.attribution(
           in.filter(col("event_type") === "purchase"),
           fileStream.filter(col("event_type") === "view"),
@@ -105,8 +133,8 @@ object StreamBench {
     }
 
     val all = Seq(session, dedup, merge, ivm, attr)
-    val qjson = all.map { case (n, rows, rps, med, b) =>
-      s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b}"""
+    val qjson = all.map { case (n, rows, rps, med, b, st) =>
+      s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b,"max_state_rows":$st}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"stream_total","unit":"rows_per_sec","queries":$qjson,"slices":16,"sf":"$sfDir"}"""

@@ -3571,12 +3571,17 @@ object TextQueries {
   // estimator that absolute discounting + continuation counts make
   // robust to burstiness — "san francisco" vs bare "francisco"):
   // P(w₂|w₁) = (max(c−d,0) + d·N₁₊(w₁,·)·N₁₊(·,w₂)/D) / c(w₁·), d=0.75.
-  // Every input is an integer count off ONE checkpointed bigram-count
-  // relation (type counts, left/right continuation fan-outs, the global
-  // distinct-bigram total D); the arithmetic tree is mirrored
-  // token-for-token in SQL so the doubles agree bit-for-bit. Scale:
-  // everything after the first groupBy is vocab-grain; the top-20 is a
-  // TakeOrdered, never a global sort of the corpus.
+  // SINGLETON BIGRAMS ARE PRUNED (c ≥ 2, standard KN count-thresholding;
+  // the threshold is replicated in the oracle) BEFORE the continuation
+  // counts: at 100 TB the bigram type table is dominated by its singleton
+  // tail (Zipf), so the prune bounds every downstream vocab-grain
+  // relation by the head of the curve. Every input is an integer count
+  // off ONE checkpointed pruned bigram-count relation (type counts,
+  // left/right continuation fan-outs, the global distinct-bigram total
+  // D); the arithmetic tree is mirrored token-for-token in SQL so the
+  // doubles agree bit-for-bit. Scale: everything after the first groupBy
+  // is vocab-grain; the top-20 is a TakeOrdered, never a global sort of
+  // the corpus.
   private val q219 = Q(
     "q219_kneser_ney",
     (s, dir) => {
@@ -3589,7 +3594,8 @@ object TextQueries {
             element_at(col("toks"), i + 1).as("w2")))).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       val cBg = graft.operators.Ckpt.local(
-        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2))
       val left = cBg.groupBy("w1")
         .agg(sum(col("c")).as("cw1"), count(lit(1)).as("nf"))
       val right = cBg.groupBy("w2").agg(count(lit(1)).as("nb"))
@@ -3610,7 +3616,8 @@ object TextQueries {
           FROM d, unnest(list_transform(range(1, len(toks)),
             i -> {'w1': toks[i], 'w2': toks[i+1]})) AS u(p)
           WHERE len(toks) >= 2),
-        cbg AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        cbg AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+          HAVING COUNT(*) >= 2),
         lft AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1, COUNT(*) AS nf
           FROM cbg GROUP BY w1),
         rgt AS (SELECT w2, COUNT(*) AS nb FROM cbg GROUP BY w2),

@@ -10,6 +10,11 @@ object Verify {
     // for checking a few queries; the driver always passes two args.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a typo'd name must fail loudly, not produce an empty (green-looking) run
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(",")}")
+    }
     val spark = GraftSession.local(app = "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -52,18 +52,18 @@ object Cdc {
     * plus a union. No full outer join, no target rewrite beyond the
     * rows actually touched. Counting the compacted keys costs one extra
     * batch-grain job; the compacted batch is consumed three times
-    * (count + both union branches), so BATCH callers should pass
-    * `materialize = true` to lazily localCheckpoint it and pay the
-    * window pass once. The default is false because streaming
-    * foreachBatch threads must not touch the single-writer [[Ckpt]]
-    * registry (and there the result is fully written inside the batch,
-    * with the source already cached by versionedMerge).
+    * (count + both union branches), so the DEFAULT is
+    * `materialize = true`: the compaction window runs once into a lazy
+    * localCheckpoint. Streaming callers must pass `materialize = false`
+    * — foreachBatch threads must not touch the single-writer [[Ckpt]]
+    * registry, and there [[graft.streaming.Streams]] already persists
+    * the micro-batch for the merge's scope.
     *
     * `changes` must carry every `target` column plus `opCol` (+ seq). */
   def merge(target: DataFrame, changes: DataFrame, key: String,
             opCol: String, seqCols: Seq[String],
             maxBroadcastKeys: Long = 5000000L,
-            materialize: Boolean = false): DataFrame = {
+            materialize: Boolean = true): DataFrame = {
     val w = Window.partitionBy(key).orderBy(seqCols.map(c => col(c).desc): _*)
     val compacted = changes
       .withColumn("__rn", row_number().over(w))

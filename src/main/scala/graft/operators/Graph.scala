@@ -128,27 +128,37 @@ object Graph {
   def temporalBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = Ckpt.local(
       edges.select(col("src"), col("dst"), col("ets").cast("long").as("ets")))
-    var arr = seeds.select(col("id")).distinct().withColumn("arr", lit(0L))
-    var prev = (-1L, -1L)
+    var arr = Ckpt.local(
+      seeds.select(col("id")).distinct().withColumn("arr", lit(0L)))
+    // DELTA-FRONTIER rounds (round 8): only nodes whose arrival CHANGED
+    // last round can open new edges (an unchanged src already emitted all
+    // its candidates the round it last improved), so each round joins the
+    // delta — not the full arrival relation — against the edge list.
+    // Results are round-for-round identical to the full relaxation; the
+    // per-round cost is bounded by the changed frontier's out-edges, and
+    // once the delta is small AQE plans it as a broadcast join (no edge
+    // shuffle at all). The empty-delta exit is the same fixpoint proof as
+    // before (min-arrival is monotone), now at delta grain.
+    var delta = arr
     var h = 0
-    var converged = false
-    while (h < maxHops && !converged) {
-      val relaxed = e
-        .join(arr.withColumnRenamed("id", "src"), "src")
+    while (h < maxHops && delta != null) {
+      val cand = e
+        .join(delta.withColumnRenamed("id", "src"), "src")
         .filter(col("ets") >= col("arr"))
-        .select(col("dst").as("id"), col("ets").as("arr"))
-      arr = Ckpt.local(
-        arr.union(relaxed).groupBy("id").agg(min("arr").as("arr")))
-      // node count only grows and per-node arrivals only decrease, so
-      // an unchanged (count, Σarr) PAIR is a fixpoint — remaining
-      // rounds are no-ops, skip them (exact LONG sums, no float
-      // drift). The scalar read also materializes this round's
-      // checkpoint before the next join reuses it.
-      val r = arr.agg(count(lit(1)), coalesce(sum(col("arr")), lit(0L)))
-        .collect()(0)
-      val cur = (r.getLong(0), r.getLong(1))
-      converged = cur == prev
-      prev = cur
+        .groupBy(col("dst").as("id")).agg(min(col("ets")).as("arr"))
+      val improved = Ckpt.local(
+        cand.join(arr.withColumnRenamed("arr", "_old"), Seq("id"), "left")
+          .filter(col("_old").isNull || col("arr") < col("_old"))
+          .select(col("id"), col("arr")))
+      // the count also materializes the delta checkpoint before the next
+      // round's join (and the arr merge) reuse it
+      if (improved.count() == 0) delta = null
+      else {
+        arr = Ckpt.local(
+          arr.join(improved.select("id"), Seq("id"), "left_anti")
+            .union(improved))
+        delta = improved
+      }
       h += 1
     }
     arr
@@ -168,25 +178,36 @@ object Graph {
   def cheapestPath(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     val e = Ckpt.local(
       edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
-    var costs = seeds.select(col("id")).distinct().withColumn("cost", lit(0L))
-    var prev = (-1L, -1L)
+    var costs = Ckpt.local(
+      seeds.select(col("id")).distinct().withColumn("cost", lit(0L)))
+    // DELTA-FRONTIER Bellman-Ford (round 8): a src whose cost did not
+    // change last round re-derives only candidates already merged in an
+    // earlier round, so relaxing it again is pure waste — each round
+    // joins only last round's IMPROVED nodes against the edge list.
+    // Round-for-round identical results to the full relaxation; per-round
+    // work is bounded by the changed frontier's out-edges instead of the
+    // whole vertex set, and a small delta becomes a broadcast join under
+    // AQE (the sf3-measured 3.06×-for-3×-data asymptote came from the
+    // full-relation rounds). Empty delta ⇒ fixpoint (monotone min), exit.
+    var delta = costs
     var h = 0
-    var converged = false
-    while (h < maxHops && !converged) {
-      val relaxed = e.join(costs.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
-      costs = Ckpt.local(
-        costs.union(relaxed).groupBy("id").agg(min("cost").as("cost")))
-      // Bellman-Ford is monotone (node set grows, per-node cost only
-      // decreases), so an unchanged (count, Σcost) pair proves the
-      // fixpoint and the remaining rounds are no-ops — skip them.
-      // Integer LONG sums, no float drift; the scalar read also
-      // materializes this round's checkpoint.
-      val r = costs.agg(count(lit(1)), coalesce(sum(col("cost")), lit(0L)))
-        .collect()(0)
-      val cur = (r.getLong(0), r.getLong(1))
-      converged = cur == prev
-      prev = cur
+    while (h < maxHops && delta != null) {
+      val cand = e.join(delta.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cost") + col("w")).as("cost"))
+      val improved = Ckpt.local(
+        cand.join(costs.withColumnRenamed("cost", "_old"), Seq("id"), "left")
+          .filter(col("_old").isNull || col("cost") < col("_old"))
+          .select(col("id"), col("cost")))
+      // the count also materializes the delta checkpoint before the next
+      // round's join (and the costs merge) reuse it
+      if (improved.count() == 0) delta = null
+      else {
+        costs = Ckpt.local(
+          costs.join(improved.select("id"), Seq("id"), "left_anti")
+            .union(improved))
+        delta = improved
+      }
       h += 1
     }
     costs

@@ -40,6 +40,10 @@ object PrefixSum {
     */
   def overKeys(df: DataFrame, keyCol: String, group: Column,
                inclusive: Boolean, sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "PrefixSum.overKeys: sums must be non-empty")
+    require(!df.columns.exists(_.startsWith("_ps")),
+      s"PrefixSum.overKeys: input columns ${df.columns.filter(_.startsWith("_ps")).mkString(",")} " +
+        "collide with the _ps* temp-column namespace")
     val hi = if (inclusive) Window.currentRow else -1L
     val wLocal = Window.partitionBy("_psg").orderBy(keyCol)
       .rowsBetween(Window.unboundedPreceding, hi)

@@ -372,11 +372,15 @@ object Streams {
                                    seqCols: Seq[String], snapDir: String,
                                    keep: Int): Unit =
     versionedMerge(batch, batchId, snapDir, keep) {
+      // materialize=false: this foreachBatch thread must not touch the
+      // single-writer Ckpt registry; versionedMerge persists the batch.
       case (Some(prior), b) =>
-        graft.operators.Cdc.merge(prior, b, key, opCol, seqCols)
+        graft.operators.Cdc.merge(prior, b, key, opCol, seqCols,
+          materialize = false)
       case (None, b) =>
         graft.operators.Cdc.merge(
-          b.drop(opCol +: seqCols: _*).limit(0), b, key, opCol, seqCols)
+          b.drop(opCol +: seqCols: _*).limit(0), b, key, opCol, seqCols,
+          materialize = false)
     }
 
   /** Streaming MAINTAINED TABLE from a CDC change stream — the online
