@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic-data generator mirroring TESTDATA.md's
@@ -44,6 +44,86 @@ object GenData {
     "vector", "stream", "value", "data", "small", "join", "filter", "big",
     "group", "hash", "customer", "sort", "order", "slow", "line", "part",
     "fast", "row", "the", "agg", "key", "query", "a", "scan", "batch")
+
+  /** lineitem: 1-7 lines per order (avg 4 → ≈ 6 M × sf rows), shipdate
+    * independent uniform like the shipped set. Takes the order-id frame
+    * as input so a spec can feed differently-partitioned ranges and pin
+    * partition-insensitivity (every value is a pure function of the id).
+    */
+  def lineitemFrom(orderIds: DataFrame, nPart: Long, nSupp: Long): DataFrame = {
+    val id = col("id")
+    val shipEpoch0 = java.time.LocalDate.of(1995, 1, 2).toEpochDay
+    val shipDays = java.time.LocalDate.of(2001, 11, 4).toEpochDay - shipEpoch0
+    val li = orderIds
+      .select(id.as("l_orderkey"),
+        explode(sequence(lit(1), (ui(id, 51, 7) + 1).cast("int")))
+          .as("l_linenumber"))
+      .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber"))
+    li.select(
+      col("l_orderkey"),
+      ui(col("lid"), 52, nPart).as("l_partkey"),
+      ui(col("lid"), 53, nSupp).as("l_suppkey"),
+      col("l_linenumber"),
+      (ui(col("lid"), 54, 50) + 1).cast("double").as("l_quantity"),
+      round(u(col("lid"), 55) * 104100.0 + 900.0, 2).as("l_extendedprice"),
+      (ui(col("lid"), 56, 11).cast("double") / 100.0).as("l_discount"),
+      (ui(col("lid"), 57, 9).cast("double") / 100.0).as("l_tax"),
+      element_at(typedLit(Seq("N", "A", "R")), ui(col("lid"), 58, 3).cast("int") + 1)
+        .as("l_returnflag"),
+      element_at(typedLit(Seq("O", "F")), ui(col("lid"), 59, 2).cast("int") + 1)
+        .as("l_linestatus"),
+      timestamp_seconds((ui(col("lid"), 60, shipDays) + shipEpoch0) * 86400L)
+        .as("l_shipdate"))
+  }
+
+  /** documents: pure-function word sequence per BASE id so a dup doc can
+    * regenerate its base's text without a join. 5% of docs are an exact
+    * copy of a (non-dup) base doc's text + " dup"; the base is chosen by
+    * chaining two hash candidates, falling back to `minNonDup` (computed
+    * by the caller as the smallest non-dup id). */
+  def documentsFrom(docIds: DataFrame, nDoc: Long, minNonDup: Long): DataFrame = {
+    val id = col("id")
+    def wordsFor(base: Column): Column = {
+      val len = (ui(base, 71, 91) + 10).cast("int")
+      concat_ws(" ", transform(sequence(lit(1), len),
+        k => element_at(typedLit(Vocab),
+          pmod(xxhash64(base * 128 + k, lit(72)), lit(30)).cast("int") + 1)))
+    }
+    val isDup = u(id, 73) < 0.05
+    val cand1 = ui(id, 74, nDoc)
+    val cand2 = ui(id, 77, nDoc)
+    val baseId = when(!isDup, id)
+      .when(u(cand1, 73) >= 0.05, cand1)
+      .when(u(cand2, 73) >= 0.05, cand2)
+      .otherwise(lit(minNonDup))
+    docIds
+      .select(id.as("doc_id"),
+        when(isDup, concat(wordsFor(baseId), lit(" dup")))
+          .otherwise(wordsFor(id)).as("text"),
+        element_at(typedLit(Seq("zh", "es", "fr", "de")),
+          when(ui(id, 75, 100) < 41, lit(null).cast("int"))
+            .otherwise(pmod(ui(id, 75, 100) - 41, lit(4)).cast("int") + 1))
+          .as("lang0"),
+        concat(lit("src"), ui(id, 76, 20).cast("string")).as("source"))
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lang0"), lit("en")).as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** embeddings: Box-Muller gaussian per (vec, dim), L2-normalized. */
+  def embeddingsFrom(vecIds: DataFrame): DataFrame = {
+    val id = col("id")
+    def gauss(vid: Column, d: Column): Column = {
+      val cell = vid * 64 + d
+      sqrt(lit(-2.0) * log(u(cell, 81))) * cos(lit(2.0 * math.Pi) * u(cell, 82))
+    }
+    val raw = vecIds.select(id.as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d => gauss(id, d)).as("g"))
+    raw.select(col("vec_id"),
+      transform(col("g"), x => (x / sqrt(aggregate(col("g"), lit(0.0),
+        (acc, y) => acc + y * y))).cast("float")).as("embedding"),
+      ui(col("vec_id"), 83, 10).cast("int").as("label"))
+  }
 
   def main(args: Array[String]): Unit = {
     val out = args(0)
@@ -117,30 +197,7 @@ object GenData {
           .as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    // lineitem: 1-7 lines per order (avg 4 → ≈ 6 M × sf rows), shipdate
-    // independent uniform like the shipped set
-    val shipEpoch0 = java.time.LocalDate.of(1995, 1, 2).toEpochDay
-    val shipDays = java.time.LocalDate.of(2001, 11, 4).toEpochDay - shipEpoch0
-    val li = spark.range(nOrd)
-      .select(id.as("l_orderkey"),
-        explode(sequence(lit(1), (ui(id, 51, 7) + 1).cast("int")))
-          .as("l_linenumber"))
-      .withColumn("lid", col("l_orderkey") * 8 + col("l_linenumber"))
-    li.select(
-        col("l_orderkey"),
-        ui(col("lid"), 52, nPart).as("l_partkey"),
-        ui(col("lid"), 53, nSupp).as("l_suppkey"),
-        col("l_linenumber"),
-        (ui(col("lid"), 54, 50) + 1).cast("double").as("l_quantity"),
-        round(u(col("lid"), 55) * 104100.0 + 900.0, 2).as("l_extendedprice"),
-        (ui(col("lid"), 56, 11).cast("double") / 100.0).as("l_discount"),
-        (ui(col("lid"), 57, 9).cast("double") / 100.0).as("l_tax"),
-        element_at(typedLit(Seq("N", "A", "R")), ui(col("lid"), 58, 3).cast("int") + 1)
-          .as("l_returnflag"),
-        element_at(typedLit(Seq("O", "F")), ui(col("lid"), 59, 2).cast("int") + 1)
-          .as("l_linestatus"),
-        timestamp_seconds((ui(col("lid"), 60, shipDays) + shipEpoch0) * 86400L)
-          .as("l_shipdate"))
+    lineitemFrom(spark.range(nOrd).toDF("id"), nPart, nSupp)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // events: microsecond timestamps uniform over Jan 2024
@@ -157,53 +214,16 @@ object GenData {
         format_string("{\"k\": %d}", ui(id, 65, 100)).as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    // documents: pure-function word sequence per BASE id so a dup doc
-    // can regenerate its base's text without a join
-    def wordsFor(base: Column): Column = {
-      val len = (ui(base, 71, 91) + 10).cast("int")
-      concat_ws(" ", transform(sequence(lit(1), len),
-        k => element_at(typedLit(Vocab),
-          pmod(xxhash64(base * 128 + k, lit(72)), lit(30)).cast("int") + 1)))
-    }
-    val isDup = u(id, 73) < 0.05
     // A dup's base must itself be a NON-dup, or wordsFor(base) regenerates
     // text the base doc never carried (its actual text is its own base's
-    // words + " dup"). Chain two hash candidates, then an exact fallback
-    // (the smallest non-dup id, one cheap doc-grain job) — every planted
-    // dup is a true exact copy of an existing doc's text + " dup".
+    // words + " dup"). The exact fallback base is the smallest non-dup id
+    // (one cheap doc-grain job, deterministic).
     val minNonDup = spark.range(nDoc).filter(u(id, 73) >= 0.05)
       .agg(min(id)).first().getLong(0)
-    val cand1 = ui(id, 74, nDoc)
-    val cand2 = ui(id, 77, nDoc)
-    val baseId = when(!isDup, id)
-      .when(u(cand1, 73) >= 0.05, cand1)
-      .when(u(cand2, 73) >= 0.05, cand2)
-      .otherwise(lit(minNonDup))
-    spark.range(nDoc)
-      .select(id.as("doc_id"),
-        when(isDup, concat(wordsFor(baseId), lit(" dup")))
-          .otherwise(wordsFor(id)).as("text"),
-        element_at(typedLit(Seq("zh", "es", "fr", "de")),
-          when(ui(id, 75, 100) < 41, lit(null).cast("int"))
-            .otherwise(pmod(ui(id, 75, 100) - 41, lit(4)).cast("int") + 1))
-          .as("lang0"),
-        concat(lit("src"), ui(id, 76, 20).cast("string")).as("source"))
-      .select(col("doc_id"), col("text"),
-        coalesce(col("lang0"), lit("en")).as("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
+    documentsFrom(spark.range(nDoc).toDF("id"), nDoc, minNonDup)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // embeddings: Box-Muller gaussian per (vec, dim), L2-normalized
-    def gauss(vid: Column, d: Column): Column = {
-      val cell = vid * 64 + d
-      sqrt(lit(-2.0) * log(u(cell, 81))) * cos(lit(2.0 * math.Pi) * u(cell, 82))
-    }
-    val raw = spark.range(nEmb).select(id.as("vec_id"),
-      transform(sequence(lit(0), lit(63)), d => gauss(id, d)).as("g"))
-    raw.select(col("vec_id"),
-        transform(col("g"), x => (x / sqrt(aggregate(col("g"), lit(0.0),
-          (acc, y) => acc + y * y))).cast("float")).as("embedding"),
-        ui(col("vec_id"), 83, 10).cast("int").as("label"))
+    embeddingsFrom(spark.range(nEmb).toDF("id"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     val counts = Seq("customer", "supplier", "part", "orders", "lineitem",

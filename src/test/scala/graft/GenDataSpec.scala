@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** GenData determinism: every generated value must be a pure function of
+  * (table, row id) — NEVER of the physical partitioning — or scale
+  * experiments at sf1/sf3 would not be reproducible run-to-run. These
+  * specs feed each builder the same id range at radically different
+  * parallelism (1 partition vs 13 partitions vs a post-shuffle layout)
+  * and require the multisets of rows to be identical. */
+class GenDataSpec extends SparkSpec {
+
+  /** Same ids, three physical layouts. */
+  private def layouts(n: Long): Seq[DataFrame] = Seq(
+    spark.range(0, n, 1, 1).toDF("id"),
+    spark.range(0, n, 1, 13).toDF("id"),
+    spark.range(0, n, 1, 4).toDF("id").repartition(7))
+
+  private def assertSame(dfs: Seq[DataFrame]): Unit = {
+    val base = dfs.head
+    for (other <- dfs.tail) {
+      assert(base.except(other).isEmpty && other.except(base).isEmpty,
+        "generated rows differ across partitionings")
+      assert(base.count() == other.count(), "row counts differ (dup rows?)")
+    }
+  }
+
+  test("lineitemFrom is partition-insensitive (incl. the explode fan-out)") {
+    assertSame(layouts(500).map(ids => GenData.lineitemFrom(ids, 200, 10)))
+  }
+
+  test("documentsFrom is partition-insensitive and plants true exact dups") {
+    val n = 600L
+    val dfs = layouts(n).map(ids => GenData.documentsFrom(ids, n, 1L))
+    assertSame(dfs)
+    // every planted dup's text must be an existing base doc's text + " dup"
+    import org.apache.spark.sql.functions._
+    val docs = dfs.head.cache()
+    val dups = docs.filter(col("text").endsWith(" dup"))
+      .select(expr("substring(text, 1, length(text) - 4)").as("base_text"))
+    val bases = docs.filter(!col("text").endsWith(" dup"))
+      .select(col("text").as("base_text"))
+    val orphan = dups.join(bases, Seq("base_text"), "left_anti").count()
+    assert(dups.count() > 0, "no planted dups in 600 docs — check the rate")
+    assert(orphan == 0, s"$orphan dup docs whose base text exists nowhere")
+    docs.unpersist()
+  }
+
+  test("embeddingsFrom is partition-insensitive and unit-norm") {
+    val dfs = layouts(400).map(GenData.embeddingsFrom)
+    assertSame(dfs)
+    import org.apache.spark.sql.functions._
+    val badNorm = dfs.head.select(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x * x).as("n2"))
+      .filter(abs(col("n2") - 1.0) > 0.001).count()
+    assert(badNorm == 0, s"$badNorm embeddings not L2-normalized")
+  }
+}
