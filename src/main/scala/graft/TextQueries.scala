@@ -3844,6 +3844,230 @@ object TextQueries {
           AS sd_tok_per_100c
       FROM per GROUP BY lang ORDER BY lang"""))
 
+  // q284 — UNIMAX LANGUAGE BUDGET (waterfill allocation with per-language
+  // epoch caps, after Chung et al. 2023, "UniMax: Fairer and More
+  // Effective Language Sampling"): given each language's available token
+  // count and a total training budget (here 90% of the corpus, 1-epoch
+  // caps), give every language an equal share of the remaining budget
+  // unless its cap binds — the standard waterfill, computed CLOSED-FORM:
+  // sort languages ascending by capacity, prefix-sum, and a row is
+  // "capped" iff avail·(langs remaining) < budget − prefix — an
+  // all-integer comparison, so the capped set is engine-exact. The only
+  // windows run over the LANGUAGE-grain aggregate (a constant ≤5 rows at
+  // any corpus size — same class as the props-key domain in the census);
+  // the data-sized work is one tokenize+sum pass. The budget uses integer
+  // division ((total·9) div 10 / DuckDB //) because double→bigint casts
+  // round differently across engines.
+  private val q284 = Q(
+    "q284_unimax_budget",
+    (s, dir) => {
+      val per = tbl(s, dir, "documents")
+        .select(col("lang"), size(TextFns.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang").agg(sum(col("nt")).as("avail"))
+      val tot = per.agg(sum(col("avail")).as("total"),
+        count(lit(1)).as("nl"))
+      val w = Window.orderBy(col("avail"), col("lang")) // ≤5 langs: constant
+      val d1 = per.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(total * 9) div 10"))
+        .withColumn("i", row_number().over(w))
+        .withColumn("pprev", coalesce(sum(col("avail"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("capped",
+          col("avail") * (col("nl") - col("i") + 1) < col("budget") - col("pprev"))
+      // the first UNcapped row fixes the equal share for every uncapped lang
+      val k = d1.filter(!col("capped"))
+        .agg(min(struct(col("i"), col("budget"), col("pprev"), col("nl"))).as("s"))
+        .select(col("s.budget").as("kb"), col("s.pprev").as("kp"),
+          (col("s.nl") - col("s.i") + 1).as("km"))
+      val share = (col("kb") - col("kp")).cast("double") / col("km").cast("double")
+      d1.crossJoin(broadcast(k))
+        .select(col("lang"), col("avail").as("avail_tokens"),
+          Det.roundAt(when(col("capped"), col("avail").cast("double"))
+            .otherwise(share), 6).as("alloc_tokens"),
+          Det.roundAt(when(col("capped"), lit(1.0))
+            .otherwise(share / col("avail").cast("double")), 6).as("epochs"),
+          col("capped").cast("long").as("capped"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (SELECT lang, len($toks) AS nt FROM documents),
+        per AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS avail FROM t GROUP BY lang),
+        tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total, COUNT(*) AS nl FROM per),
+        d1 AS (SELECT lang, avail, nl, (total * 9) // 10 AS budget,
+            ROW_NUMBER() OVER (ORDER BY avail, lang) AS i,
+            COALESCE(SUM(avail) OVER (ORDER BY avail, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev
+          FROM per, tot),
+        d2 AS (SELECT *, (avail * (nl - i + 1) < budget - pprev) AS capped FROM d1),
+        k AS (SELECT budget AS kb, pprev AS kp, nl - i + 1 AS km
+          FROM d2 WHERE NOT capped ORDER BY i LIMIT 1)
+      SELECT lang, avail AS avail_tokens,
+        ${Det.roundAtSql(
+          "CASE WHEN capped THEN CAST(avail AS DOUBLE) " +
+          "ELSE CAST(kb - kp AS DOUBLE) / CAST(km AS DOUBLE) END", 6)} AS alloc_tokens,
+        ${Det.roundAtSql(
+          "CASE WHEN capped THEN 1.0 " +
+          "ELSE CAST(kb - kp AS DOUBLE) / CAST(km AS DOUBLE) / CAST(avail AS DOUBLE) END",
+          6)} AS epochs,
+        CAST(capped AS BIGINT) AS capped
+      FROM d2, k ORDER BY lang"""))
+
+  // q285 — 8-GRAM EVAL DECONTAMINATION RATE (the GPT-3/PaLM-style n-gram
+  // overlap check, a finer instrument than q96's exact-content
+  // contamination: an eval doc counts as contaminated if ANY of its
+  // 8-grams appears anywhere in the train split). Grams are hashed to
+  // portable 60-bit keys before the join, so the shuffle carries longs,
+  // not strings, and both engines derive identical candidates (identical
+  // hash → identical result even at a collision). Plan: one gram-grain
+  // distinct per side + one semi join — linear in total gram count; the
+  // train side dedups BEFORE the join so planted dups never multiply
+  // probe rows. At 100 TB the train-gram side would become a bloom/bucket
+  // pre-filter, same shape as q79.
+  private val q285 = Q(
+    "q285_ngram_decontam",
+    (s, dir) => {
+      val split = pmod(TextFns.portableHash(col("doc_id").cast("string")), lit(100L))
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), (split < 10).as("is_eval"),
+          TextFns.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 8)
+      def gram8 = transform(sequence(lit(1), size(col("tk")) - 7),
+        i => concat_ws(" ", (0 until 8).map(o =>
+          element_at(col("tk"), (i + o).cast("int"))): _*))
+      val g = d.select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(gram8)).as("gr"))
+        .select(col("doc_id"), col("is_eval"), TextFns.portableHash(col("gr")).as("hg"))
+      val trainG = g.filter(!col("is_eval")).select(col("hg")).distinct()
+      val contam = g.filter(col("is_eval"))
+        .join(trainG, Seq("hg"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val nEval = d.filter(col("is_eval")).agg(count(lit(1)).as("n_eval"))
+      val nGrams = trainG.agg(count(lit(1)).as("n_train_grams"))
+      contam.agg(count(lit(1)).as("n_contaminated"))
+        .crossJoin(broadcast(nEval)).crossJoin(broadcast(nGrams))
+        .select(col("n_eval"), col("n_contaminated"),
+          Det.roundAt(col("n_contaminated").cast("double")
+            / col("n_eval").cast("double"), 6).as("contam_rate"),
+          col("n_train_grams"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+          ${TextFns.portableHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 10 AS is_eval,
+          $toks AS tk FROM documents),
+        f AS (SELECT * FROM t WHERE len(tk) >= 8),
+        g AS (SELECT doc_id, is_eval, ${hSql("gr")} AS hg FROM (
+          SELECT doc_id, is_eval,
+            unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+              i -> array_to_string(tk[i:i + 7], ' ')))) AS gr
+          FROM f)),
+        tr AS (SELECT DISTINCT hg FROM g WHERE NOT is_eval),
+        ev AS (SELECT DISTINCT doc_id FROM g
+          WHERE is_eval AND hg IN (SELECT hg FROM tr))
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM f WHERE is_eval) AS n_eval,
+        CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+        ${Det.roundAtSql(
+          "CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM f WHERE is_eval) AS DOUBLE)",
+          6)} AS contam_rate,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train_grams
+      FROM ev"""))
+
+  // q286 — FILTER-CASCADE ABLATION MATRIX: for each quality gate in a
+  // 4-gate cascade (token-length band, language, duplicate-3-gram
+  // repetition, stopword floor), how many docs fail it, how many fail
+  // ONLY it (its unique kill set), and what the pass rate would be with
+  // that gate removed — the table a curation team reads before deciding
+  // which gate to tune or drop. ONE map pass computes all four per-doc
+  // flags (no joins — the gates fuse into one codegen'd projection),
+  // one 1-row aggregate collects every count, and the 5-row output
+  // (4 gates + the '_cascade' summary) unpivots from that row. Scales as
+  // a single scan at any corpus size.
+  private val q286 = Q(
+    "q286_filter_ablation",
+    (s, dir) => {
+      def gram3 = transform(sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i.cast("int")),
+          element_at(col("tk"), (i + 1).cast("int")),
+          element_at(col("tk"), (i + 2).cast("int"))))
+      val flags = tbl(s, dir, "documents")
+        .select(col("lang"), TextFns.tokens(col("text")).as("tk"))
+        .withColumn("ntok", size(col("tk")))
+        .withColumn("g3", gram3)
+        .select(
+          (!(col("ntok") >= 20 && col("ntok") <= 95)).as("f_len"),
+          (col("lang") =!= "en").as("f_lang"),
+          (Det.roundAt((size(col("g3")) - size(array_distinct(col("g3"))))
+            .cast("double") / size(col("g3")).cast("double"), 6) > 0.18).as("f_rep"),
+          (Det.roundAt(size(filter(col("tk"), t => t === "the" || t === "a"))
+            .cast("double") / col("ntok").cast("double"), 6) < 0.02).as("f_stop"))
+      def cnt(c: Column) = sum(c.cast("long"))
+      val agg = flags.agg(
+        count(lit(1)).as("n"),
+        cnt(col("f_len")).as("fl"), cnt(col("f_lang")).as("fg"),
+        cnt(col("f_rep")).as("fr"), cnt(col("f_stop")).as("fs"),
+        cnt(col("f_len") && !col("f_lang") && !col("f_rep") && !col("f_stop")).as("flo"),
+        cnt(col("f_lang") && !col("f_len") && !col("f_rep") && !col("f_stop")).as("fgo"),
+        cnt(col("f_rep") && !col("f_len") && !col("f_lang") && !col("f_stop")).as("fro"),
+        cnt(col("f_stop") && !col("f_len") && !col("f_lang") && !col("f_rep")).as("fso"),
+        cnt(!col("f_lang") && !col("f_rep") && !col("f_stop")).as("pwl"),
+        cnt(!col("f_len") && !col("f_rep") && !col("f_stop")).as("pwg"),
+        cnt(!col("f_len") && !col("f_lang") && !col("f_stop")).as("pwr"),
+        cnt(!col("f_len") && !col("f_lang") && !col("f_rep")).as("pws"),
+        cnt(col("f_len") || col("f_lang") || col("f_rep") || col("f_stop")).as("fany"),
+        cnt(!col("f_len") && !col("f_lang") && !col("f_rep") && !col("f_stop")).as("pall"))
+      agg.select(col("n"), expr(
+          """stack(5,
+            'len', fl, flo, pwl,
+            'lang', fg, fgo, pwg,
+            'repetition', fr, fro, pwr,
+            'stopword', fs, fso, pws,
+            '_cascade', fany, flo + fgo + fro + fso, pall)
+            AS (gate, n_fail, n_fail_only, n_pass_wo)"""))
+        .select(col("gate"), col("n_fail"),
+          Det.roundAt(col("n_fail").cast("double") / col("n").cast("double"), 6)
+            .as("fail_rate"),
+          col("n_fail_only"),
+          Det.roundAt(col("n_pass_wo").cast("double") / col("n").cast("double"), 6)
+            .as("pass_rate_without"))
+        .orderBy("gate")
+    },
+    Some(s"""WITH t AS (SELECT lang, $toks AS tk FROM documents),
+        f AS (SELECT len(tk) AS ntok,
+            NOT (len(tk) BETWEEN 20 AND 95) AS f_len,
+            lang <> 'en' AS f_lang,
+            ${Det.roundAtSql(
+              "CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)",
+              6)} > 0.18 AS f_rep,
+            ${Det.roundAtSql(
+              "CAST(len(list_filter(tk, x -> x = 'the' OR x = 'a')) AS DOUBLE)" +
+              " / CAST(len(tk) AS DOUBLE)", 6)} < 0.02 AS f_stop
+          FROM (SELECT lang, tk, list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS g3 FROM t)),
+        a AS (SELECT COUNT(*) AS n,
+            SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS fl,
+            SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS fg,
+            SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS fr,
+            SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS fs,
+            SUM(CASE WHEN f_len AND NOT f_lang AND NOT f_rep AND NOT f_stop THEN 1 ELSE 0 END) AS flo,
+            SUM(CASE WHEN f_lang AND NOT f_len AND NOT f_rep AND NOT f_stop THEN 1 ELSE 0 END) AS fgo,
+            SUM(CASE WHEN f_rep AND NOT f_len AND NOT f_lang AND NOT f_stop THEN 1 ELSE 0 END) AS fro,
+            SUM(CASE WHEN f_stop AND NOT f_len AND NOT f_lang AND NOT f_rep THEN 1 ELSE 0 END) AS fso,
+            SUM(CASE WHEN NOT f_lang AND NOT f_rep AND NOT f_stop THEN 1 ELSE 0 END) AS pwl,
+            SUM(CASE WHEN NOT f_len AND NOT f_rep AND NOT f_stop THEN 1 ELSE 0 END) AS pwg,
+            SUM(CASE WHEN NOT f_len AND NOT f_lang AND NOT f_stop THEN 1 ELSE 0 END) AS pwr,
+            SUM(CASE WHEN NOT f_len AND NOT f_lang AND NOT f_rep THEN 1 ELSE 0 END) AS pws,
+            SUM(CASE WHEN f_len OR f_lang OR f_rep OR f_stop THEN 1 ELSE 0 END) AS fany,
+            SUM(CASE WHEN NOT f_len AND NOT f_lang AND NOT f_rep AND NOT f_stop THEN 1 ELSE 0 END) AS pall
+          FROM f),
+        u AS (
+          SELECT 'len' AS gate, fl AS n_fail, flo AS n_fail_only, pwl AS n_pass_wo, n FROM a
+          UNION ALL SELECT 'lang', fg, fgo, pwg, n FROM a
+          UNION ALL SELECT 'repetition', fr, fro, pwr, n FROM a
+          UNION ALL SELECT 'stopword', fs, fso, pws, n FROM a
+          UNION ALL SELECT '_cascade', fany, flo + fgo + fro + fso, pall, n FROM a)
+      SELECT gate, CAST(n_fail AS BIGINT) AS n_fail,
+        ${Det.roundAtSql("CAST(n_fail AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS fail_rate,
+        CAST(n_fail_only AS BIGINT) AS n_fail_only,
+        ${Det.roundAtSql("CAST(n_pass_wo AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS pass_rate_without
+      FROM u ORDER BY gate"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -3851,5 +4075,5 @@ object TextQueries {
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
-    q234, q242, q249, q257, q281, q282)
+    q234, q242, q249, q257, q281, q282, q284, q285, q286)
 }

@@ -1084,7 +1084,88 @@ object VecQueries {
         CAST(mae AS DOUBLE) / 1e9 AS max_abs_err
       FROM g ORDER BY dim"""))
 
+  // q287 — MATRYOSHKA TRUNCATION FIDELITY (the audit behind serving
+  // MRL-style embeddings at reduced dimension): for each truncation
+  // width d ∈ {8,16,32,64}, (a) the mean energy fraction the first d
+  // dims retain (vectors are unit-norm, so this is the norm² of the
+  // prefix), and (b) the mean absolute cosine distortion over a
+  // deterministic linear pair set (vec i vs vec i+1 — n−1 pairs, one
+  // sort-merge join, NO quadratic pair set). All cosines go through the
+  // quantized-integer dot path and round at 6 dp before the delta, and
+  // per-row metrics quantize to integer micro-units before summing, so
+  // both engines aggregate exact integers. Everything is computed in ONE
+  // pass per side: the 4 widths are 4 columns of the same projection,
+  // unpivoted at the end — scan cost is independent of the width count.
+  // The d=64 row is a built-in sanity check (delta must be 0).
+  private val q287 = Q(
+    "q287_matryoshka_fidelity",
+    (s, dir) => {
+      import graft.functions.VectorFns
+      val dims = Seq(8, 16, 32, 64)
+      val e = tbl(s, dir, "embeddings")
+      // energy: one scan over vectors
+      val en = e.select(dims.map { d =>
+        floor(Det.roundAt(
+          graft.plans.DotQExpr(slice(col("embedding"), 1, d),
+            slice(col("embedding"), 1, d)).cast("double")
+          / graft.plans.DotQExpr(col("embedding"), col("embedding")).cast("double"),
+          6) * lit(1e6) + lit(0.5)).cast("long").as(s"en$d")
+      }: _*).agg(count(lit(1)).as("nv"), dims.map(d =>
+        sum(col(s"en$d")).as(s"sen$d")): _*)
+      // cosine distortion: adjacent pairs (vec_id, vec_id + 1)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("ida"), col("embedding").as("eb"))
+      def cos6c(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        Det.roundAt(VectorFns.cosineQ(x, y), 6)
+      val pairs = a.join(b, "ida")
+      val de = pairs.select(dims.map { d =>
+        floor(abs(cos6c(slice(col("ea"), 1, d), slice(col("eb"), 1, d))
+          - cos6c(col("ea"), col("eb"))) * lit(1e6) + lit(0.5))
+          .cast("long").as(s"d$d")
+      }: _*).agg(count(lit(1)).as("np"), dims.map(d =>
+        sum(col(s"d$d")).as(s"sd$d")): _*)
+      val stacked = en.crossJoin(broadcast(de)).select(col("nv"), col("np"), expr(
+        """stack(4, 8, sen8, sd8, 16, sen16, sd16, 32, sen32, sd32,
+                 64, sen64, sd64) AS (trunc_dim, sen, sd)"""))
+      stacked.select(col("trunc_dim").cast("long").as("trunc_dim"),
+          col("np").as("n_pairs"),
+          Det.roundAt(col("sen").cast("double") / lit(1e6)
+            / col("nv").cast("double"), 6).as("mean_energy_frac"),
+          Det.roundAt(col("sd").cast("double") / lit(1e6)
+            / col("np").cast("double"), 6).as("mean_abs_cos_delta"))
+        .orderBy("trunc_dim")
+    },
+    Some {
+      val dims = Seq(8, 16, 32, 64)
+      def enQ(d: Int) =
+        s"""CAST(floor(${Det.roundAtSql(
+          s"CAST(${dotQSql(s"embedding[1:$d]", s"embedding[1:$d]")} AS DOUBLE)" +
+          s" / CAST(${dotQSql("embedding", "embedding")} AS DOUBLE)", 6)}
+          * 1e6 + 0.5) AS BIGINT)"""
+      def deQ(d: Int) =
+        s"""CAST(floor(abs(${cos6(s"ea[1:$d]", s"eb[1:$d]")}
+          - ${cos6("ea", "eb")}) * 1e6 + 0.5) AS BIGINT)"""
+      s"""WITH en AS (SELECT COUNT(*) AS nv,
+            ${dims.map(d => s"SUM(${enQ(d)}) AS sen$d").mkString(", ")}
+          FROM embeddings),
+        p AS (SELECT x.embedding AS ea, y.embedding AS eb
+          FROM embeddings x JOIN embeddings y ON y.vec_id = x.vec_id + 1),
+        de AS (SELECT COUNT(*) AS np,
+            ${dims.map(d => s"SUM(${deQ(d)}) AS sd$d").mkString(", ")}
+          FROM p),
+        u AS (${dims.map(d =>
+            s"SELECT $d AS trunc_dim, sen$d AS sen, sd$d AS sd FROM en, de")
+          .mkString(" UNION ALL ")})
+      SELECT CAST(trunc_dim AS BIGINT) AS trunc_dim,
+        (SELECT CAST(np AS BIGINT) FROM de) AS n_pairs,
+        ${Det.roundAtSql("CAST(sen AS DOUBLE) / 1e6 / CAST((SELECT nv FROM en) AS DOUBLE)", 6)}
+          AS mean_energy_frac,
+        ${Det.roundAtSql("CAST(sd AS DOUBLE) / 1e6 / CAST((SELECT np FROM de) AS DOUBLE)", 6)}
+          AS mean_abs_cos_delta
+      FROM u ORDER BY trunc_dim"""
+    })
+
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
     q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196,
-    q217, q218, q220, q243, q283)
+    q217, q218, q220, q243, q283, q287)
 }
