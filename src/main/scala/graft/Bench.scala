@@ -19,7 +19,15 @@ object Bench {
     * samples we report the median plus a per-query coefficient of variation
     * so a delta can be adjudicated as real only when it exceeds the
     * measured run-to-run noise. */
-  val WarmRuns = 5
+  val WarmRuns: Int = {
+    // Dev-only override for expensive scale probes (e.g. the sf10 graph
+    // point, where one warm pass runs minutes); the driver never sets it,
+    // so round benches always use the full 5-sample protocol. The JSON's
+    // `warm_runs` field records what a given artifact actually used.
+    val n = sys.env.get("SPARK_GRAFT_WARM_RUNS").map(_.toInt).getOrElse(5)
+    require(n >= 1, s"SPARK_GRAFT_WARM_RUNS must be >= 1, got $n")
+    n
+  }
 
   /** Expensive iterative/ML families promoted into the benched set in
     * round 7 so a perf regression there is visible: graph traversal

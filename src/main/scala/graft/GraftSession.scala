@@ -13,9 +13,22 @@ object GraftSession {
     val spark = SparkSession.builder()
       .appName(app)
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Experiment knob only — measured at the sf10 scale point, raising
+      // the AQE initial partition count (e.g. 8× cores) REGRESSED the
+      // checkpoint-heavy pipelines 3× (q119: 23 s → 77 s): localCheckpoint
+      // materializes every initial partition as a block, AQE cannot
+      // coalesce across the checkpoint boundary, and the extra task +
+      // block overhead swamps any sort-headroom gain. The default stays
+      // `spark.sql.shuffle.partitions` (= cores); override per-run via
+      // SPARK_GRAFT_INITIAL_PARTITIONS when probing a shuffle-bound
+      // hypothesis.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -36,8 +36,18 @@ object Graph {
     * unpersisting a lineage-truncated block before its consumer
     * materializes loses the data). */
   def bfsLevels(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // CO-LOCATED EDGE LAYOUT (round 8): dropDuplicates leaves the edge
+    // relation hash-partitioned by (src, dst), so every hop's join used
+    // to RE-SHUFFLE the whole edge list by src — the dominant cost at
+    // the sf10 scale point (the frontier is small; the edges are not).
+    // Repartition+sort by src ONCE before the checkpoint:
+    // localCheckpoint preserves outputPartitioning/outputOrdering, so
+    // every subsequent hop joins the stored, already-sorted edge
+    // partitions with zero exchange and zero sort on the big side —
+    // the same reasoning as bucketing a fact table by its join key.
     val e = Ckpt.local(
-      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
+      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+        .repartition(col("src")).sortWithinPartitions("src"))
     val seed0 = Ckpt.local(
       seeds.select(col("id")).distinct().withColumn("level", lit(0L)))
     var visited = seed0
@@ -81,24 +91,30 @@ object Graph {
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     // Monotone EDGE-SHRINKING formulation: each round computes the
     // degree of the surviving subgraph (one groupBy on src), finds the
-    // round's DEAD nodes (deg < k — node-grain, and usually tiny after
-    // round 1), and anti-joins the edge list against them on both
-    // endpoints. Equivalent to re-inducing the subgraph on the alive
-    // set every round (the previous formulation: two alive-semi-joins
-    // per round over the FULL edge list), but per-round cost tracks the
-    // shrinkage: with lazily-checkpointed rounds AQE sees the dead
-    // set's true (small) size and plans broadcast anti-joins, so late
-    // rounds cost ~one map pass over the surviving edges. Isolated
-    // survivors (all neighbors peeled) drop out exactly as before —
-    // they have no surviving edge, so no degree row.
+    // round's DEAD nodes (deg < k — node-grain), and anti-joins the
+    // edge list against them on both endpoints. Isolated survivors
+    // (all neighbors peeled) drop out exactly as before — they have no
+    // surviving edge, so no degree row.
     //
     // Only the DEAD sets are checkpointed (node-grain): the surviving
     // edge relation stays a lazy anti-join chain over the one base
     // checkpoint, so no round rewrites the edge list to storage —
     // round r's degree pass is one scan of the base edges through r
-    // (usually broadcast) anti-filters.
+    // broadcast anti-filters (map-only, no shuffle).
+    //
+    // The broadcast on the dead sets is EXPLICIT, not left to AQE: at
+    // the sf10 scale point the round-1 dead set (~6–10 MB of node ids)
+    // crossed the auto-broadcast threshold, every anti-join fell back
+    // to sort-merge, and round r's degree pass re-executed the whole
+    // r-deep chain as O(rounds²) full-edge shuffles — measured 12.6×
+    // time for 3.3× data. With the hint the chain stays map-only at
+    // every measured scale. (Materializing each round's survivors
+    // instead fixes sf10 but doubles sf3 — the node-grain broadcast is
+    // the right trade until dead sets stop fitting the driver, which is
+    // a graph 100× beyond this family's node counts.)
     val e0 = Ckpt.local(
-      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst"))
+      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+        .repartition(col("src")).sortWithinPartitions("src"))
     var e = e0
     def deg(g: DataFrame): DataFrame =
       g.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -106,8 +122,8 @@ object Graph {
       val dead = Ckpt.local(
         deg(e).filter(col("deg") < k).select(col("src").as("id")))
       e = e
-        .join(dead.select(col("id").as("src")), Seq("src"), "left_anti")
-        .join(dead.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .join(broadcast(dead.select(col("id").as("src"))), Seq("src"), "left_anti")
+        .join(broadcast(dead.select(col("id").as("dst"))), Seq("dst"), "left_anti")
         .select(col("src"), col("dst"))
     }
     deg(e).select(col("src").as("id"), col("deg"))
@@ -126,8 +142,11 @@ object Graph {
     * one min per dst, the [[cheapestPath]] shape with the temporal
     * usability predicate in the join. */
   def temporalBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // src-partitioned + sorted once — every round's delta join then
+    // reads the stored edge partitions with no exchange (see bfsLevels).
     val e = Ckpt.local(
-      edges.select(col("src"), col("dst"), col("ets").cast("long").as("ets")))
+      edges.select(col("src"), col("dst"), col("ets").cast("long").as("ets"))
+        .repartition(col("src")).sortWithinPartitions("src"))
     var arr = Ckpt.local(
       seeds.select(col("id")).distinct().withColumn("arr", lit(0L)))
     // DELTA-FRONTIER rounds (round 8): only nodes whose arrival CHANGED
@@ -176,8 +195,11 @@ object Graph {
     * Rounds are lazily checkpointed; blocks fall to the session-level
     * [[Ckpt.release]] after the caller's action (constant depth). */
   def cheapestPath(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    // src-partitioned + sorted once — every round's delta join then
+    // reads the stored edge partitions with no exchange (see bfsLevels).
     val e = Ckpt.local(
-      edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+      edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+        .repartition(col("src")).sortWithinPartitions("src"))
     var costs = Ckpt.local(
       seeds.select(col("id")).distinct().withColumn("cost", lit(0L)))
     // DELTA-FRONTIER Bellman-Ford (round 8): a src whose cost did not
