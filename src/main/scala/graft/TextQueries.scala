@@ -4068,6 +4068,183 @@ object TextQueries {
         ${Det.roundAtSql("CAST(n_pass_wo AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS pass_rate_without
       FROM u ORDER BY gate"""))
 
+  // q288 — PER-SOURCE NOVELTY CURVE (the diminishing-returns table a
+  // data-acquisition team reads: processing sources in a fixed order,
+  // how many NEW distinct 8-grams does each one contribute on top of
+  // everything before it?). A gram's "first source" is the MIN source
+  // name over its occurrences (lexicographic src0 < src1 < src10 < …—
+  // identical byte order in both engines), so the whole curve falls out
+  // of ONE gram-grain aggregate: no per-prefix reprocessing, no
+  // quadratic source×gram join. The cumulative column is a window over
+  // the 20-row source-grain aggregate (constant at any corpus size).
+  private val q288 = Q(
+    "q288_source_novelty",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("source"), TextFns.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 8)
+      def gram8 = transform(sequence(lit(1), size(col("tk")) - 7),
+        i => concat_ws(" ", (0 until 8).map(o =>
+          element_at(col("tk"), (i + o).cast("int"))): _*))
+      val g = d.select(col("source"), explode(array_distinct(gram8)).as("gr"))
+        .select(col("source"), TextFns.portableHash(col("gr")).as("hg"))
+      val perSrc = g.groupBy("source")
+        .agg(countDistinct(col("hg")).as("n_distinct_grams"))
+      val firstSrc = g.groupBy("hg").agg(min(col("source")).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n_new_grams"))
+      val w = Window.orderBy("source") // 20 sources: constant-bounded
+      perSrc.join(firstSrc, Seq("source"), "left")
+        .withColumn("n_new_grams", coalesce(col("n_new_grams"), lit(0L)))
+        .withColumn("cum_distinct_grams", sum(col("n_new_grams")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("source"), col("n_distinct_grams"), col("n_new_grams"),
+          col("cum_distinct_grams"),
+          Det.roundAt(col("n_new_grams").cast("double")
+            / col("n_distinct_grams").cast("double"), 6).as("novelty_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+        f AS (SELECT source, tk FROM t WHERE len(tk) >= 8),
+        g AS (SELECT source, ${hSql("gr")} AS hg FROM (
+          SELECT source, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+            i -> array_to_string(tk[i:i + 7], ' ')))) AS gr
+          FROM f)),
+        per AS (SELECT source, CAST(COUNT(DISTINCT hg) AS BIGINT) AS n_distinct_grams
+          FROM g GROUP BY source),
+        fs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new_grams FROM
+          (SELECT hg, MIN(source) AS source FROM g GROUP BY hg) GROUP BY source),
+        j AS (SELECT per.source, n_distinct_grams,
+            COALESCE(n_new_grams, 0) AS n_new_grams
+          FROM per LEFT JOIN fs ON per.source = fs.source)
+      SELECT source, n_distinct_grams, n_new_grams,
+        CAST(SUM(n_new_grams) OVER (ORDER BY source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_distinct_grams,
+        ${Det.roundAtSql(
+          "CAST(n_new_grams AS DOUBLE) / CAST(n_distinct_grams AS DOUBLE)", 6)}
+          AS novelty_rate
+      FROM j ORDER BY source"""))
+
+  // q289 — DEDUP SAVINGS BY METHOD: the one-table comparison of what
+  // each dedup policy would keep — no dedup, exact content dedup
+  // (min-id survivor per 60-bit fingerprint), and near-dup CLUSTER
+  // dedup (min-id survivor per LSH connected component, q150's
+  // pipeline) — in docs, tokens, and token-retention vs baseline. The
+  // decision table behind "is near-dup dedup worth the extra pass at
+  // this corpus's dup rate?". Survivor selection is one fingerprint- /
+  // cluster-grain aggregate + an integer-key join back; token counts
+  // ride the same scan. All-integer outputs except the 6-dp retention.
+  private val q289 = Q(
+    "q289_dedup_savings",
+    (s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("nt"),
+          TextFns.portableHash(TextFns.normText(col("text"))).as("fp"))
+      // exact: survivor = min doc_id per fingerprint
+      val exactLosers = base
+        .withColumn("mn", min(col("doc_id")).over(
+          Window.partitionBy(col("fp"))))
+        .filter(col("doc_id") =!= col("mn"))
+      // near-dup: survivor = min member per LSH connected component
+      val cl = Dedup.clusters(Dedup.minhashLshPairs(tbl(s, dir, "documents"),
+        "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5))
+      val nearLosers = cl
+        .withColumn("mn", min(col("id")).over(Window.partitionBy(col("cluster"))))
+        .filter(col("id") =!= col("mn")).select(col("id").as("doc_id"))
+      def stats(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val b = stats(base)
+      val e = stats(base.join(exactLosers.select("doc_id"), Seq("doc_id"), "left_anti"))
+      val n = stats(base.join(nearLosers, Seq("doc_id"), "left_anti"))
+      val tot = b.select(col("n_tokens").as("bt"))
+      Seq(("baseline", b), ("exact", e), ("neardup_cluster", n))
+        .map { case (m, df) => df.withColumn("method", lit(m)) }
+        .reduce(_ unionByName _)
+        .crossJoin(broadcast(tot))
+        .select(col("method"), col("n_docs"), col("n_tokens"),
+          Det.roundAt(col("n_tokens").cast("double") / col("bt").cast("double"), 6)
+            .as("token_retention"))
+        .orderBy("method")
+    },
+    Some(s"""WITH $minhashCtes, $ccCtes,
+        base AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS nt,
+            ${hSql(norm)} AS fp FROM documents),
+        exl AS (SELECT doc_id FROM (SELECT doc_id,
+            MIN(doc_id) OVER (PARTITION BY fp) AS mn FROM base)
+          WHERE doc_id <> mn),
+        nel AS (SELECT id AS doc_id FROM (SELECT id,
+            MIN(id) OVER (PARTITION BY cluster) AS mn FROM cc)
+          WHERE id <> mn),
+        b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens FROM base),
+        e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens FROM base
+          WHERE doc_id NOT IN (SELECT doc_id FROM exl)),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens FROM base
+          WHERE doc_id NOT IN (SELECT doc_id FROM nel)),
+        u AS (SELECT 'baseline' AS method, n_docs, n_tokens FROM b
+          UNION ALL SELECT 'exact', n_docs, n_tokens FROM e
+          UNION ALL SELECT 'neardup_cluster', n_docs, n_tokens FROM ne)
+      SELECT method, n_docs, n_tokens,
+        ${Det.roundAtSql(
+          "CAST(n_tokens AS DOUBLE) / CAST((SELECT n_tokens FROM b) AS DOUBLE)", 6)}
+          AS token_retention
+      FROM u ORDER BY method"""))
+
+  // q290 — QUALITY-SCORE CALIBRATION (reliability diagram): decile-bin
+  // the 6-dp quality score and report, per bin, the observed near-dup
+  // rate (q158's LSH-pair label) against the bin's mean score — the
+  // table that says whether a scorer's confidence means anything before
+  // it gates a corpus. Score histogram grain is the integer-scaled
+  // score (bounded domain), labels ride the same broadcast dup-id set
+  // as q158, and the decile rollup is a 10-row aggregate. Mean scores
+  // come from exact integer sums of the scaled score.
+  private val q290 = Q(
+    "q290_score_calibration",
+    (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val dupIds = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+      val scored = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(TextFns.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
+            .cast("long").as("q"))
+      scored
+        .join(broadcast(dupIds), scored("doc_id") === dupIds("id"), "left")
+        .withColumn("is_dup", col("id").isNotNull)
+        .withColumn("decile", least(expr("q div 100000"), lit(9L)))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_dup"), lit(1))).as("n_pos"),
+          sum(col("q")).as("sq"))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          Det.roundAt(col("sq").cast("double") / lit(1e6)
+            / col("n_docs").cast("double"), 6).as("mean_score"),
+          Det.roundAt(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+            .as("pos_rate"))
+        .orderBy("decile")
+    },
+    Some(s"""WITH $minhashCtes,
+      vp AS (SELECT id_a, id_b FROM cand
+        WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+      ids AS (SELECT DISTINCT id FROM
+        (SELECT id_a AS id FROM vp UNION ALL SELECT id_b FROM vp)),
+      scored AS (SELECT doc_id,
+          CAST(floor($qualityScoreSql * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM documents),
+      lab AS (SELECT q, LEAST(q // 100000, 9) AS decile,
+          doc_id IN (SELECT id FROM ids) AS is_dup FROM scored)
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_pos,
+        ${Det.roundAtSql(
+          "CAST(SUM(q) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_score,
+        ${Det.roundAtSql(
+          "CAST(COUNT(CASE WHEN is_dup THEN 1 END) AS DOUBLE)" +
+          " / CAST(COUNT(*) AS DOUBLE)", 6)} AS pos_rate
+      FROM lab GROUP BY decile ORDER BY decile"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -4075,5 +4252,5 @@ object TextQueries {
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
-    q234, q242, q249, q257, q281, q282, q284, q285, q286)
+    q234, q242, q249, q257, q281, q282, q284, q285, q286, q288, q289, q290)
 }
