@@ -17,6 +17,7 @@ import graft.streaming.Streams
   *   - maintainCountSum — IVM aggregate snapshot maintenance
   *   - attribution — stream-stream interval join (purchases × prior
   *     views, both sides file streams over the same slices)
+  *   - heavy_hitters — sharded space-saving top-k (fixed-size state)
   *
   * Prints ONE JSON line {"metric":"stream_total","queries":{name:
   * {rows_per_sec, median_batch_ms, batches, rows}}} and mirrors it to
@@ -132,7 +133,20 @@ object StreamBench {
         .option("checkpointLocation", s"$stage/ckpt_attr").start()
     }
 
-    val all = Seq(session, dedup, merge, ivm, attr)
+    val hh = measure("heavy_hitters", statePartitions = 8) { in =>
+      // space-saving top-k over the event feed's props-free key space:
+      // state is fixed at shards × capacity counters regardless of
+      // cardinality, so max_state_rows here is a CONSTANT, not a
+      // watermark-bounded working set. 8 state partitions ≥ shards.
+      Streams.heavyHitters(
+          in.select(concat(col("event_type"), lit(":"),
+            pmod(col("user_id"), lit(1000L))).as("item")),
+          "item", capacity = 64, shards = 8)
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", s"$stage/ckpt_hh").start()
+    }
+
+    val all = Seq(session, dedup, merge, ivm, attr, hh)
     val qjson = all.map { case (n, rows, rps, med, b, st) =>
       s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b,"max_state_rows":$st}"""
     }.mkString("{", ",", "}")

@@ -4245,6 +4245,161 @@ object TextQueries {
           " / CAST(COUNT(*) AS DOUBLE)", 6)} AS pos_rate
       FROM lab GROUP BY decile ORDER BY decile"""))
 
+  // q291 — EMPIRICAL LSH S-CURVE + MISS ESTIMATE: the banding-design
+  // audit behind "is 8 bands × 4 rows actually catching what theory
+  // promises on THIS corpus?". Candidate pairs (≥1 matching band) are
+  // binned by exact Jaccard; each bin reports the observed pair count,
+  // mean similarity, mean matching-band count, the closed-form detection
+  // probability p = 1-(1-s^4)^8 at the bin's mean similarity, and the
+  // inverse-detection (Horvitz-Thompson) estimate of TRUE and MISSED
+  // pairs in the bin — the number a dedup owner reads before trusting
+  // survivor counts. All similarity math rides integer-quantized sums,
+  // and the closed form is spelled as explicit multiplications (s⁴ and
+  // q⁸ by squaring) so both engines produce bit-identical doubles. Scale
+  // shape: one banded self-join at band-key grain (the q22 candidate
+  // shuffle, quadratic only in bucket occupancy — see SCALE.md's
+  // measured adjudication), one candidate-id pruned re-shingle pass, a
+  // 10-row rollup.
+  private val q291 = Q(
+    "q291_lsh_scurve",
+    (s, dir) => {
+      import graft.operators.Ckpt
+      val docs = tbl(s, dir, "documents")
+      val banded = Ckpt.local(docs.select(col("doc_id").as("id"),
+        posexplode(Dedup.bandKeysCol(col("text"), 32, 8, 3)).as(Seq("band", "key"))))
+      val cand = Ckpt.local(
+        banded.select(col("band"), col("key"), col("id").as("id_a"))
+          .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+            Seq("band", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands")))
+      val ids = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id"))).distinct()
+      val candSh = docs.select(col("doc_id").as("id"), col("text"))
+        .join(broadcast(ids), "id")
+        .select(col("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
+      val ji = floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        * lit(1e6) / size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+        + lit(0.5)).cast("long")
+      val binned = cand
+        .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("n_bands"), ji.as("ji"))
+        .withColumn("bin", least(expr("ji div 100000"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ji")).as("sji"),
+          sum(col("n_bands")).as("sb"))
+      val mj = Det.roundAt(
+        col("sji").cast("double") / lit(1e6) / col("n_pairs").cast("double"), 6)
+      val s4 = mj * mj * mj * mj
+      val qq = lit(1.0) - s4
+      val t2 = qq * qq; val t4 = t2 * t2
+      val pDet = lit(1.0) - t4 * t4
+      binned
+        .withColumn("mean_jaccard", mj)
+        .withColumn("p_detect", Det.roundAt(pDet, 6))
+        .select(col("bin"), col("n_pairs"),
+          col("mean_jaccard"),
+          Det.roundAt(col("sb").cast("double") / col("n_pairs").cast("double"), 6)
+            .as("mean_bands"),
+          col("p_detect"),
+          when(col("p_detect") > 0, Det.roundAt(
+            col("n_pairs").cast("double") / col("p_detect"), 6)).as("est_true_pairs"),
+          when(col("p_detect") > 0, Det.roundAt(
+            col("n_pairs").cast("double") / col("p_detect")
+              - col("n_pairs").cast("double"), 6)).as("est_missed"))
+        .orderBy("bin")
+    },
+    Some {
+      val ji = "CAST(floor(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) * 1000000.0" +
+        " / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE) + 0.5) AS BIGINT)"
+      s"""WITH $minhashCtes,
+        cb AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+            CAST(COUNT(*) AS BIGINT) AS n_bands,
+            any_value(a.sh) AS sh_a, any_value(c.sh) AS sh_b
+          FROM banded a JOIN banded c
+            ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+          GROUP BY 1, 2),
+        lab AS (SELECT n_bands, $ji AS ji FROM cb),
+        bins AS (SELECT LEAST(ji // 100000, 9) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(ji) AS BIGINT) AS sji, CAST(SUM(n_bands) AS BIGINT) AS sb
+          FROM lab GROUP BY 1),
+        m AS (SELECT bin, n_pairs, sb,
+            ${Det.roundAtSql(
+              "CAST(sji AS DOUBLE) / 1000000.0 / CAST(n_pairs AS DOUBLE)", 6)} AS mj
+          FROM bins),
+        p AS (SELECT bin, n_pairs, sb, mj,
+            ${Det.roundAtSql(
+              "1.0 - (((1.0 - mj*mj*mj*mj) * (1.0 - mj*mj*mj*mj))" +
+              " * ((1.0 - mj*mj*mj*mj) * (1.0 - mj*mj*mj*mj)))" +
+              " * (((1.0 - mj*mj*mj*mj) * (1.0 - mj*mj*mj*mj))" +
+              " * ((1.0 - mj*mj*mj*mj) * (1.0 - mj*mj*mj*mj)))", 6)} AS p_detect
+          FROM m)
+      SELECT bin, n_pairs, mj AS mean_jaccard,
+        ${Det.roundAtSql("CAST(sb AS DOUBLE) / CAST(n_pairs AS DOUBLE)", 6)}
+          AS mean_bands,
+        p_detect,
+        CASE WHEN p_detect > 0 THEN
+          ${Det.roundAtSql("CAST(n_pairs AS DOUBLE) / p_detect", 6)} END
+          AS est_true_pairs,
+        CASE WHEN p_detect > 0 THEN
+          ${Det.roundAtSql(
+            "CAST(n_pairs AS DOUBLE) / p_detect - CAST(n_pairs AS DOUBLE)", 6)} END
+          AS est_missed
+      FROM p ORDER BY bin"""
+    })
+
+  // q292 — DEDUP RETENTION EQUITY: per-language doc retention after
+  // near-dup CLUSTER dedup (min-id survivor, the q289 policy), against
+  // the corpus-wide rate. Near-dup dedup is known to prune low-resource
+  // languages disproportionately when cross-language boilerplate shares
+  // shingles — this is the audit that catches it before a tokenizer
+  // inherits the skew. One lang-grain aggregate over the anti-joined
+  // survivor set; the corpus-wide rate is a broadcast 1-row join.
+  private val q292 = Q(
+    "q292_retention_equity",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val cl = Dedup.clusters(Dedup.minhashLshPairs(docs,
+        "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5))
+      val losers = cl
+        .withColumn("mn", min(col("id")).over(Window.partitionBy(col("cluster"))))
+        .filter(col("id") =!= col("mn")).select(col("id").as("doc_id"))
+      val base = docs.select(col("doc_id"), col("lang"))
+      val perLang = base
+        .join(losers.withColumn("lost", lit(true)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("lost").isNull, lit(1))).as("n_kept"))
+      val overall = perLang.agg(sum(col("n_docs")).as("tn"), sum(col("n_kept")).as("tk"))
+      perLang.crossJoin(broadcast(overall))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          Det.roundAt(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+            .as("retention"),
+          Det.roundAt(col("n_kept").cast("double") / col("n_docs").cast("double")
+            / (col("tk").cast("double") / col("tn").cast("double")), 6)
+            .as("equity_ratio"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH $minhashCtes, $ccCtes,
+        nel AS (SELECT id AS doc_id FROM (SELECT id,
+            MIN(id) OVER (PARTITION BY cluster) AS mn FROM cc)
+          WHERE id <> mn),
+        per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(CASE WHEN doc_id NOT IN (SELECT doc_id FROM nel)
+              THEN 1 END) AS BIGINT) AS n_kept
+          FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+            CAST(SUM(n_kept) AS BIGINT) AS tk FROM per)
+      SELECT lang, n_docs, n_kept,
+        ${Det.roundAtSql(
+          "CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6)} AS retention,
+        ${Det.roundAtSql(
+          "CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)" +
+          " / (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))", 6)} AS equity_ratio
+      FROM per CROSS JOIN tot ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -4252,5 +4407,6 @@ object TextQueries {
     q144, q150, q158, q159, q160, q161, q164, q165, q166, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
-    q234, q242, q249, q257, q281, q282, q284, q285, q286, q288, q289, q290)
+    q234, q242, q249, q257, q281, q282, q284, q285, q286, q288, q289, q290,
+    q291, q292)
 }

@@ -48,6 +48,17 @@ object Ckpt {
 
   private[graft] def trackedApps: Set[String] = synchronized(tracked.keySet.toSet)
 
+  /** Storage level for checkpoint blocks. Default is Spark's own
+    * localCheckpoint default (MEMORY_AND_DISK, deserialized);
+    * `SPARK_GRAFT_CKPT_LEVEL` (e.g. `MEMORY_AND_DISK_SER`) is a probe
+    * knob for the storage-pressure hypothesis at the sf10 scale point —
+    * serialized blocks trade CPU per consumer pass for a several-times
+    * smaller heap footprint across the library's many live checkpoints. */
+  private val level: org.apache.spark.storage.StorageLevel =
+    sys.env.get("SPARK_GRAFT_CKPT_LEVEL")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Lazy local checkpoint, tracked for session-level [[release]]. */
   def local(df: DataFrame): DataFrame = localScoped(df)._1
 
@@ -56,7 +67,7 @@ object Ckpt {
   def localScoped(df: DataFrame): (DataFrame, Set[Int]) = synchronized {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint(eager = false)
+    val out = df.localCheckpoint(/* eager = */ false, level)
     val added = sc.getPersistentRDDs.keySet.toSet -- before
     idsFor(sc.applicationId) ++= added
     (out, added)

@@ -503,6 +503,64 @@ object Streams {
         })
       .toDF()
   }
+
+  /** Streaming heavy hitters: a SPACE-SAVING summary (Metwally et al.,
+    * the bounded-state top-k sketch) per item-hash SHARD, maintained in
+    * `flatMapGroupsWithState`. Items are routed to `shards` disjoint
+    * groups by a hash of the item, so (a) state is bounded at
+    * `shards × capacity` counters REGARDLESS of key cardinality — the
+    * property that makes streaming top-k viable when the key space is
+    * the 100 TB corpus's vocabulary, not its user table — and (b) each
+    * item lives in exactly one shard, so the global summary is the plain
+    * union of shard summaries, no cross-shard merge arithmetic.
+    *
+    * Space-saving invariants (spec-asserted in StreamsSpec against the
+    * exact batch counts): with n_s events routed to a shard of capacity
+    * m, (1) any item with true count > n_s/m is IN the summary;
+    * (2) for every kept item, cnt - err <= true count <= cnt. Items with
+    * `cnt - err` above the caller's support threshold are GUARANTEED
+    * heavy — no false negatives, and false positives are bounded by err.
+    *
+    * Update-mode emission: after each micro-batch every updated shard
+    * re-emits its full summary (capacity rows) tagged with `n_events`;
+    * downstream keeps the latest row per (shard, item). Processing-time
+    * semantics (counts are order-insensitive), so no watermark is
+    * required; state never times out — it is fixed-size by construction. */
+  def heavyHitters(events: DataFrame, itemCol: String,
+                   capacity: Int = 64, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(capacity >= 1 && shards >= 1)
+    events
+      .select(col(itemCol).cast("string").as("item"),
+        pmod(xxhash64(col(itemCol).cast("string")), lit(shards)).cast("int").as("shard"))
+      .as[HhEvent]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Int, it: Iterator[HhEvent], state: GroupState[HhState]) => {
+          var st = state.getOption.getOrElse(HhState(0L, Map.empty))
+          it.foreach { e =>
+            val cs = st.counters
+            st = cs.get(e.item) match {
+              case Some((c, err)) =>
+                HhState(st.n + 1, cs.updated(e.item, (c + 1, err)))
+              case None if cs.size < capacity =>
+                HhState(st.n + 1, cs.updated(e.item, (1L, 0L)))
+              case None =>
+                // evict the minimum-count item; ties broken by item so a
+                // replayed batch rebuilds the identical summary
+                val (vItem, (vCnt, _)) = cs.minBy { case (i, (c, _)) => (c, i) }
+                HhState(st.n + 1, (cs - vItem).updated(e.item, (vCnt + 1, vCnt)))
+            }
+          }
+          state.update(st)
+          st.counters.iterator.map { case (item, (cnt, err)) =>
+            HhRow(shard, item, cnt, err, st.n)
+          }
+        })
+      .toDF()
+  }
 }
 
 /** One exploded (doc, band) row entering the streaming LSH index. */
@@ -551,3 +609,14 @@ case class CuState(s: Double, open: Map[Long, Long])
 /** One finalized bucket: its count and the CUSUM statistic after it. */
 case class CusumPoint(event_type: String, bucket: java.sql.Timestamp,
                       x: Long, cusum: Double)
+
+/** Input slice for [[Streams.heavyHitters]]: the item and its shard. */
+case class HhEvent(item: String, shard: Int)
+
+/** Per-shard space-saving summary: events routed to the shard so far and
+  * the bounded counter map item → (count-estimate, overestimation). */
+case class HhState(n: Long, counters: Map[String, (Long, Long)])
+
+/** One summary row: `cnt` overestimates the true count by at most `err`;
+  * `n_events` is the shard's stream length when the row was emitted. */
+case class HhRow(shard: Int, item: String, cnt: Long, err: Long, n_events: Long)

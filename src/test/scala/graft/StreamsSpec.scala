@@ -484,4 +484,55 @@ class StreamsSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("heavyHitters keeps every guaranteed-heavy item within space-saving bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val capacity = 8; val shards = 4
+    // Zipf-ish synthetic stream: 5 hot items (80..40 occurrences) over a
+    // 120-item uniform tail (2 each) — far more distinct items than
+    // shards × capacity, so eviction is exercised constantly.
+    val items: Seq[String] =
+      (0 until 5).flatMap(h => Seq.fill(80 - 10 * h)(s"hot$h")) ++
+        (0 until 120).flatMap(t => Seq.fill(2)(s"tail$t"))
+    // deterministic interleave so hot items arrive spread out, not batched
+    val stream = items.zipWithIndex
+      .sortBy { case (it, i) => (i * 2654435761L) % 1000003L }.map(_._1)
+    val in = MemoryStream[String]
+    val q = Streams.heavyHitters(in.toDF().withColumnRenamed("value", "item"),
+        "item", capacity, shards)
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      stream.grouped(120).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // final summary = each shard's emission at its last stream length
+      val fin = spark.table("hh")
+        .withColumn("mx", max(col("n_events")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard")))
+        .filter(col("n_events") === col("mx"))
+        .select("shard", "item", "cnt", "err", "n_events")
+        .collect()
+      val bySharded = fin.groupBy(_.getAs[Int]("shard"))
+      // state is fixed-size by construction
+      bySharded.foreach { case (_, rows) => assert(rows.length <= capacity) }
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      def shardOf(item: String): Int = spark.range(1)
+        .select(pmod(xxhash64(lit(item)), lit(shards)).cast("int")).first().getInt(0)
+      val shardN = bySharded.map { case (s, rows) => s -> rows.head.getAs[Long]("n_events") }
+      // (1) no false negatives: true count > n_s/capacity ⇒ item is kept
+      val kept = fin.map(r => r.getAs[String]("item")).toSet
+      val mustKeep = exact.filter { case (it, c) => c > shardN(shardOf(it)) / capacity }
+      assert(mustKeep.nonEmpty && (0 until 5).forall(h => mustKeep.contains(s"hot$h")))
+      mustKeep.keys.foreach(it => assert(kept.contains(it), s"lost heavy item $it"))
+      // (2) count bounds: cnt - err <= true <= cnt for every kept item
+      fin.foreach { r =>
+        val t = exact(r.getAs[String]("item"))
+        val cnt = r.getAs[Long]("cnt"); val err = r.getAs[Long]("err")
+        assert(cnt - err <= t && t <= cnt,
+          s"${r.getAs[String]("item")}: true $t outside [${cnt - err}, $cnt]")
+      }
+      // (3) a guaranteed-support filter has no false positives: items whose
+      // lower bound clears the hottest tail count must all be hot items
+      fin.filter(r => r.getAs[Long]("cnt") - r.getAs[Long]("err") > 2)
+        .foreach(r => assert(r.getAs[String]("item").startsWith("hot")))
+    } finally q.stop()
+  }
 }
