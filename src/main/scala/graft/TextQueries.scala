@@ -4400,6 +4400,62 @@ object TextQueries {
           " / (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE))", 6)} AS equity_ratio
       FROM per CROSS JOIN tot ORDER BY lang"""))
 
+  // q293 — BPE MERGE-CURVE (vocab-size ablation): corpus fertility after
+  // 0, 1, 2 and 3 training merges — the marginal-value-per-merge table
+  // that decides where a vocabulary stops paying for itself. BPE merges
+  // are PREFIX-CLOSED (the round-r tokenizer is the first r merges of
+  // the round-k one), so one k=3 training run yields all four
+  // segmentations; corpus stats ride the (word, freq) vocabulary —
+  // frequency-weighted sums, never a corpus re-scan per round. The
+  // oracle reads the same numbers off the shared q188 replay's r0..r3.
+  private val q293 = Q(
+    "q293_bpe_merge_curve",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val words = tbl(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val (_, merges) = Bpe.train(words, "w", "freq", k = 3)
+      val base = words.select(col("w"), col("freq"), Bpe.charSyms(col("w")).as("syms"))
+      val segs = merges.scanLeft(base) { case (seg, (a, b, _)) =>
+        seg.withColumn("syms", Bpe.applyMerge(col("syms"), a, b))
+      }
+      val rows = segs.zipWithIndex.map { case (seg, r) =>
+        seg.agg(sum(col("freq")).as("n_words"),
+            sum(col("freq") * size(col("syms")).cast("long")).as("n_subwords"),
+            sum(col("freq") * length(col("w")).cast("long")).as("n_chars"))
+          .withColumn("n_merges", lit(r.toLong))
+      }.reduce(_ unionByName _)
+      val w4 = Window.orderBy("n_merges") // 4 rows: constant-bounded
+      rows
+        .withColumn("subwords_saved",
+          coalesce(lag(col("n_subwords"), 1).over(w4) - col("n_subwords"), lit(0L)))
+        .select(col("n_merges"), col("n_subwords"),
+          Det.roundAt(col("n_subwords").cast("double")
+            / col("n_words").cast("double"), 6).as("fertility"),
+          Det.roundAt(col("n_chars").cast("double")
+            / col("n_subwords").cast("double"), 6).as("chars_per_subword"),
+          col("subwords_saved"))
+        .orderBy("n_merges")
+    },
+    Some {
+      def stat(r: Int) =
+        s"""SELECT CAST($r AS BIGINT) AS n_merges,
+          CAST(SUM(freq) AS BIGINT) AS n_words,
+          CAST(SUM(freq * len(syms)) AS BIGINT) AS n_subwords,
+          CAST(SUM(freq * length(w)) AS BIGINT) AS n_chars FROM r$r"""
+      s"""WITH $bpeTrainCtes,
+        u AS (${stat(0)} UNION ALL ${stat(1)} UNION ALL ${stat(2)} UNION ALL ${stat(3)})
+      SELECT n_merges, n_subwords,
+        ${Det.roundAtSql(
+          "CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)} AS fertility,
+        ${Det.roundAtSql(
+          "CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE)", 6)} AS chars_per_subword,
+        CAST(COALESCE(LAG(n_subwords) OVER (ORDER BY n_merges) - n_subwords, 0)
+          AS BIGINT) AS subwords_saved
+      FROM u ORDER BY n_merges"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -4408,5 +4464,5 @@ object TextQueries {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
     q234, q242, q249, q257, q281, q282, q284, q285, q286, q288, q289, q290,
-    q291, q292)
+    q291, q292, q293)
 }
