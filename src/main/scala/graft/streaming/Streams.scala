@@ -526,6 +526,23 @@ object Streams {
     * downstream keeps the latest row per (shard, item). Processing-time
     * semantics (counts are order-insensitive), so no watermark is
     * required; state never times out — it is fixed-size by construction. */
+  /** One space-saving ingest step — pure, so the sketch invariants are
+    * ScalaCheck-provable independent of the streaming harness
+    * (PropertySpec) and a replayed micro-batch rebuilds the identical
+    * summary (eviction ties broken by item). */
+  private[graft] def ssIngest(st: HhState, item: String, capacity: Int): HhState = {
+    val cs = st.counters
+    cs.get(item) match {
+      case Some((c, err)) =>
+        HhState(st.n + 1, cs.updated(item, (c + 1, err)))
+      case None if cs.size < capacity =>
+        HhState(st.n + 1, cs.updated(item, (1L, 0L)))
+      case None =>
+        val (vItem, (vCnt, _)) = cs.minBy { case (i, (c, _)) => (c, i) }
+        HhState(st.n + 1, (cs - vItem).updated(item, (vCnt + 1, vCnt)))
+    }
+  }
+
   def heavyHitters(events: DataFrame, itemCol: String,
                    capacity: Int = 64, shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -540,20 +557,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (shard: Int, it: Iterator[HhEvent], state: GroupState[HhState]) => {
           var st = state.getOption.getOrElse(HhState(0L, Map.empty))
-          it.foreach { e =>
-            val cs = st.counters
-            st = cs.get(e.item) match {
-              case Some((c, err)) =>
-                HhState(st.n + 1, cs.updated(e.item, (c + 1, err)))
-              case None if cs.size < capacity =>
-                HhState(st.n + 1, cs.updated(e.item, (1L, 0L)))
-              case None =>
-                // evict the minimum-count item; ties broken by item so a
-                // replayed batch rebuilds the identical summary
-                val (vItem, (vCnt, _)) = cs.minBy { case (i, (c, _)) => (c, i) }
-                HhState(st.n + 1, (cs - vItem).updated(e.item, (vCnt + 1, vCnt)))
-            }
-          }
+          it.foreach(e => st = ssIngest(st, e.item, capacity))
           state.update(st)
           st.counters.iterator.map { case (item, (cnt, err)) =>
             HhRow(shard, item, cnt, err, st.n)

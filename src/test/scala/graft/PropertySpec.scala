@@ -396,4 +396,39 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"desc=$desc0: ${(want -- got).take(5)}")
     }
   }
+
+  test("space-saving ingest: invariants hold for arbitrary streams and capacities") {
+    import graft.streaming.{Streams, HhState}
+    // skewed alphabets so hot items, ties, and deep eviction all occur
+    val streamGen = for {
+      nDistinct <- Gen.chooseNum(1, 40)
+      len <- Gen.chooseNum(0, 400)
+      s <- Gen.listOfN(len, Gen.frequency(
+        (4, Gen.chooseNum(0, math.max(nDistinct / 8, 1) - 1)),
+        (1, Gen.chooseNum(0, nDistinct - 1))).map(i => s"w$i"))
+    } yield s
+    for ((items, capacity) <- sample(streamGen, 60).zip(
+        Stream.continually(Seq(1, 2, 3, 7, 16)).flatten)) {
+      val fin = items.foldLeft(HhState(0L, Map.empty)) {
+        (st, it) => Streams.ssIngest(st, it, capacity)
+      }
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = items.size.toLong
+      assert(fin.n == n)
+      assert(fin.counters.size <= capacity)
+      // count bounds: cnt - err <= true <= cnt for every kept item
+      fin.counters.foreach { case (it, (cnt, err)) =>
+        val t = exact(it)
+        assert(cnt - err <= t && t <= cnt, s"$it: $t outside [${cnt - err}, $cnt]")
+      }
+      // no false negatives: true count > n/capacity ⇒ kept
+      exact.filter { case (_, c) => c > n / capacity }.keys.foreach { it =>
+        assert(fin.counters.contains(it), s"lost heavy item $it (cap $capacity, n $n)")
+      }
+      // total mass is conserved or overestimated, never lost beyond evictions:
+      // sum of cnt >= sum of true counts of kept items
+      val keptTrue = fin.counters.keys.map(exact).sum
+      assert(fin.counters.values.map(_._1).sum >= keptTrue)
+    }
+  }
 }
