@@ -4456,6 +4456,72 @@ object TextQueries {
       FROM u ORDER BY n_merges"""
     })
 
+  // q294 — CLUSTER-CHAINING AUDIT: connected-components dedup merges by
+  // TRANSITIVITY, so a cluster can hold pairs that are NOT direct
+  // near-dups (A~B, B~C chains A–C even when J(A,C) < τ) — the known
+  // over-merging artifact of CC-based survivor selection. Per cluster
+  // size: how many intra-cluster pairs exist, how many are direct
+  // (J ≥ 0.5), and the chained fraction — the table that says whether
+  // min-id-per-component survivors are deleting docs that were never
+  // near-dups of anything kept. Scale shape: clusters are the SMALL
+  // relation (dup components only); intra-pair enumeration is
+  // C(size, 2) per cluster — bounded here, and at a corpus whose
+  // components chain unboundedly the same audit runs on a size-capped
+  // sample of clusters (the cap is the audit's own first output).
+  private val q294 = Q(
+    "q294_cluster_chaining",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val cl = Dedup.clusters(Dedup.minhashLshPairs(docs,
+        "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5))
+      val sized = cl.withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      val memSh = docs.select(col("doc_id").as("id"), col("text"))
+        .join(broadcast(cl.select("id")), "id")
+        .select(col("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
+      val pairs = sized.select(col("cluster"), col("cluster_size"), col("id").as("id_a"))
+        .join(sized.select(col("cluster"), col("id").as("id_b")), Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .join(memSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(memSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("direct",
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+            .cast("long"))
+      val byCluster = pairs.groupBy("cluster", "cluster_size")
+        .agg(count(lit(1)).as("np"), sum(col("direct")).as("nd"))
+      byCluster.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("np")).as("n_pairs"), sum(col("nd")).as("n_direct"))
+        .select(col("cluster_size").cast("long").as("cluster_size"),
+          col("n_clusters"), col("n_pairs"), col("n_direct"),
+          Det.roundAt(lit(1.0) - col("n_direct").cast("double")
+            / col("n_pairs").cast("double"), 6).as("chained_rate"))
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH $minhashCtes, $ccCtes,
+        sized AS (SELECT id, cluster,
+            COUNT(*) OVER (PARTITION BY cluster) AS cluster_size FROM cc),
+        sh0 AS (SELECT doc_id AS id, ${wordShinglesSql(3)} AS sh FROM documents
+          WHERE doc_id IN (SELECT id FROM cc)),
+        ip AS (SELECT a.cluster, a.cluster_size, a.id AS id_a, b.id AS id_b
+          FROM sized a JOIN sized b ON a.cluster = b.cluster AND a.id < b.id),
+        scored AS (SELECT cluster, cluster_size,
+            CASE WHEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) >= 0.5
+              THEN 1 ELSE 0 END AS direct
+          FROM ip JOIN sh0 x ON x.id = ip.id_a JOIN sh0 y ON y.id = ip.id_b),
+        byc AS (SELECT cluster, cluster_size, CAST(COUNT(*) AS BIGINT) AS np,
+            CAST(SUM(direct) AS BIGINT) AS nd
+          FROM scored GROUP BY cluster, cluster_size)
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(np) AS BIGINT) AS n_pairs, CAST(SUM(nd) AS BIGINT) AS n_direct,
+        ${Det.roundAtSql(
+          "1.0 - CAST(SUM(nd) AS DOUBLE) / CAST(SUM(np) AS DOUBLE)", 6)}
+          AS chained_rate
+      FROM byc GROUP BY cluster_size ORDER BY cluster_size"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -4464,5 +4530,5 @@ object TextQueries {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
     q234, q242, q249, q257, q281, q282, q284, q285, q286, q288, q289, q290,
-    q291, q292, q293)
+    q291, q292, q293, q294)
 }
