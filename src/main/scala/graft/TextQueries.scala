@@ -4522,6 +4522,132 @@ object TextQueries {
           AS chained_rate
       FROM byc GROUP BY cluster_size ORDER BY cluster_size"""))
 
+  // q295 — HAPAX 5-GRAM RATE PER SOURCE: the OCR-junk / low-quality-feed
+  // detector — a source whose 5-grams disproportionately appear EXACTLY
+  // ONCE corpus-wide is emitting noise, not language. (Word-level hapax
+  // is degenerate on this corpus's closed vocabulary; gram-level is the
+  // document-fingerprint analogue and the form that scales to real
+  // corpora.) Two gram-grain aggregates: (source, gram) occurrence
+  // counts, then corpus totals derived FROM that relation — never a
+  // second corpus scan — joined back at gram grain and rolled up per
+  // source.
+  private val q295 = Q(
+    "q295_hapax_grams",
+    (s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("source"), TextFns.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 5)
+      def gram5 = transform(sequence(lit(1), size(col("tk")) - 4),
+        i => concat_ws(" ", (0 until 5).map(o =>
+          element_at(col("tk"), (i + o).cast("int"))): _*))
+      val nsw = d.select(col("source"), explode(gram5).as("gr"))
+        .select(col("source"), TextFns.portableHash(col("gr")).as("hg"))
+        .groupBy("source", "hg").agg(count(lit(1)).as("nsw"))
+      val cw = nsw.groupBy("hg").agg(sum(col("nsw")).as("cw"))
+      nsw.join(cw, "hg")
+        .groupBy("source")
+        .agg(sum(col("nsw")).as("n_grams"),
+          count(lit(1)).as("n_types"),
+          count(when(col("cw") === 1, lit(1))).as("n_hapax"))
+        .select(col("source"), col("n_grams"), col("n_types"), col("n_hapax"),
+          Det.roundAt(col("n_hapax").cast("double") / col("n_grams").cast("double"), 6)
+            .as("hapax_share"),
+          Det.roundAt(col("n_types").cast("double") / col("n_grams").cast("double"), 6)
+            .as("type_gram_ratio"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+        f AS (SELECT source, tk FROM t WHERE len(tk) >= 5),
+        g AS (SELECT source, ${hSql("gr")} AS hg FROM (
+          SELECT source, unnest(list_transform(range(1, len(tk) - 3),
+            i -> array_to_string(tk[i:i + 4], ' '))) AS gr
+          FROM f)),
+        nsw AS (SELECT source, hg, CAST(COUNT(*) AS BIGINT) AS nsw
+          FROM g GROUP BY source, hg),
+        cw AS (SELECT hg, CAST(SUM(nsw) AS BIGINT) AS cw FROM nsw GROUP BY hg),
+        per AS (SELECT source, CAST(SUM(nsw) AS BIGINT) AS n_grams,
+            CAST(COUNT(*) AS BIGINT) AS n_types,
+            CAST(COUNT(CASE WHEN cw = 1 THEN 1 END) AS BIGINT) AS n_hapax
+          FROM nsw JOIN cw USING (hg) GROUP BY source)
+      SELECT source, n_grams, n_types, n_hapax,
+        ${Det.roundAtSql(
+          "CAST(n_hapax AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)} AS hapax_share,
+        ${Det.roundAtSql(
+          "CAST(n_types AS DOUBLE) / CAST(n_grams AS DOUBLE)", 6)} AS type_gram_ratio
+      FROM per ORDER BY source"""))
+
+  // q296 — SHINGLE-WIDTH SENSITIVITY: for every verified 3-shingle
+  // near-dup pair (q22's output), re-score with 5-shingles and report,
+  // per J₃ band, the mean J₅, the mean |J₃ − J₅| drift, and the share of
+  // verdicts that SURVIVE at 5-shingles — the table that says whether
+  // the dedup decision is an artifact of the shingle width. Candidate
+  // ids are broadcast into a pruned re-shingle pass (two passes, 3- and
+  // 5-gram, candidate rows only); all similarity math is
+  // integer-quantized like q291.
+  private val q296 = Q(
+    "q296_shingle_sensitivity",
+    (s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val ids = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id"))).distinct()
+      val sh5 = docs.select(col("doc_id").as("id"), col("text"))
+        .join(broadcast(ids), "id")
+        .select(col("id"), TextFns.wordShingles(col("text"), 5).as("sh"))
+      def jq(a: Column, b: Column) =
+        floor(size(array_intersect(a, b)).cast("double") * lit(1e6)
+          / size(array_union(a, b)).cast("double") + lit(0.5)).cast("long")
+      pairs
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * lit(1e6) + lit(0.5)).cast("long").as("j3"))
+        .join(sh5.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh5.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("j5", jq(col("sh_a"), col("sh_b")))
+        .withColumn("band", least(expr("j3 div 100000"), lit(9L)))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("j3")).as("sj3"), sum(col("j5")).as("sj5"),
+          sum(abs(col("j3") - col("j5"))).as("sd"),
+          count(when(col("j5") >= 500000L, lit(1))).as("n_survive"))
+        .select(col("band"), col("n_pairs"),
+          Det.roundAt(col("sj3").cast("double") / lit(1e6)
+            / col("n_pairs").cast("double"), 6).as("mean_j3"),
+          Det.roundAt(col("sj5").cast("double") / lit(1e6)
+            / col("n_pairs").cast("double"), 6).as("mean_j5"),
+          Det.roundAt(col("sd").cast("double") / lit(1e6)
+            / col("n_pairs").cast("double"), 6).as("mean_abs_drift"),
+          Det.roundAt(col("n_survive").cast("double")
+            / col("n_pairs").cast("double"), 6).as("survive_rate"))
+        .orderBy("band")
+    },
+    Some {
+      val j5 = "CAST(floor(CAST(len(list_intersect(sh5_a, sh5_b)) AS DOUBLE) * 1000000.0" +
+        " / CAST(len(list_distinct(list_concat(sh5_a, sh5_b))) AS DOUBLE) + 0.5) AS BIGINT)"
+      s"""WITH $minhashCtes,
+        vp AS (SELECT id_a, id_b,
+            CAST(floor((${jaccardSql("sh_a", "sh_b")}) * 1000000.0 + 0.5) AS BIGINT) AS j3
+          FROM cand WHERE ${jaccardSql("sh_a", "sh_b")} >= 0.5),
+        s5 AS (SELECT doc_id AS id, ${wordShinglesSql(5)} AS sh5 FROM documents
+          WHERE doc_id IN (SELECT id_a FROM vp UNION SELECT id_b FROM vp)),
+        sc AS (SELECT j3, $j5 AS j5 FROM vp
+          JOIN (SELECT id, sh5 AS sh5_a FROM s5) x ON x.id = vp.id_a
+          JOIN (SELECT id, sh5 AS sh5_b FROM s5) y ON y.id = vp.id_b),
+        b AS (SELECT LEAST(j3 // 100000, 9) AS band, j3, j5 FROM sc)
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        ${Det.roundAtSql(
+          "CAST(SUM(j3) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_j3,
+        ${Det.roundAtSql(
+          "CAST(SUM(j5) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)", 6)} AS mean_j5,
+        ${Det.roundAtSql(
+          "CAST(SUM(abs(j3 - j5)) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)", 6)}
+          AS mean_abs_drift,
+        ${Det.roundAtSql(
+          "CAST(COUNT(CASE WHEN j5 >= 500000 THEN 1 END) AS DOUBLE)" +
+          " / CAST(COUNT(*) AS DOUBLE)", 6)} AS survive_rate
+      FROM b GROUP BY band ORDER BY band"""
+    })
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -4530,5 +4656,5 @@ object TextQueries {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
     q234, q242, q249, q257, q281, q282, q284, q285, q286, q288, q289, q290,
-    q291, q292, q293, q294)
+    q291, q292, q293, q294, q295, q296)
 }
