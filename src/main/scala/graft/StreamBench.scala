@@ -146,7 +146,16 @@ object StreamBench {
         .option("checkpointLocation", s"$stage/ckpt_hh").start()
     }
 
-    val all = Seq(session, dedup, merge, ivm, attr, hh)
+    val ddq = measure("dd_quantiles", statePartitions = 8) { in =>
+      // per-event-type DDSketch quantile monitor: state is a bounded
+      // log-bucket histogram per key (a handful of keys here), so
+      // max_state_rows is key-count-bounded like heavy_hitters.
+      Streams.ddQuantiles(in, "event_type", "value", alpha = 0.01)
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", s"$stage/ckpt_ddq").start()
+    }
+
+    val all = Seq(session, dedup, merge, ivm, attr, hh, ddq)
     val qjson = all.map { case (n, rows, rps, med, b, st) =>
       s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b,"max_state_rows":$st}"""
     }.mkString("{", ",", "}")

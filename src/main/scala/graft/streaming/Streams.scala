@@ -543,6 +543,76 @@ object Streams {
     }
   }
 
+  /** One DDSketch ingest step — pure, ScalaCheck-proven in PropertySpec.
+    * Bucket index = ceil(log_γ v) with γ = (1+α)/(1−α), clamped to
+    * [[DdMinIdx]]/[[DdMaxIdx]] (α = 0.01 covers ~1e-9 … 1e9 before the
+    * clamp bites); v ≤ 0 goes to the zero bucket. Bounded state:
+    * at most (DdMaxIdx − DdMinIdx + 1) counters per key. */
+  private[graft] def ddIngest(st: DdState, v: Double, alpha: Double): DdState = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    if (v <= 0.0) st.copy(n = st.n + 1, zero = st.zero + 1)
+    else {
+      val i = math.min(DdMaxIdx,
+        math.max(DdMinIdx, math.ceil(math.log(v) / math.log(gamma)).toInt))
+      st.copy(n = st.n + 1,
+        counts = st.counts.updated(i, st.counts.getOrElse(i, 0L) + 1L))
+    }
+  }
+
+  /** Quantile read from a DDSketch state: walk buckets in index order to
+    * the target rank; the estimate 2γ^i/(γ+1) (the bucket's geometric
+    * midpoint) is within relative error α of the true value whenever the
+    * bucket index was not clamped. */
+  private[graft] def ddQuantile(st: DdState, q: Double, alpha: Double): Double = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val rank = math.max(1L, math.ceil(q * st.n).toLong)
+    if (rank <= st.zero) 0.0
+    else {
+      var acc = st.zero
+      val it = st.counts.toSeq.sortBy(_._1).iterator
+      var idx = DdMinIdx
+      while (acc < rank && it.hasNext) { val (i, c) = it.next(); acc += c; idx = i }
+      2.0 * math.pow(gamma, idx) / (gamma + 1)
+    }
+  }
+
+  private[graft] val DdMinIdx = -2048
+  private[graft] val DdMaxIdx = 2047
+
+  /** Streaming per-key quantiles: a DDSketch (relative-error quantile
+    * sketch, Masson et al.) per group key in `flatMapGroupsWithState` —
+    * the second fixed-state streaming summary beside [[heavyHitters]].
+    * State per key is a bounded log-bucket histogram (≤ 4096 counters,
+    * in practice the few dozen buckets the key's value range spans), so
+    * quantile monitoring over an unbounded stream never grows state
+    * with stream length, and estimates carry a RELATIVE error
+    * guarantee: |q̂ − q| ≤ α·q for any unclamped value — the property
+    * ScalaCheck proves over arbitrary positive streams (PropertySpec).
+    * Update-mode emission: each updated key re-emits (n, p50, p90, p99)
+    * per micro-batch; counts are order-insensitive so no watermark. */
+  def ddQuantiles(events: DataFrame, keyCol: String, valueCol: String,
+                  alpha: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(alpha > 0 && alpha < 1)
+    events
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("double").as("v"))
+      .as[DdEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[DdEvent], state: GroupState[DdState]) => {
+          var st = state.getOption.getOrElse(DdState(0L, 0L, Map.empty))
+          it.foreach(e => st = ddIngest(st, e.v, alpha))
+          state.update(st)
+          Iterator.single(DdRow(key, st.n,
+            ddQuantile(st, 0.5, alpha), ddQuantile(st, 0.9, alpha),
+            ddQuantile(st, 0.99, alpha)))
+        })
+      .toDF()
+  }
+
   def heavyHitters(events: DataFrame, itemCol: String,
                    capacity: Int = 64, shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -624,3 +694,13 @@ case class HhState(n: Long, counters: Map[String, (Long, Long)])
 /** One summary row: `cnt` overestimates the true count by at most `err`;
   * `n_events` is the shard's stream length when the row was emitted. */
 case class HhRow(shard: Int, item: String, cnt: Long, err: Long, n_events: Long)
+
+/** Input slice for [[Streams.ddQuantiles]]: the group key and the value. */
+case class DdEvent(key: String, v: Double)
+
+/** Per-key DDSketch: total count, the ≤0 bucket, and log-bucket counts
+  * (bounded index range ⇒ bounded state). */
+case class DdState(n: Long, zero: Long, counts: Map[Int, Long])
+
+/** One quantile-summary row per key per micro-batch. */
+case class DdRow(key: String, n: Long, p50: Double, p90: Double, p99: Double)

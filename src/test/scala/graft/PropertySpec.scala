@@ -431,4 +431,29 @@ class PropertySpec extends SparkSpec {
       assert(fin.counters.values.map(_._1).sum >= keptTrue)
     }
   }
+
+  test("DDSketch ingest: relative-error bound holds for arbitrary positive streams") {
+    import graft.streaming.{Streams, DdState}
+    val alpha = 0.01
+    // spans ~9 decades so many distinct log-buckets are exercised
+    val valsGen = for {
+      len <- Gen.chooseNum(1, 500)
+      s <- Gen.listOfN(len, Gen.chooseNum(-4.0, 5.0).map(e => math.pow(10.0, e)))
+    } yield s
+    for (vals <- sample(valsGen, 40)) {
+      val st = vals.foldLeft(DdState(0L, 0L, Map.empty)) {
+        (s, v) => Streams.ddIngest(s, v, alpha)
+      }
+      assert(st.n == vals.size)
+      assert(st.counts.values.sum + st.zero == st.n)
+      val sorted = vals.sorted
+      for (q <- Seq(0.5, 0.9, 0.99)) {
+        val rank = math.max(1, math.ceil(q * vals.size).toInt)
+        val truth = sorted(rank - 1)
+        val est = Streams.ddQuantile(st, q, alpha)
+        assert(math.abs(est - truth) <= alpha * truth + 1e-12,
+          s"q=$q: est $est vs true $truth (n=${vals.size})")
+      }
+    }
+  }
 }

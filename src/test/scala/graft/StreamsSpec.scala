@@ -535,4 +535,43 @@ class StreamsSpec extends SparkSpec {
         .foreach(r => assert(r.getAs[String]("item").startsWith("hot")))
     } finally q.stop()
   }
+
+  test("ddQuantiles streamed over micro-batches equals the batch fold, within alpha") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DdState
+    val alpha = 0.01
+    // two keys with different scales; values span several decades
+    val data: Seq[(String, Double)] = (0 until 300).map { i =>
+      val k = if (i % 3 == 0) "a" else "b"
+      (k, math.pow(10.0, (i * 2654435761L % 700L).toDouble / 100.0 - 3.0))
+    }
+    val in = MemoryStream[(String, Double)]
+    val q = Streams.ddQuantiles(
+        in.toDF().withColumnRenamed("_1", "k").withColumnRenamed("_2", "value"),
+        "k", "value", alpha)
+      .writeStream.format("memory").queryName("ddq").outputMode("update").start()
+    try {
+      data.grouped(100).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val fin = spark.table("ddq")
+        .withColumn("mx", max(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("key")))
+        .filter(col("n") === col("mx")).collect()
+      for (k <- Seq("a", "b")) {
+        val vals = data.filter(_._1 == k).map(_._2)
+        // stream result == the pure fold over the same values (order-free)
+        val st = vals.foldLeft(DdState(0L, 0L, Map.empty)) {
+          (s, v) => Streams.ddIngest(s, v, alpha)
+        }
+        val row = fin.find(_.getAs[String]("key") == k).get
+        assert(row.getAs[Long]("n") == vals.size)
+        assert(row.getAs[Double]("p50") == Streams.ddQuantile(st, 0.5, alpha))
+        // and the estimate is within the guarantee of the exact quantile
+        val sorted = vals.sorted
+        for ((q0, cname) <- Seq((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))) {
+          val truth = sorted(math.max(1, math.ceil(q0 * vals.size).toInt) - 1)
+          assert(math.abs(row.getAs[Double](cname) - truth) <= alpha * truth + 1e-12)
+        }
+      }
+    } finally q.stop()
+  }
 }
