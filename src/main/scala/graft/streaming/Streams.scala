@@ -588,6 +588,10 @@ object Streams {
     * with stream length, and estimates carry a RELATIVE error
     * guarantee: |q̂ − q| ≤ α·q for any unclamped value — the property
     * ScalaCheck proves over arbitrary positive streams (PropertySpec).
+    * TOTAL state is per-key-bounded × the number of distinct keys: the
+    * key is meant to be a monitoring dimension (event type, tenant,
+    * endpoint), not an unbounded id — for high-cardinality keys, route
+    * through a hash shard first exactly as [[heavyHitters]] does.
     * Update-mode emission: each updated key re-emits (n, p50, p90, p99)
     * per micro-batch; counts are order-insensitive so no watermark. */
   def ddQuantiles(events: DataFrame, keyCol: String, valueCol: String,
