@@ -528,8 +528,12 @@ object Streams {
     * required; state never times out — it is fixed-size by construction. */
   /** One space-saving ingest step — pure, so the sketch invariants are
     * ScalaCheck-provable independent of the streaming harness
-    * (PropertySpec) and a replayed micro-batch rebuilds the identical
-    * summary (eviction ties broken by item). */
+    * (PropertySpec). Eviction ties break by item, so the fold is a
+    * deterministic function of the item SEQUENCE; a replayed micro-batch
+    * whose shuffle delivers rows in a different order may legitimately
+    * rebuild a different summary — the count-bound and no-false-negative
+    * invariants hold for every order (that is what the property proves),
+    * bit-identity is only guaranteed order-for-order. */
   private[graft] def ssIngest(st: HhState, item: String, capacity: Int): HhState = {
     val cs = st.counters
     cs.get(item) match {
