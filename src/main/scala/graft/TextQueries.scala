@@ -4648,6 +4648,51 @@ object TextQueries {
       FROM b GROUP BY band ORDER BY band"""
     })
 
+  // q297 — KEEP-FIRST SEGMENT DEDUP (C4's actual rule): a segment that
+  // occurs in several documents survives ONLY in the lowest-doc_id
+  // holder — one copy stays in the corpus, unlike q110's boilerplate
+  // strip which deletes every copy. Per source: segments kept/dropped
+  // and the character-retention rate. One segment-grain window (min
+  // holder per segment hash) — at 100 TB this is the same
+  // fingerprint-grain shuffle as exact dedup, and keep-first gives a
+  // deterministic survivor without a second pass.
+  private val q297 = Q(
+    "q297_keep_first_segments",
+    (s, dir) => {
+      val segs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.segments(col("text"), 5)).as("seg"))
+        .select(col("doc_id"), col("source"), length(col("seg")).cast("long").as("nc"),
+          TextFns.portableHash(col("seg")).as("seg_h"))
+      val tagged = segs.withColumn("mn",
+        min(col("doc_id")).over(Window.partitionBy(col("seg_h"))))
+      tagged.groupBy("source")
+        .agg(count(lit(1)).as("n_segments"),
+          count(when(col("doc_id") === col("mn"), lit(1))).as("n_kept"),
+          sum(col("nc")).as("chars_total"),
+          sum(when(col("doc_id") === col("mn"), col("nc"))).as("chars_kept"))
+        .withColumn("chars_kept", coalesce(col("chars_kept"), lit(0L)))
+        .select(col("source"), col("n_segments"), col("n_kept"),
+          col("chars_total"), col("chars_kept"),
+          Det.roundAt(col("chars_kept").cast("double")
+            / col("chars_total").cast("double"), 6).as("char_retention"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+        segs AS (SELECT doc_id, source, length(u.seg) AS nc, ${hSql("u.seg")} AS seg_h
+          FROM t, unnest(list_transform(range(0, len(tk) // 5),
+            i -> array_to_string(tk[i*5+1:i*5+5], ' '))) AS u(seg)),
+        tagged AS (SELECT source, nc,
+            doc_id = MIN(doc_id) OVER (PARTITION BY seg_h) AS keep FROM segs)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(nc) AS BIGINT) AS chars_total,
+        CAST(COALESCE(SUM(CASE WHEN keep THEN nc END), 0) AS BIGINT) AS chars_kept,
+        ${Det.roundAtSql(
+          "CAST(COALESCE(SUM(CASE WHEN keep THEN nc END), 0) AS DOUBLE)" +
+          " / CAST(SUM(nc) AS DOUBLE)", 6)} AS char_retention
+      FROM tagged GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q31, q34, q39,
     q44, q45, q53, q54, q55, q60, q61, q62, q63, q68, q72, q73, q75, q82,
     q83, q88, q96, q99, q104, q105, q107, q108, q110, q113, q114, q117, q118,
@@ -4656,5 +4701,5 @@ object TextQueries {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q183, q184,
     q186, q188, q189, q190, q193, q194, q198, q200, q206, q219, q224, q232,
     q234, q242, q249, q257, q281, q282, q284, q285, q286, q288, q289, q290,
-    q291, q292, q293, q294, q295, q296)
+    q291, q292, q293, q294, q295, q296, q297)
 }
