@@ -81,14 +81,46 @@ object GenData {
     * copy of a (non-dup) base doc's text + " dup"; the base is chosen by
     * chaining two hash candidates, falling back to `minNonDup` (computed
     * by the caller as the smallest non-dup id). */
-  def documentsFrom(docIds: DataFrame, nDoc: Long, minNonDup: Long): DataFrame = {
-    val id = col("id")
-    def wordsFor(base: Column): Column = {
+  def documentsFrom(docIds: DataFrame, nDoc: Long, minNonDup: Long): DataFrame =
+    documentsWith(docIds, nDoc, minNonDup) { base =>
       val len = (ui(base, 71, 91) + 10).cast("int")
       concat_ws(" ", transform(sequence(lit(1), len),
         k => element_at(typedLit(Vocab),
           pmod(xxhash64(base * 128 + k, lit(72)), lit(30)).cast("int") + 1)))
     }
+
+  /** Zipf large-vocabulary documents: same schema, same dup-planting and
+    * lang/source/length distributions as [[documentsFrom]], but word k of
+    * doc `base` is drawn Zipf(1)-distributed over a `vocab`-word universe
+    * ("w1".."w<vocab>") instead of uniform over 30 words. Rank via the
+    * closed-form inverse CDF of Zipf with exponent 1: for u ~ U[0,1),
+    * r = floor((V+1)^u) has P(r) = ln((r+1)/r)/ln(V+1) ∝ 1/r — a single
+    * codegen'd column expression, still a pure function of (doc id, k).
+    *
+    * WHY: the 30-word vocab makes every 3-shingle universe tiny, so LSH
+    * band collisions happen at a corpus-size-INDEPENDENT rate and
+    * candidate pairs grow ~n² by construction — a testdata artifact that
+    * dominated the q22/q39/q119 scale slopes (SCALE_r8.json
+    * `lsh_candidate_growth`). A Zipf vocab reproduces real-corpus shingle
+    * statistics: a heavy head (shared function words) plus a long tail
+    * that makes most shingles rare, so candidates should track the
+    * planted dups ~linearly. */
+  def documentsZipfFrom(docIds: DataFrame, nDoc: Long, minNonDup: Long,
+                        vocab: Long = 100000L): DataFrame =
+    documentsWith(docIds, nDoc, minNonDup) { base =>
+      val len = (ui(base, 71, 91) + 10).cast("int")
+      concat_ws(" ", transform(sequence(lit(1), len),
+        k => concat(lit("w"),
+          least(floor(pow(lit(vocab + 1.0), u(base * 128 + k, 78)))
+            .cast("long"), lit(vocab)).cast("string"))))
+    }
+
+  /** Shared documents skeleton: dup planting, lang, source, n_chars.
+    * `wordsFor` must be a pure function of the BASE id column so a dup
+    * doc regenerates its base's text without a join. */
+  private def documentsWith(docIds: DataFrame, nDoc: Long, minNonDup: Long)
+                           (wordsFor: Column => Column): DataFrame = {
+    val id = col("id")
     val isDup = u(id, 73) < 0.05
     val cand1 = ui(id, 74, nDoc)
     val cand2 = ui(id, 77, nDoc)
@@ -131,6 +163,22 @@ object GenData {
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-gen")
     import spark.implicits._
+
+    // `zipf-docs [vocab]` mode: write ONLY documents.parquet, with the
+    // Zipf large-vocabulary generator — the corpus for re-measuring the
+    // LSH-family scale slopes without the 30-word-vocab artifact.
+    if (args.length > 2 && args(2) == "zipf-docs") {
+      val vocab = if (args.length > 3) args(3).toLong else 100000L
+      val nDoc = math.max(500L, (50000 * sf).toLong)
+      val minNonDup = spark.range(nDoc).filter(u(col("id"), 73) >= 0.05)
+        .agg(min(col("id"))).first().getLong(0)
+      documentsZipfFrom(spark.range(nDoc).toDF("id"), nDoc, minNonDup, vocab)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"GENDATA zipf-docs documents=" +
+        spark.read.parquet(s"$out/documents.parquet").count() + s" vocab=$vocab")
+      spark.stop()
+      return
+    }
 
     val nCust = math.max(150, (150000 * sf).toLong)
     val nSupp = math.max(10, (100000 * sf).toLong / 10)

@@ -33,7 +33,7 @@ object ProbeLsh {
         .select(col("n")).persist()
       val stats = sizes.agg(
         count(lit(1)).as("n_buckets"),
-        sum(col("n") * (col("n") - 1) / 2).as("cand_pairs"),
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"),
         max(col("n")).as("max_bucket"),
         percentile_approx(col("n"), lit(0.5), lit(10000)).as("p50"),
         percentile_approx(col("n"), lit(0.99), lit(10000)).as("p99")

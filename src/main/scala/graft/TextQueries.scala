@@ -4416,6 +4416,11 @@ object TextQueries {
         .select(explode(TextFns.tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
       val (_, merges) = Bpe.train(words, "w", "freq", k = 3)
+      // The oracle is hard-coded to rounds r0..r3: a corpus that exhausts
+      // its mergeable pairs early would silently emit fewer rows and
+      // hash-mismatch — fail loudly instead.
+      require(merges.size == 3,
+        s"q293 expects 3 BPE merges (oracle rows r0..r3), got ${merges.size}")
       val base = words.select(col("w"), col("freq"), Bpe.charSyms(col("w")).as("syms"))
       val segs = merges.scanLeft(base) { case (seg, (a, b, _)) =>
         seg.withColumn("syms", Bpe.applyMerge(col("syms"), a, b))

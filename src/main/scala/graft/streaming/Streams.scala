@@ -523,7 +523,10 @@ object Streams {
     *
     * Update-mode emission: after each micro-batch every updated shard
     * re-emits its full summary (capacity rows) tagged with `n_events`;
-    * downstream keeps the latest row per (shard, item). Processing-time
+    * downstream keeps each shard's latest FULL summary (the rows at that
+    * shard's max `n_events`) — not the latest row per (shard, item),
+    * which would retain evicted items whose true count has outgrown
+    * their stale cnt. Processing-time
     * semantics (counts are order-insensitive), so no watermark is
     * required; state never times out — it is fixed-size by construction. */
   /** One space-saving ingest step — pure, so the sketch invariants are

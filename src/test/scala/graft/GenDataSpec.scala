@@ -17,11 +17,17 @@ class GenDataSpec extends SparkSpec {
     spark.range(0, n, 1, 4).toDF("id").repartition(7))
 
   private def assertSame(dfs: Seq[DataFrame]): Unit = {
-    val base = dfs.head
-    for (other <- dfs.tail) {
+    // True MULTISET equality: group by every column and compare per-row
+    // multiplicities (except() is set-based and would miss duplicate-
+    // multiplicity drift, e.g. {a,a,b} vs {a,b,b}).
+    def counted(df: DataFrame): DataFrame =
+      df.groupBy(df.columns.map(df.col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__mult"))
+    val base = counted(dfs.head)
+    for (other <- dfs.tail.map(counted)) {
       assert(base.except(other).isEmpty && other.except(base).isEmpty,
-        "generated rows differ across partitionings")
-      assert(base.count() == other.count(), "row counts differ (dup rows?)")
+        "generated row multisets differ across partitionings")
     }
   }
 
@@ -43,6 +49,36 @@ class GenDataSpec extends SparkSpec {
     val orphan = dups.join(bases, Seq("base_text"), "left_anti").count()
     assert(dups.count() > 0, "no planted dups in 600 docs — check the rate")
     assert(orphan == 0, s"$orphan dup docs whose base text exists nowhere")
+    docs.unpersist()
+  }
+
+  test("documentsZipfFrom is partition-insensitive, plants dups, and is Zipf-shaped") {
+    import org.apache.spark.sql.functions._
+    val n = 600L
+    val dfs = layouts(n).map(ids => GenData.documentsZipfFrom(ids, n, 1L, vocab = 100000L))
+    assertSame(dfs)
+    val docs = dfs.head.cache()
+    // dup planting unchanged: every dup's text = an existing base's text + " dup"
+    val dups = docs.filter(col("text").endsWith(" dup"))
+      .select(expr("substring(text, 1, length(text) - 4)").as("base_text"))
+    val bases = docs.filter(!col("text").endsWith(" dup"))
+      .select(col("text").as("base_text"))
+    assert(dups.count() > 0, "no planted dups in 600 docs")
+    assert(dups.join(bases, Seq("base_text"), "left_anti").count() == 0,
+      "dup docs whose base text exists nowhere")
+    // Zipf shape: a large observed vocabulary (tail) plus a heavy head.
+    // ~33k tokens over a 100k-word Zipf(1) universe should surface
+    // thousands of distinct words (30-word vocab would cap at 30), and
+    // rank-1 ("w1", P ~ ln2/ln(V+1) ~ 6%) should dwarf a mid-rank word.
+    val freq = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+    val distinctWords = freq.count()
+    assert(distinctWords > 2000, s"vocab too small for Zipf mode: $distinctWords")
+    val top = freq.orderBy(desc("count")).limit(1).head()
+    assert(top.getString(0) == "w1", s"Zipf head should be w1, got ${top.getString(0)}")
+    val rank100 = freq.filter(col("w") === "w100").head().getLong(1)
+    assert(top.getLong(1) > 10 * rank100,
+      s"head/rank-100 ratio too flat: ${top.getLong(1)} vs $rank100 (expect ~100x)")
     docs.unpersist()
   }
 

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Diff two BENCHWIDE.json snapshots and flag real regressions.
+
+BENCHWIDE is one COLD pass per query, so run-to-run noise is larger than
+the warm-median protocol in BENCH.json. A per-query delta is flagged only
+when it exceeds a noise bar derived from the run pair itself:
+
+  bar = max(2 * headline_cv, MIN_REL) relative change, AND abs delta >= MIN_ABS
+
+where headline_cv is the median per-query CV from the current BENCH.json
+(the measured run-to-run noise of this box, from the 5-warm-run
+protocol); MIN_REL (default 0.5, i.e. 50%) keeps cold-pass jitter out;
+MIN_ABS (default 0.3 s) keeps sub-second queries from dominating the
+report with meaningless ratios.
+
+Usage:
+  python3 tools/diff_benchwide.py OLD.json NEW.json [--bench BENCH.json]
+                                  [--min-rel 0.5] [--min-abs 0.3]
+
+Typical: python3 tools/diff_benchwide.py <(git show HEAD:BENCHWIDE.json) \
+         BENCHWIDE.json --bench BENCH.json
+Exit code 0 always (a report, not a gate); the flagged list is for human
+adjudication per the protocol in SCALE.md.
+"""
+import argparse
+import json
+import statistics
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--bench", default=None,
+                    help="BENCH.json with a cv block, for the noise bar")
+    ap.add_argument("--min-rel", type=float, default=0.5)
+    ap.add_argument("--min-abs", type=float, default=0.3)
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    oq, nq = old["queries"], new["queries"]
+
+    cv_bar = 0.0
+    if args.bench:
+        bench = load(args.bench)
+        cvs = list(bench.get("cv", {}).values())
+        if cvs:
+            cv_bar = 2 * statistics.median(cvs)
+    rel_bar = max(cv_bar, args.min_rel)
+
+    # Uniform drift check first: if the median ratio across shared
+    # queries is itself far from 1, the box drifted — per-query flags
+    # would just re-report the drift N times.
+    shared = sorted(set(oq) & set(nq))
+    ratios = [nq[q] / oq[q] for q in shared if oq[q] > 0]
+    drift = statistics.median(ratios) if ratios else 1.0
+
+    flagged = []
+    for q in shared:
+        o, n = oq[q], nq[q]
+        if o <= 0:
+            continue
+        adj = n / drift  # de-drift before comparing
+        rel = (adj - o) / o
+        if abs(rel) >= rel_bar and abs(adj - o) >= args.min_abs:
+            flagged.append({"query": q, "old_sec": round(o, 3),
+                            "new_sec": round(n, 3),
+                            "new_dedrifted_sec": round(adj, 3),
+                            "rel_change": round(rel, 3)})
+    flagged.sort(key=lambda r: -abs(r["rel_change"]))
+
+    report = {
+        "old_total_sec": old.get("value"),
+        "new_total_sec": new.get("value"),
+        "n_shared": len(shared),
+        "only_in_old": sorted(set(oq) - set(nq)),
+        "only_in_new": sorted(set(nq) - set(oq)),
+        "median_drift_ratio": round(drift, 3),
+        "rel_bar": round(rel_bar, 3),
+        "min_abs_sec": args.min_abs,
+        "flagged": flagged,
+    }
+    json.dump(report, sys.stdout, indent=2)
+    print()
+
+
+if __name__ == "__main__":
+    main()
