@@ -68,7 +68,17 @@ object Bench {
       val r = try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
               catch { case e: Throwable =>
                 System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); None }
+      // per-pass visibility for adjudicating a high-CV query (dev knob)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE"))
+        System.err.println(f"[bench] pass ${q.name} ${r.getOrElse(-1.0)}%.2f s")
       graft.operators.Ckpt.release(spark) // checkpoint blocks must not leak across passes
+      // Outside the timed region: let ContextCleaner reclaim this pass's
+      // shuffle/broadcast state NOW instead of when the big driver heap
+      // finally GCs. Without it, later passes time the accumulated debris
+      // of earlier ones (measured at sf10: pass 6 of identical q22 ran
+      // 4× pass 1; with per-pass GC all passes are flat) — exactly the
+      // cross-pass contamination a median-of-warm protocol must not have.
+      System.gc()
       r
     }
     def median(xs: Seq[Double]): Double = {

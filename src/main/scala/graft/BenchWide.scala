@@ -32,8 +32,11 @@ object BenchWide {
       }
       // free localCheckpoint blocks between queries — 280+ plans in one
       // session would otherwise accumulate storage until eviction noise
-      // pollutes the timings
+      // pollutes the timings — and GC so ContextCleaner reclaims each
+      // query's shuffle/broadcast state before the next one is timed
+      // (see Bench: un-collected driver heap degrades later passes 4×)
       graft.operators.Ckpt.release(spark)
+      System.gc()
     }
     val total = math.rint(results.values.sum * 1000) / 1000
     val json = new StringBuilder

@@ -30,6 +30,18 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ContextCleaner only reclaims shuffle files, broadcasts, and
+      // accumulator state when the DRIVER GCs their references — and a
+      // large driver heap (24–48 g at the scale points) can run for many
+      // minutes without a collection, so stale state piles up and
+      // repeated jobs degrade (measured: 7 identical q22 passes at sf10
+      // went 11 s → 47 s with used heap 5.7 → 23 GB; with periodic GC
+      // they hold ~11 s flat at ~0.6 GB). Spark ships a guard for exactly
+      // this — periodic driver GC — but its 30 min default is longer
+      // than most of our runs. 2 min keeps the cleaner draining on any
+      // long-running driver, cluster or local.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,8 +26,11 @@ object ProbeLsh {
     for (dir <- args) {
       val docs = Queries.tbl(spark, dir, "documents")
       val numHashes = 32; val bands = 8
-      val banded = docs.select(col("doc_id").as("id"),
-          posexplode(operators.Dedup.bandKeysCol(col("text"), numHashes, bands, 3))
+      val banded = docs
+        .select(col("doc_id").as("id"),
+          operators.Dedup.minhashSignature(col("text"), numHashes, 3).as("__sig"))
+        .select(col("id"),
+          posexplode(operators.Dedup.bandKeysFromSig(col("__sig"), numHashes, bands))
             .as(Seq("band", "key")))
       val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("n"))
         .select(col("n")).persist()

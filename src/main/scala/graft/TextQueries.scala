@@ -4265,8 +4265,12 @@ object TextQueries {
     (s, dir) => {
       import graft.operators.Ckpt
       val docs = tbl(s, dir, "documents")
-      val banded = Ckpt.local(docs.select(col("doc_id").as("id"),
-        posexplode(Dedup.bandKeysCol(col("text"), 32, 8, 3)).as(Seq("band", "key"))))
+      val banded = Ckpt.local(docs
+        .select(col("doc_id").as("id"),
+          Dedup.minhashSignature(col("text"), 32, 3).as("__sig"))
+        .select(col("id"),
+          posexplode(Dedup.bandKeysFromSig(col("__sig"), 32, 8))
+            .as(Seq("band", "key"))))
       val cand = Ckpt.local(
         banded.select(col("band"), col("key"), col("id").as("id_a"))
           .join(banded.select(col("band"), col("key"), col("id").as("id_b")),

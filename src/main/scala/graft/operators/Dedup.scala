@@ -115,14 +115,25 @@ object Dedup {
           .map(r => element_at(sig, b * rowsPerBand + r + 1).cast(StringType)): _*))
     }: _*)
 
-  /** Band keys for ONE document as an array column — the same bucket
+  /** Band keys from a PRECOMPUTED signature column — the same bucket
     * space (identical literals) as [[minhashLshPairs]], exposed for
     * consumers that maintain the bucket index incrementally instead of
     * self-joining it: the streaming near-dup tagger
     * ([[graft.streaming.Streams]]) and its batch twin
-    * [[seqFirstBucketStats]]. */
-  def bandKeysCol(text: Column, numHashes: Int, bands: Int, shingleN: Int): Column =
-    bandKeys(minhashSignature(text, numHashes, shingleN), bands, numHashes / bands)
+    * [[seqFirstBucketStats]].
+    *
+    * The signature MUST be projected in its own aliased select and
+    * referenced here as a plain column. Inlining
+    * `minhashSignature(text, …)` directly (the old `bandKeysCol`) embeds
+    * the full shingle→hash→minhash pipeline once per band-key slot, and
+    * because the pipeline contains higher-order functions (lambda
+    * variables), codegen subexpression elimination CANNOT dedup the
+    * copies — measured 32× slower at 32 hashes on the sf10 corpus
+    * (163 s vs 5 s for the signature pass). The aliased-projection shape
+    * computes it once: CollapseProject declines to merge a non-trivial
+    * alias referenced `numHashes` times. */
+  def bandKeysFromSig(sig: Column, numHashes: Int, bands: Int): Column =
+    bandKeys(sig, bands, numHashes / bands)
 
   /** Batch twin of the STREAMING LSH near-dup tagger: with arrival order
     * = ascending `idCol`, a doc is suppressed iff ANY of its band buckets
@@ -138,7 +149,9 @@ object Dedup {
                           shingleN: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
     df.select(col(idCol).cast(LongType).as("id"),
-        posexplode(bandKeysCol(col(textCol), numHashes, bands, shingleN))
+        minhashSignature(col(textCol), numHashes, shingleN).as("__sig"))
+      .select(col("id"),
+        posexplode(bandKeysFromSig(col("__sig"), numHashes, bands))
           .as(Seq("band", "key")))
       .withColumn("bmin", min(col("id")).over(w))
       .groupBy("id").agg(min(col("bmin")).as("first_seen"))

@@ -159,7 +159,7 @@ object Streams {
       .dropDuplicatesWithinWatermark("sig_key")
 
   /** Streaming LSH near-dup tagging: the SAME MinHash band space as the
-    * batch LSH ([[graft.operators.Dedup.bandKeysCol]] — identical
+    * batch LSH ([[graft.operators.Dedup.bandKeysFromSig]] — identical
     * literals, so batch and stream agree on every bucket), maintained as
     * an INCREMENTAL index instead of a self-join. Each (band, key)
     * bucket keeps its first-arrived doc id as state; every incoming
@@ -189,8 +189,11 @@ object Streams {
     docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
-        posexplode(graft.operators.Dedup.bandKeysCol(
-          col("text"), numHashes, bands, shingleN)).as(Seq("band", "key")))
+        graft.operators.Dedup.minhashSignature(col("text"), numHashes, shingleN)
+          .as("__sig"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.operators.Dedup.bandKeysFromSig(
+          col("__sig"), numHashes, bands)).as(Seq("band", "key")))
       .as[BandRow]
       .groupByKey(r => (r.band, r.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
