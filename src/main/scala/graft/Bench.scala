@@ -44,8 +44,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // per-pass System.gc() below already keeps the cleaner fed; a 2min
+    // periodic GC would land mid-pass and stall the measurement
     val spark = GraftSession.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-bench")
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-bench",
+      periodicGC = "10h")
     // dev-only subset filter (comma-separated names, ANY registry query
     // — not just the benched set); the driver never sets it, so round
     // benches always cover the full benched set

@@ -17,8 +17,11 @@ object BenchWide {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outFile = if (args.nonEmpty) args(0) else "BENCHWIDE.json"
+    // per-query System.gc() below already keeps the cleaner fed; a 2min
+    // periodic GC would land mid-query and stall the measurement
     val spark = GraftSession.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-benchwide")
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-benchwide",
+      periodicGC = "10h")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     for (q <- Queries.all.sortBy(_.name)) {

@@ -8,8 +8,17 @@ import org.apache.spark.sql.SparkSession
   * function extensions registered. All driver-contract mains build
   * through here. */
 object GraftSession {
+  /** `periodicGC`: ContextCleaner driver-GC cadence. The 2min default
+    * keeps shuffle/broadcast state draining on long-running drivers
+    * (see the config comment below). Harness mains that already force a
+    * GC between every timed pass (Bench/BenchWide) pass a long interval
+    * instead: a periodic full GC landing MID-pass on a 24–48 g heap is
+    * a multi-second STW stall that polluted the very measurements the
+    * cleaner hygiene was meant to protect (q214 sf3: median 31.9 s
+    * cv 0.25 with 2min, 16.7 s cv 0.17 with the periodic GC pushed out). */
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
-            app: String = "graft"): SparkSession = {
+            app: String = "graft",
+            periodicGC: String = "2min"): SparkSession = {
     val spark = SparkSession.builder()
       .appName(app)
       .master(s"local[$cores]")
@@ -41,7 +50,7 @@ object GraftSession {
       // than most of our runs. 2 min keeps the cleaner draining on any
       // long-running driver, cluster or local.
       .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", periodicGC))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
