@@ -1411,11 +1411,12 @@ object TextQueries {
         .select("doc_id")
       val surv = tbl(s, dir, "documents").select("doc_id", "text")
         .join(survIds, Seq("doc_id"))
-      val dropped = Dedup.minhashLshPairs(surv, "doc_id", "text",
-          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val (pairs, shedIds) = Dedup.minhashLshPairsWithShed(surv, "doc_id",
+        "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
+      val dropped = pairs
         .select(col("id_b").as("doc_id")).distinct()
         .withColumn("is_dup", lit(1))
-      slim.join(dropped, Seq("doc_id"), "left")
+      val funnel = slim.join(dropped, Seq("doc_id"), "left")
         .select(
           when(col("pl") === "unknown", lit("lang"))
             .when(col("q") < 0.8, lit("quality"))
@@ -1424,7 +1425,18 @@ object TextQueries {
           col("nt"))
         .groupBy("reason")
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
-        .orderBy("reason")
+      // Shed audit: docs excluded from candidate generation by the LSH
+      // bucket cap — an EXPOSURE count (they still carry their funnel
+      // reason above), reported so a production run can't read "0 pairs"
+      // and "pairs shed by the cap" as the same outcome. Always one row
+      // (0 when the cap never fired — every tested sf); shares the
+      // banded checkpoint, so the audit adds one group-by, not a pass.
+      val shed = slim
+        .join(shedIds.select(col("id").as("doc_id")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("nt"), lit(0L)).as("n_tokens"))
+        .select(lit("lsh_capped").as("reason"), col("n_docs"), col("n_tokens"))
+      funnel.unionByName(shed).orderBy("reason")
     },
     Some(s"""WITH base AS (SELECT doc_id, text,
           CAST(len($toks) AS BIGINT) AS nt, $qualityScoreSql AS q,
@@ -1441,9 +1453,19 @@ object TextQueries {
                  WHEN q < 0.8 THEN 'quality'
                  WHEN doc_id IN (SELECT id_b FROM dropped) THEN 'near_dup'
                  ELSE 'kept' END AS reason, nt
-          FROM base)
-      SELECT reason, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
-      FROM labeled GROUP BY reason ORDER BY reason"""),
+          FROM base),
+        capped AS (SELECT band, key FROM banded
+          GROUP BY band, key HAVING COUNT(*) > 100000),
+        shed_ids AS (SELECT DISTINCT b.doc_id
+          FROM banded b JOIN capped c ON b.band = c.band AND b.key = c.key)
+      SELECT reason, n_docs, n_tokens FROM (
+        SELECT reason, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM labeled GROUP BY reason
+        UNION ALL
+        SELECT 'lsh_capped' AS reason, COUNT(*) AS n_docs,
+          COALESCE(CAST(SUM(base.nt) AS BIGINT), 0) AS n_tokens
+        FROM base JOIN shed_ids USING (doc_id)
+      ) ORDER BY reason"""),
     headline = true)
 
   // q121 — vocabulary coverage / OOV rate per source (the tokenizer-fit

@@ -42,6 +42,21 @@ object Dedup {
 
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
                                     tag: String): (DataFrame, DataFrame) = {
+    val (l, r, _) = capBucketsScoped(banded, maxBucket, tag); (l, r)
+  }
+
+  /** [[capBuckets]] plus the shed audit: the third element is the
+    * DISTINCT non-(band,key) tuples (for the LSH callers: doc ids) that
+    * appear in at least one over-cap bucket — computed from the SAME
+    * banded checkpoint the candidate join reads, so exposing shed volume
+    * costs one group-by over the materialized slim relation, never a
+    * second corpus pass. A production funnel reports this number (see
+    * q119's `lsh_capped` row): capping is deterministic and loud in the
+    * logs, but a report that doesn't carry the shed count invites
+    * treating "0 pairs found" and "pairs shed by the cap" as the same
+    * outcome. */
+  private[operators] def capBucketsScoped(banded: DataFrame, maxBucket: Int,
+                                          tag: String): (DataFrame, DataFrame, DataFrame) = {
     val obsName = s"${tag}_${capSeq.incrementAndGet()}_cap"
     // The slim banded relation is checkpointed once (the self-join must
     // never re-derive signatures per side). Bucket sizes come from a
@@ -65,7 +80,10 @@ object Dedup {
     def kept(observed: Boolean) =
       ck.join(broadcast(overCap(observed).select("band", "key")),
         Seq("band", "key"), "left_anti")
-    (kept(observed = true), kept(observed = false))
+    val shed = ck.join(broadcast(overCap(observed = false).select("band", "key")),
+        Seq("band", "key"), "left_semi")
+      .drop("band", "key").distinct()
+    (kept(observed = true), kept(observed = false), shed)
   }
 
   /** Exact-duplicate profile via content fingerprints: one groupBy on a
@@ -174,7 +192,21 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8,
                       shingleN: Int = 3, threshold: Double = 0.5,
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = 100000): DataFrame =
+    minhashLshPairsWithShed(df, idCol, textCol, numHashes, bands, shingleN,
+      threshold, maxBucket)._1
+
+  /** [[minhashLshPairs]] plus the cap-shed audit: also returns the
+    * distinct doc ids (column `id`) that landed in at least one
+    * over-`maxBucket` band bucket and were therefore excluded from
+    * candidate generation. Shares the banded checkpoint with the pair
+    * join — the audit is one extra group-by over the materialized slim
+    * relation. Consumers (the q119 funnel report) surface the count so
+    * shed volume is part of the pipeline's output, not only a log line. */
+  def minhashLshPairsWithShed(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3, threshold: Double = 0.5,
+                      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val docs = df.select(
       col(idCol).as("id"),
@@ -191,7 +223,7 @@ object Dedup {
           transform(col("sh"), x => TextFns.portableHash(x) % MinhashP),
           numHashes).as("sig"))
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-    val (lhs, rhs) = capBuckets(banded, maxBucket, "minhash_lsh")
+    val (lhs, rhs, shedIds) = capBucketsScoped(banded, maxBucket, "minhash_lsh")
     // Candidates are checkpointed (slim: two ids/row) so the id-set
     // extraction and both verify joins read one materialization of the
     // candidate shuffle instead of re-running it.
@@ -215,7 +247,7 @@ object Dedup {
       df.select(col(idCol).as("id"), col(textCol).as("__text"))
         .join(broadcast(ids), "id") // shingle ABOVE the join: matched rows only
         .select(col("id"), TextFns.wordShingles(col("__text"), shingleN).as("sh"))
-    cand
+    val pairs = cand
       .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", Det.roundAt(
@@ -224,6 +256,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
+    (pairs, shedIds)
   }
 
   /** Incremental LSH near-dup join of a NEW batch against an existing

@@ -432,6 +432,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("space-saving shard union: invariants hold under adversarial shard skew") {
+    import graft.streaming.{Streams, HhState}
+    // The sharded operator's global summary is the plain UNION of
+    // per-shard summaries, because routing sends each item to exactly
+    // one shard. That union must stay correct for ANY routing — in
+    // particular the adversarial one where ~90% of the mass lands on a
+    // single shard (saturating its capacity and forcing deep eviction)
+    // while other shards sit near-empty. Routing is modelled as an
+    // arbitrary deterministic item→shard map skewed toward shard 0; the
+    // production xxhash routing is one instance of it.
+    val shards = 4; val capacity = 6
+    val cfgGen = for {
+      len <- Gen.chooseNum(0, 600)
+      items <- Gen.listOfN(len, Gen.frequency(
+        (3, Gen.chooseNum(0, 4)),           // hot head
+        (2, Gen.chooseNum(0, 80))).map(i => s"w$i"))
+      hotShard <- Gen.chooseNum(0, shards - 1)
+      // item→shard: ~90% of DISTINCT items pinned to one shard
+      routing <- Gen.listOfN(100, Gen.frequency(
+        (9, Gen.const(hotShard)), (1, Gen.chooseNum(0, shards - 1))))
+    } yield (items, routing)
+    for ((items, routing) <- sample(cfgGen, 60)) {
+      def shardOf(it: String): Int = routing(it.drop(1).toInt % routing.size)
+      val byShard = items.zipWithIndex.groupBy { case (it, _) => shardOf(it) }
+      // per-shard fold in arrival order — exactly what the stateful
+      // operator does within a shard's group
+      val summaries = byShard.map { case (s, evs) =>
+        s -> evs.sortBy(_._2).map(_._1).foldLeft(HhState(0L, Map.empty)) {
+          (st, it) => Streams.ssIngest(st, it, capacity)
+        }
+      }
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // (0) fixed-size state regardless of how skewed the routing is
+      assert(summaries.values.map(_.counters.size).sum <= shards * capacity)
+      summaries.foreach { case (s, st) =>
+        assert(st.n == byShard(s).size.toLong)
+      }
+      // union = global summary; each item appears in exactly one shard
+      val union = summaries.values.flatMap(_.counters).toSeq
+      assert(union.map(_._1).distinct.size == union.size,
+        "an item appeared in two shard summaries — routing must be disjoint")
+      // (1) count bounds survive the union untouched
+      union.foreach { case (it, (cnt, err)) =>
+        val t = exact(it)
+        assert(cnt - err <= t && t <= cnt, s"$it: $t outside [${cnt - err}, $cnt]")
+      }
+      // (2) per-shard no-false-negative lifts to the union: true count >
+      // n_s/capacity of the item's OWN shard ⇒ present globally
+      val unionKeys = union.map(_._1).toSet
+      exact.foreach { case (it, c) =>
+        val ns = summaries.get(shardOf(it)).map(_.n).getOrElse(0L)
+        if (c > ns / capacity)
+          assert(unionKeys.contains(it),
+            s"lost heavy item $it (true $c > ${ns / capacity} in shard ${shardOf(it)})")
+      }
+    }
+  }
+
   test("DDSketch ingest: relative-error bound holds for arbitrary positive streams") {
     import graft.streaming.{Streams, DdState}
     val alpha = 0.01
