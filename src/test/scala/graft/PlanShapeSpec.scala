@@ -248,6 +248,32 @@ class PlanShapeSpec extends SparkSpec {
       s"q218 must confine candidates to bucket equi-joins:\n$p")
   }
 
+  test("band-key consumers compute the minhash signature exactly once per row") {
+    // The signature pipeline contains HOF lambdas that block codegen
+    // subexpression elimination, so if a future edit re-inlines it into
+    // the per-band expressions (the pre-round-9 bandKeysCol shape, or a
+    // CollapseProject merge of the two-select form), the plan carries one
+    // graft_minhash evaluation PER BAND-KEY SLOT — measured 32x slower
+    // at sf10. Guard the plans of every band-key consumer.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def minhashCount(p: String): Int =
+      "graft_minhash".r.findAllIn(p).length
+    val seqPlan = graft.operators.Dedup
+      .seqFirstBucketStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(minhashCount(seqPlan) == 1,
+      s"seqFirstBucketStats computes the signature ${minhashCount(seqPlan)}x per row")
+    for (q <- Seq("q73_stream_neardup_twin", "q291_lsh_scurve")) {
+      val c = minhashCount(plan(q))
+      // q291 builds its banded relation once behind a checkpoint; q73 is
+      // the operator above. Either way: one signature evaluation per
+      // consumer, never one per band.
+      assert(c <= 1, s"$q computes the minhash signature $c times")
+      graft.operators.Ckpt.release(spark)
+    }
+  }
+
   test("HTML extract and URL stats scan only the columns they use") {
     val p165 = plan("q165_html_extract")
     assert(!p165.contains("n_chars"), s"q165 reads n_chars it never uses:\n$p165")
