@@ -18,6 +18,9 @@ import graft.streaming.Streams
   *   - attribution — stream-stream interval join (purchases × prior
   *     views, both sides file streams over the same slices)
   *   - heavy_hitters — sharded space-saving top-k (fixed-size state)
+  *   - lsh_tag — incremental MinHash-band near-dup tagging over a
+  *     documents feed (flatMapGroupsWithState bucket index; rows/s is
+  *     per DOCUMENT, though each doc costs `bands` state lookups)
   *
   * Prints ONE JSON line {"metric":"stream_total","queries":{name:
   * {rows_per_sec, median_batch_ms, batches, rows}}} and mirrors it to
@@ -53,6 +56,22 @@ object StreamBench {
 
     val stagedRows = spark.read.parquet(s"$stage/events").count()
 
+    // Stage the documents table the same way for the LSH tagger.
+    // Documents carry no timestamp, so synthesize a monotone event time
+    // from doc_id (one second apart — the same convention as the
+    // StreamsSpec batch-twin test), making the watermark advance
+    // slice-over-slice like a live ingest feed's.
+    Queries.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
+        col("text"))
+      .repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$stage/docs")
+    val docsSchema = spark.read.parquet(s"$stage/docs").schema
+    def docStream: DataFrame = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/docs")
+    val docRows = spark.read.parquet(s"$stage/docs").count()
+
     /** Runs a streaming query to completion over the staged slices and
       * folds its progress into (rows, wallSec, medianBatchMs, batches,
       * maxStateRows). Throughput uses the STAGED row count, not progress
@@ -74,12 +93,14 @@ object StreamBench {
       * batch, which is what throttled attribution_join to 2.4 k rows/s
       * in round 7. At a 100 TB feed you size this UP with volume; the
       * knob being per-query is exactly how it works on a real cluster. */
-    def measure(name: String, statePartitions: Int = 32)
+    def measure(name: String, statePartitions: Int = 32,
+                feed: () => DataFrame = () => fileStream,
+                feedRows: => Long = stagedRows)
                (start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
         : (String, Long, Double, Double, Int, Long) = {
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-      val q = try start(fileStream)
+      val q = try start(feed())
               finally spark.conf.set("spark.sql.shuffle.partitions", before)
       try q.processAllAvailable() finally q.stop()
       val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
@@ -87,7 +108,8 @@ object StreamBench {
       val wallSec = lat.sum / 1000.0
       val maxState = prog.map(_.stateOperators.map(_.numRowsTotal).sum)
         .maxOption.getOrElse(0L)
-      (name, stagedRows, if (wallSec > 0) stagedRows / wallSec else 0.0,
+      val rows = feedRows
+      (name, rows, if (wallSec > 0) rows / wallSec else 0.0,
         median(lat), prog.size, maxState)
     }
 
@@ -155,7 +177,20 @@ object StreamBench {
         .option("checkpointLocation", s"$stage/ckpt_ddq").start()
     }
 
-    val all = Seq(session, dedup, merge, ivm, attr, hh, ddq)
+    val lsh = measure("lsh_tag", statePartitions = 8,
+        feed = () => docStream, feedRows = docRows) { in =>
+      // incremental band-bucket index: one long of state per non-empty
+      // bucket inside the idle horizon; each document pays `bands` (=8)
+      // state-row visits through one bucket-key shuffle — no candidate
+      // self-join per batch. rows/s below is documents/s; multiply by 8
+      // for state-op row throughput. 8 state partitions for the same
+      // store-commit-budget reason as attribution (see measure()).
+      Streams.lshBandHits(in)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$stage/ckpt_lsh").start()
+    }
+
+    val all = Seq(session, dedup, merge, ivm, attr, hh, ddq, lsh)
     val qjson = all.map { case (n, rows, rps, med, b, st) =>
       s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b,"max_state_rows":$st}"""
     }.mkString("{", ",", "}")
