@@ -26,7 +26,13 @@ import graft.streaming.Streams
   * {rows_per_sec, median_batch_ms, batches, rows}}} and mirrors it to
   * the path in arg0 / SPARK_GRAFT_STREAMBENCH_OUT (default
   * STREAMBENCH.json). Batch latency is `triggerExecution` from query
-  * progress — the engine-reported wall time of each micro-batch. */
+  * progress — the engine-reported wall time of each micro-batch.
+  *
+  * Knobs: SPARK_GRAFT_STREAM_ONLY (comma-separated pipeline names —
+  * unknown names fail loudly, same contract as SPARK_GRAFT_BENCH_ONLY)
+  * and SPARK_GRAFT_DOCS_DIR (alternate documents source for lsh_tag,
+  * e.g. a Zipf-vocabulary corpus — the events pipelines are
+  * unaffected). */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,21 +62,40 @@ object StreamBench {
 
     val stagedRows = spark.read.parquet(s"$stage/events").count()
 
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val knownPipelines = Set("sessionize", "dedup", "maintain_merge",
+      "maintain_count_sum", "attribution_join", "heavy_hitters",
+      "dd_quantiles", "lsh_tag")
+    val unknown = only.diff(knownPipelines)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_STREAM_ONLY names unknown pipelines: ${unknown.mkString(", ")} " +
+        s"(known: ${knownPipelines.toSeq.sorted.mkString(", ")})")
+    def enabled(name: String): Boolean = only.isEmpty || only(name)
+
     // Stage the documents table the same way for the LSH tagger.
     // Documents carry no timestamp, so synthesize a monotone event time
     // from doc_id (one second apart — the same convention as the
     // StreamsSpec batch-twin test), making the watermark advance
     // slice-over-slice like a live ingest feed's.
-    Queries.tbl(spark, sfDir, "documents")
+    val docsDir = sys.env.getOrElse("SPARK_GRAFT_DOCS_DIR", sfDir)
+    if (enabled("lsh_tag")) Queries.tbl(spark, docsDir, "documents")
       .select(col("doc_id"),
         timestamp_millis(lit(1700000000000L) + col("doc_id") * 1000L).as("ts"),
         col("text"))
       .repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(s"$stage/docs")
-    val docsSchema = spark.read.parquet(s"$stage/docs").schema
+    lazy val docsSchema = spark.read.parquet(s"$stage/docs").schema
     def docStream: DataFrame = spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/docs")
-    val docRows = spark.read.parquet(s"$stage/docs").count()
+    lazy val docRows = spark.read.parquet(s"$stage/docs").count()
+
+    /** Gates a pipeline on the ONLY filter; skipped pipelines cost
+      * nothing and drop out of the report. */
+    def run(name: String)(thunk: => (String, Long, Double, Double, Int, Long))
+        : Option[(String, Long, Double, Double, Int, Long)] =
+      if (enabled(name)) Some(thunk) else None
 
     /** Runs a streaming query to completion over the staged slices and
       * folds its progress into (rows, wallSec, medianBatchMs, batches,
@@ -113,17 +138,17 @@ object StreamBench {
         median(lat), prog.size, maxState)
     }
 
-    val session = measure("sessionize") { in =>
+    val session = run("sessionize")(measure("sessionize") { in =>
       Streams.sessionize(in, gap = "30 minutes", watermark = "10 minutes")
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", s"$stage/ckpt_sess").start()
-    }
-    val dedup = measure("dedup") { in =>
+    })
+    val dedup = run("dedup")(measure("dedup") { in =>
       Streams.dedup(in, watermark = "10 minutes")
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", s"$stage/ckpt_dedup").start()
-    }
-    val merge = measure("maintain_merge") { in =>
+    })
+    val merge = run("maintain_merge")(measure("maintain_merge") { in =>
       // CDC shape over the event feed: upsert each user's latest state,
       // delete on error events; seq = (sec, event_id) total order.
       val changes = in.select(
@@ -132,12 +157,12 @@ object StreamBench {
         (col("ts").cast("long") * 1000000L + col("event_id")).as("seq"))
       Streams.maintainMerge(changes, "k", "op", Seq("seq"),
         s"$stage/snap", s"$stage/ckpt_merge")
-    }
-    val ivm = measure("maintain_count_sum") { in =>
+    })
+    val ivm = run("maintain_count_sum")(measure("maintain_count_sum") { in =>
       Streams.maintainCountSum(in, "event_type", "value",
         s"$stage/ivm_snap", s"$stage/ckpt_ivm")
-    }
-    val attr = measure("attribution_join", statePartitions = 8) { in =>
+    })
+    val attr = run("attribution_join")(measure("attribution_join", statePartitions = 8) { in =>
       // stream-stream interval join: purchases from this feed, views
       // from a SECOND file stream over the same slices (each side
       // replays the 100 k-row feed; rows/s is per feed). State is
@@ -153,9 +178,9 @@ object StreamBench {
           windowSec = 3600L)
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", s"$stage/ckpt_attr").start()
-    }
+    })
 
-    val hh = measure("heavy_hitters", statePartitions = 8) { in =>
+    val hh = run("heavy_hitters")(measure("heavy_hitters", statePartitions = 8) { in =>
       // space-saving top-k over the event feed's props-free key space:
       // state is fixed at shards × capacity counters regardless of
       // cardinality, so max_state_rows here is a CONSTANT, not a
@@ -166,18 +191,18 @@ object StreamBench {
           "item", capacity = 64, shards = 8)
         .writeStream.outputMode("update").format("noop")
         .option("checkpointLocation", s"$stage/ckpt_hh").start()
-    }
+    })
 
-    val ddq = measure("dd_quantiles", statePartitions = 8) { in =>
+    val ddq = run("dd_quantiles")(measure("dd_quantiles", statePartitions = 8) { in =>
       // per-event-type DDSketch quantile monitor: state is a bounded
       // log-bucket histogram per key (a handful of keys here), so
       // max_state_rows is key-count-bounded like heavy_hitters.
       Streams.ddQuantiles(in, "event_type", "value", alpha = 0.01)
         .writeStream.outputMode("update").format("noop")
         .option("checkpointLocation", s"$stage/ckpt_ddq").start()
-    }
+    })
 
-    val lsh = measure("lsh_tag", statePartitions = 8,
+    val lsh = run("lsh_tag")(measure("lsh_tag", statePartitions = 8,
         feed = () => docStream, feedRows = docRows) { in =>
       // incremental band-bucket index: one long of state per non-empty
       // bucket inside the idle horizon; each document pays `bands` (=8)
@@ -188,14 +213,14 @@ object StreamBench {
       Streams.lshBandHits(in)
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", s"$stage/ckpt_lsh").start()
-    }
+    })
 
-    val all = Seq(session, dedup, merge, ivm, attr, hh, ddq, lsh)
+    val all = Seq(session, dedup, merge, ivm, attr, hh, ddq, lsh).flatten
     val qjson = all.map { case (n, rows, rps, med, b, st) =>
       s""""$n":{"rows":$rows,"rows_per_sec":${math.round(rps)},"median_batch_ms":$med,"batches":$b,"max_state_rows":$st}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"stream_total","unit":"rows_per_sec","queries":$qjson,"slices":16,"sf":"$sfDir"}"""
+      s"""{"metric":"stream_total","unit":"rows_per_sec","queries":$qjson,"slices":16,"sf":"$sfDir","docs":"$docsDir"}"""
     val outPath = args.headOption.orElse(sys.env.get("SPARK_GRAFT_STREAMBENCH_OUT"))
       .getOrElse("STREAMBENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
