@@ -2476,10 +2476,17 @@ object RelQueries {
       val u = (pmod(graft.functions.TextFns.portableHash(
         concat(col("o_orderkey").cast("string"), lit(":bs:"), col("b").cast("string"))),
         lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      // bind u under an alias BEFORE the CDF CASE chain: CASE branch
+      // conditions are excluded from codegen common-subexpression
+      // elimination, so inlining u would re-evaluate the hash once per
+      // probed branch (round-9 plan census: 9 identical hash calls in
+      // one node). CollapseProject keeps a non-cheap alias referenced
+      // 9x in its own projection.
       val w = cdf.zipWithIndex.foldRight(lit(9): org.apache.spark.sql.Column) {
-        case ((c, k), rest) => when(u < c, k).otherwise(rest)
+        case ((c, k), rest) => when(col("__u") < c, k).otherwise(rest)
       }
-      val est = reps.withColumn("w", w)
+      val est = reps.withColumn("__u", u).withColumn("w", w)
+        .drop("__u")
         .groupBy("b")
         .agg((Det.dsum(col("w") * col("o_totalprice"), 2) /
           sum(col("w")).cast("double")).as("est"))

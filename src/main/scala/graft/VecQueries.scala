@@ -1104,26 +1104,37 @@ object VecQueries {
       val dims = Seq(8, 16, 32, 64)
       val e = tbl(s, dir, "embeddings")
       // energy: one scan over vectors
-      val en = e.select(dims.map { d =>
-        floor(Det.roundAt(
-          graft.plans.DotQExpr(slice(col("embedding"), 1, d),
-            slice(col("embedding"), 1, d)).cast("double")
-          / graft.plans.DotQExpr(col("embedding"), col("embedding")).cast("double"),
-          6) * lit(1e6) + lit(0.5)).cast("long").as(s"en$d")
-      }: _*).agg(count(lit(1)).as("nv"), dims.map(d =>
-        sum(col(s"en$d")).as(s"sen$d")): _*)
+      // the full-vector denominator is bound once: the four width
+      // columns each divide by it, and an inlined copy per width would
+      // ride on codegen subexpression elimination holding — the aliased
+      // projection makes one-evaluation the plan's shape, not a codegen
+      // courtesy (round-9 plan census)
+      val en = e.select(col("embedding"),
+          graft.plans.DotQExpr(col("embedding"), col("embedding"))
+            .cast("double").as("__den"))
+        .select(dims.map { d =>
+          floor(Det.roundAt(
+            graft.plans.DotQExpr(slice(col("embedding"), 1, d),
+              slice(col("embedding"), 1, d)).cast("double")
+            / col("__den"),
+            6) * lit(1e6) + lit(0.5)).cast("long").as(s"en$d")
+        }: _*).agg(count(lit(1)).as("nv"), dims.map(d =>
+          sum(col(s"en$d")).as(s"sen$d")): _*)
       // cosine distortion: adjacent pairs (vec_id, vec_id + 1)
       val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
       val b = e.select((col("vec_id") - 1).as("ida"), col("embedding").as("eb"))
       def cos6c(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         Det.roundAt(VectorFns.cosineQ(x, y), 6)
       val pairs = a.join(b, "ida")
-      val de = pairs.select(dims.map { d =>
-        floor(abs(cos6c(slice(col("ea"), 1, d), slice(col("eb"), 1, d))
-          - cos6c(col("ea"), col("eb"))) * lit(1e6) + lit(0.5))
-          .cast("long").as(s"d$d")
-      }: _*).agg(count(lit(1)).as("np"), dims.map(d =>
-        sum(col(s"d$d")).as(s"sd$d")): _*)
+      // same shape for the full-width cosine each delta subtracts
+      val de = pairs.select(col("ea"), col("eb"),
+          cos6c(col("ea"), col("eb")).as("__cosfull"))
+        .select(dims.map { d =>
+          floor(abs(cos6c(slice(col("ea"), 1, d), slice(col("eb"), 1, d))
+            - col("__cosfull")) * lit(1e6) + lit(0.5))
+            .cast("long").as(s"d$d")
+        }: _*).agg(count(lit(1)).as("np"), dims.map(d =>
+          sum(col(s"d$d")).as(s"sd$d")): _*)
       val stacked = en.crossJoin(broadcast(de)).select(col("nv"), col("np"), expr(
         """stack(4, 8, sen8, sd8, 16, sen16, sd16, 32, sen32, sd32,
                  64, sen64, sd64) AS (trunc_dim, sen, sd)"""))

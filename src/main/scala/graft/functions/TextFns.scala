@@ -42,10 +42,20 @@ object TextFns {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c.cast(StringType)), "\\s+", " "))
 
-  /** Whitespace tokens ('' for empty text → zero tokens). */
+  /** Whitespace tokens ('' — or null — text → zero tokens). NEVER NULL,
+    * and declared so (the coalesce branch is unreachable but makes
+    * `nullable = false`): a nullable token pipeline makes the optimizer
+    * infer `isnotnull(<pipeline>)` predicates at filters and joins, and
+    * predicate pushdown inlines the alias — so every inferred check
+    * re-ran the whole tokenize chain per row below the projection that
+    * was supposed to bind it once (round-9 plan census, q96/q104). With
+    * a non-nullable root, those constraints are never generated and
+    * every derived shingle/segment expression is non-nullable too. */
   def tokens(c: Column): Column = {
     val t = normText(c)
-    when(t === "", array().cast(ArrayType(StringType))).otherwise(split(t, " "))
+    coalesce(
+      when(t === "", array().cast(ArrayType(StringType))).otherwise(split(t, " ")),
+      array().cast(ArrayType(StringType)))
   }
 
   /** Whitespace token count. */
@@ -89,15 +99,23 @@ object TextFns {
   // ── shingles ─────────────────────────────────────────────────────────
   /** Word n-gram shingles (array<string>), distinct, from normalized
     * text. Documents shorter than n words yield their full text as the
-    * single shingle. */
+    * single shingle — the output is NEVER empty and NEVER NULL, and the
+    * coalesce declares the latter: [[bindOnce]]'s element_at is
+    * syntactically nullable, and a nullable shingle pipeline makes the
+    * optimizer infer `isnotnull(<pipeline>)` at filters/joins, which
+    * predicate pushdown inlines below the binding projection — one full
+    * re-tokenization per row per inferred check (round-9 plan census).
+    * The fallback branch is unreachable; it exists for `nullable=false`. */
   def wordShingles(c: Column, n: Int): Column =
-    bindOnce(tokens(c)) { toks =>
-      val nsh = size(toks) - (n - 1)
-      val grams = transform(
-        sequence(lit(0), greatest(nsh - 1, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-      when(size(toks) <= n, array(concat_ws(" ", toks))).otherwise(array_distinct(grams))
-    }
+    coalesce(
+      bindOnce(tokens(c)) { toks =>
+        val nsh = size(toks) - (n - 1)
+        val grams = transform(
+          sequence(lit(0), greatest(nsh - 1, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+        when(size(toks) <= n, array(concat_ws(" ", toks))).otherwise(array_distinct(grams))
+      },
+      array(lit("")))
 
   /** Non-overlapping word `n`-gram SEGMENTS (array<string>, positional,
     * duplicates kept): windows at token offsets 0, n, 2n, … — the unit

@@ -520,15 +520,25 @@ object Dedup {
     *
     * Output: (doc_id, n_shingles, n_overlap, overlap_ratio) for flagged
     * docs, ordered by doc id. The ratio is rounded to 6 digits BEFORE the
-    * threshold compare so the cut is engine-portable. */
+    * threshold compare so the cut is engine-portable.
+    *
+    * `explode_outer`, deliberately: a non-outer explode makes
+    * InferFiltersFromGenerate add `size(e) > 0 AND isnotnull(e)` below
+    * the Generate, predicate pushdown inlines the `__shs` alias into
+    * both predicates, and FilterExec gets no codegen subexpression
+    * elimination — so the whole tokenize→shingle HOF pipeline ran THREE
+    * extra times per corpus row (round-9 plan census). wordShingles
+    * never returns an empty or null array (a shorter-than-n doc yields
+    * the whole-text singleton), so outer semantics are identical and the
+    * inferred filters never existed to begin with. */
   def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3,
                     minRatio: Double = 0.2): DataFrame = {
     val sh = TextFns.wordShingles(col(textCol), shingleN)
-    val benchShingles = bench.select(explode(sh).as("sh")).distinct()
+    val benchShingles = bench.select(explode_outer(sh).as("sh")).distinct()
     docs.select(col(idCol), sh.as("__shs"))
       .select(col(idCol), size(col("__shs")).cast(LongType).as("n_shingles"),
-        explode(col("__shs")).as("sh"))
+        explode_outer(col("__shs")).as("sh"))
       .join(broadcast(benchShingles), Seq("sh"), "left_semi")
       .groupBy(idCol, "n_shingles")
       .agg(count(lit(1)).as("n_overlap"))
