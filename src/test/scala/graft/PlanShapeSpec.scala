@@ -274,6 +274,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text pipelines are non-nullable, so inferred null checks never re-derive them") {
+    // A nullable tokenize/shingle pipeline makes the optimizer infer
+    // isnotnull(<pipeline>) at filters and joins, and predicate pushdown
+    // inlines the alias into the inferred predicate — FilterExec has no
+    // codegen subexpression elimination, so each inferred check re-ran
+    // the whole HOF chain per row (round-9 plan census: 4 evaluations
+    // per corpus row in the contamination family). The declared
+    // nullability IS the fix — guard it, and guard the plan consequence.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((tag, c) <- Seq(
+        "tokens" -> graft.functions.TextFns.tokens(col("text")),
+        "wordShingles" -> graft.functions.TextFns.wordShingles(col("text"), 3)))
+      assert(!docs.select(c.as("v")).schema.head.nullable,
+        s"$tag must declare nullable=false or inferred isnotnull checks recompute it")
+    for (q <- Seq("q96_contamination", "q104_decontaminate")) {
+      val filterLambdas = plan(q).linesIterator
+        .filter(_.contains("Filter ("))
+        .map(l => "lambdafunction\\(".r.findAllIn(l).length).sum
+      assert(filterLambdas == 0,
+        s"$q re-derives a HOF pipeline inside a Filter ($filterLambdas lambda copies)")
+      graft.operators.Ckpt.release(spark)
+    }
+  }
+
   test("HTML extract and URL stats scan only the columns they use") {
     val p165 = plan("q165_html_extract")
     assert(!p165.contains("n_chars"), s"q165 reads n_chars it never uses:\n$p165")
