@@ -66,11 +66,20 @@ object VecQueries {
       .mkString(" + ")
   }
 
-  /** Spark side: label#sub bucket column for a corpus of `n` rows. */
+  /** Spark side: label#sub bucket column for a corpus of `n` rows.
+    * NEVER NULL for the non-null (label, embedding) rows the corpus
+    * carries, and declared so via the unreachable coalesce branch: a
+    * nullable equi-join key makes the optimizer infer `isnotnull(key)`
+    * on both sides, and pushdown inlines the key's definition into the
+    * inferred filter — which re-ran the full 12-plane sign sketch
+    * (12 DotQ evaluations) per row per side below the projection that
+    * binds it once (round-9 plan census, q35/q112). */
   private def adaptiveBucket(n: Long): org.apache.spark.sql.Column =
-    concat(col("label").cast("string"), lit("#"),
-      Similarity.signSketch(col("embedding"), subPlanes)
-        .bitwiseAND(lit((1L << subBits(n)) - 1L)).cast("string"))
+    coalesce(
+      concat(col("label").cast("string"), lit("#"),
+        Similarity.signSketch(col("embedding"), subPlanes)
+          .bitwiseAND(lit((1L << subBits(n)) - 1L)).cast("string")),
+      lit(""))
 
   /** Oracle CTEs ending in `eb(vec_id, embedding, label, mb)` where `mb`
     * is the label#sub bucket; `countWhere` selects the rows the ladder

@@ -297,6 +297,17 @@ class PlanShapeSpec extends SparkSpec {
         s"$q re-derives a HOF pipeline inside a Filter ($filterLambdas lambda copies)")
       graft.operators.Ckpt.release(spark)
     }
+    // same defect class, vector side: the adaptive bucket key joins on a
+    // sign-sketch derivation — a nullable key re-ran the 12-plane sketch
+    // inside inferred isnotnull filters on BOTH sides (24 DotQ per row)
+    for (q <- Seq("q35_embed_neardup_ivf", "q112_semdedup")) {
+      val filterDots = plan(q).linesIterator
+        .filter(_.contains("Filter ("))
+        .map(l => "graft_dotq\\(".r.findAllIn(l).length).sum
+      assert(filterDots == 0,
+        s"$q re-derives the sign sketch inside a Filter ($filterDots dotq copies)")
+      graft.operators.Ckpt.release(spark)
+    }
   }
 
   test("HTML extract and URL stats scan only the columns they use") {
