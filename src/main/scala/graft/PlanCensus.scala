@@ -59,7 +59,9 @@ object PlanCensus {
         val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString()
         val counts = Markers.map(m => m -> count(plan, m)).filter(_._2 > 0)
         if (counts.nonEmpty) rows(q.name) = counts
-        if (counts.exists(_._2 >= flagAt)) dumpDir.foreach { d =>
+        // flagAt <= 0 dumps every plan (for sweeps that look for
+        // marker-less shapes, e.g. isnotnull-of-a-big-derivation)
+        if (flagAt <= 0 || counts.exists(_._2 >= flagAt)) dumpDir.foreach { d =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(d, s"${q.name}.plan.txt"),
             plan.getBytes("UTF-8"))

@@ -1872,11 +1872,17 @@ object TextQueries {
   private val q144 = Q(
     "q144_psi_drift",
     (s, dir) => {
+      // both keys coalesce-declared non-nullable (unreachable fallbacks):
+      // floor/pmod are syntactically always-nullable, and a nullable
+      // group/filter key makes the optimizer infer isnotnull(<key>) and
+      // inline the full quality pipeline into the inferred filter — 4
+      // extra per-row derivations (round-9 plan census)
       val scored = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
-        least(floor(TextFns.qualityScore(col("text")) * 10), lit(9.0))
-          .cast("long").as("bin"),
-        pmod(TextFns.portableHash(
-          concat(col("doc_id").cast("string"), lit(":psi"))), lit(2L)).as("half"))
+        coalesce(least(floor(TextFns.qualityScore(col("text")) * 10), lit(9.0))
+          .cast("long"), lit(-1L)).as("bin"),
+        coalesce(pmod(TextFns.portableHash(
+          concat(col("doc_id").cast("string"), lit(":psi"))), lit(2L)), lit(-1L))
+          .as("half"))
       graft.operators.Profile.psiDrift(
         scored.filter(col("half") === 0L), scored.filter(col("half") === 1L),
         "source", "bin", 10)
@@ -2621,8 +2627,12 @@ object TextQueries {
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === "src1", 1L).otherwise(0L)).as("cb"))
       val tot = cell.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      // block key coalesce-declared non-nullable (floor is syntactically
+      // always-nullable; an inferred isnotnull(<block key>) pushes below
+      // the score aggregation and re-derives the quality pipeline per row)
       graft.operators.PrefixSum.overKeys(cell, "v",
-          floor(col("v") * 1000000.0 / 4096.0).cast("long"), inclusive = true,
+          coalesce(floor(col("v") * 1000000.0 / 4096.0).cast("long"),
+            lit(Long.MinValue)), inclusive = true,
           Seq("ca" -> "cuma", "cb" -> "cumb"))
         .crossJoin(broadcast(tot))
         .select(col("na"), col("nb"),

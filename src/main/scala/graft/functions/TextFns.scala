@@ -196,14 +196,20 @@ object TextFns {
   }
 
   /** Composite quality in [0,1]: long-enough, word-shaped, mostly
-    * alphabetic text scores high. Deterministic closed form. */
+    * alphabetic text scores high. Deterministic closed form. NEVER NULL
+    * for non-null text — and declared so ([[tokens]]' rationale): score
+    * bins feed groupBy/join keys (PSI/KS drift halves), and a nullable
+    * bin made the optimizer infer `isnotnull(<bin>)` filters that
+    * pushdown inlined into a full re-derivation of this pipeline per
+    * row (round-9 plan census, q144 ×4 / q173). Null text scores 0.0 —
+    * the same verdict the signals give empty text. */
   def qualityScore(c: Column): Column = {
     val s        = qualitySignals(c)
     val lenScore = least(s("n_tokens") / lit(20.0), lit(1.0))
     val wordLen  = s("mean_word_len")
     val shapeOk  = when(wordLen >= 2.5 && wordLen <= 12.0, 1.0).otherwise(0.5)
     val alpha    = s("alpha_ratio")
-    Det.roundAt(lenScore * shapeOk * alpha, 6)
+    coalesce(Det.roundAt(lenScore * shapeOk * alpha, 6), lit(0.0))
   }
 
   // ── PII scrubbing ────────────────────────────────────────────────────
