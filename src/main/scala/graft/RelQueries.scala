@@ -3213,20 +3213,26 @@ object RelQueries {
     (s, dir) => {
       import graft.functions.TextFns.portableHash
       val R = 500L // radius in tenths = 50.0 units; also the cell size
+      // coordinates and cell ids are coalesce-declared non-nullable
+      // (pmod and integer div are syntactically always-nullable): the
+      // cell equi-join otherwise infers isnotnull(cx/cy) on both sides
+      // and pushdown inlines the whole hash chain into the inferred
+      // filters (round-9 plan census — 6 extra hash evals per row)
+      def nn(c: org.apache.spark.sql.Column) = coalesce(c, lit(Long.MinValue))
       def pt(df: org.apache.spark.sql.DataFrame, key: String, salt: String) =
         df.select(col(key).as("id"),
-          pmod(portableHash(concat(lit(salt + "x:"), col(key))), lit(10000L)).as("x"),
-          pmod(portableHash(concat(lit(salt + "y:"), col(key))), lit(10000L)).as("y"))
+          nn(pmod(portableHash(concat(lit(salt + "x:"), col(key))), lit(10000L))).as("x"),
+          nn(pmod(portableHash(concat(lit(salt + "y:"), col(key))), lit(10000L))).as("y"))
       val cust = pt(tbl(s, dir, "customer"), "c_custkey", "cu")
       val supp = pt(tbl(s, dir, "supplier"), "s_suppkey", "su")
         .select(col("id").as("sid"), col("x").as("sx"), col("y").as("sy"),
-          expr(s"x div $R").as("cx"), expr(s"y div $R").as("cy"))
+          nn(expr(s"x div $R")).as("cx"), nn(expr(s"y div $R")).as("cy"))
       val probe = cust
         .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
         .select(col("id"), col("x"), col("y"),
-          (expr(s"x div $R") + col("dx")).as("cx"),
-          (expr(s"y div $R") + col("dy")).as("cy"))
+          (nn(expr(s"x div $R")) + col("dx")).as("cx"),
+          (nn(expr(s"y div $R")) + col("dy")).as("cy"))
       val pairs = probe.join(supp, Seq("cx", "cy"))
         .withColumn("d2", (col("x") - col("sx")) * (col("x") - col("sx"))
           + (col("y") - col("sy")) * (col("y") - col("sy")))

@@ -2171,7 +2171,11 @@ object TextQueries {
     "q164_incremental_dedup",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val isIdx = pmod(TextFns.portableHash(col("doc_id")), lit(100L)) < 50
+      // non-null split value: pmod is syntactically always-nullable, so
+      // the bare predicate grows an inferred isnotnull twin that doubles
+      // the per-row hash cost in every filter (round-9 plan census)
+      val isIdx =
+        coalesce(pmod(TextFns.portableHash(col("doc_id")), lit(100L)), lit(-1L)) < 50
       val dupIds = Dedup.crossLshPairs(
           docs.filter(isIdx), docs.filter(!isIdx), "doc_id", "text",
           numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
