@@ -106,14 +106,40 @@ object GenData {
     * that makes most shingles rare, so candidates should track the
     * planted dups ~linearly. */
   def documentsZipfFrom(docIds: DataFrame, nDoc: Long, minNonDup: Long,
-                        vocab: Long = 100000L): DataFrame =
+                        vocab: Long = 100000L, boilerPct: Double = 0.0): DataFrame =
     documentsWith(docIds, nDoc, minNonDup) { base =>
+      def zipfWord(cell: Column): Column = concat(lit("w"),
+        least(floor(pow(lit(vocab + 1.0), u(cell, 78)))
+          .cast("long"), lit(vocab)).cast("string"))
       val len = (ui(base, 71, 91) + 10).cast("int")
-      concat_ws(" ", transform(sequence(lit(1), len),
-        k => concat(lit("w"),
-          least(floor(pow(lit(vocab + 1.0), u(base * 128 + k, 78)))
-            .cast("long"), lit(vocab)).cast("string"))))
+      val normal = concat_ws(" ",
+        transform(sequence(lit(1), len), k => zipfWord(base * 128 + k)))
+      if (boilerPct <= 0.0) normal
+      else {
+        // Boilerplate-planted docs (`boilerPct` of the corpus): a FIXED
+        // 30-word license-header prefix + a 0-10-word Zipf body — the
+        // prefix dominates the shingle set, so these docs pile onto a
+        // handful of (band, key) LSH buckets: the mega-bucket shape
+        // [[graft.operators.Dedup.capBuckets]] exists for, planted so the
+        // cap-fire experiment (SCALE_r10) can measure shed-rate vs
+        // pair-recall on a corpus where the cap ACTUALLY fires. Pure
+        // function of the base id like everything else here.
+        val isBoiler = u(base, 85) < boilerPct
+        val bodyLen = ui(base, 87, 11).cast("int")
+        val boiler = when(bodyLen === 0, lit(BoilerPrefix))
+          .otherwise(concat(lit(BoilerPrefix + " "), concat_ws(" ",
+            transform(sequence(lit(1), greatest(bodyLen, lit(1))),
+              k => zipfWord(base * 128 + k)))))
+        when(isBoiler, boiler).otherwise(normal)
+      }
     }
+
+  /** The planted license-header text: 30 fixed words drawn from the Zipf
+    * vocab's first ~10k ranks (boilerplate is made of ordinary words, not
+    * out-of-vocabulary tokens). Deterministic Scala constant — identical
+    * across all boiler docs by construction. */
+  val BoilerPrefix: String =
+    (1 to 30).map(j => "w" + ((j * 2654435761L % 9973) + 1)).mkString(" ")
 
   /** Shared documents skeleton: dup planting, lang, source, n_chars.
     * `wordsFor` must be a pure function of the BASE id column so a dup
@@ -157,6 +183,35 @@ object GenData {
       ui(col("vec_id"), 83, 10).cast("int").as("label"))
   }
 
+  /** Clustered embeddings: mixture of `k` planted gaussian centroids with
+    * POWER-LAW cluster sizes — cluster r (1-based) drawn with P(r) ∝ 1/r
+    * via the same closed-form Zipf inverse CDF as the document generator,
+    * so cluster 1 holds ~18% of the corpus and cluster 50 ~0.5%. Each
+    * vector is L2-normalize(μ_c + σ·g): within-cluster cosine ≈ 1/(1+σ²)
+    * (~0.9 at the 0.35 default), between-cluster ≈ 0 — clustered AND
+    * anisotropic, unlike [[embeddingsFrom]]'s isotropic gaussians where
+    * IVF bucket occupancy is uniform by construction. `label` = the TRUE
+    * cluster id (the ground-truth coarse quantizer), so IVF recall on
+    * this corpus measures what a trained quantizer could achieve, and
+    * hot-cluster skew is the vector analog of boilerplate mega-buckets.
+    * Same schema and determinism contract as [[embeddingsFrom]]. */
+  def embeddingsClusteredFrom(vecIds: DataFrame, k: Int = 50,
+                              sigma: Double = 0.35): DataFrame = {
+    val id = col("id")
+    def gauss(cell: Column, s1: Int, s2: Int): Column =
+      sqrt(lit(-2.0) * log(u(cell, s1))) * cos(lit(2.0 * math.Pi) * u(cell, s2))
+    val cluster = (least(floor(pow(lit(k + 1.0), u(id, 91))).cast("long"),
+      lit(k.toLong)) - 1).cast("int")
+    val raw = vecIds.select(id.as("vec_id"), cluster.as("cl"),
+      transform(sequence(lit(0), lit(63)), d =>
+        gauss(col("cl").cast("long") * 64 + d, 92, 93) +
+          lit(sigma) * gauss(id * 64 + d, 81, 82)).as("g"))
+    raw.select(col("vec_id"),
+      transform(col("g"), x => (x / sqrt(aggregate(col("g"), lit(0.0),
+        (acc, y) => acc + y * y))).cast("float")).as("embedding"),
+      col("cl").as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val sf = args(1).toDouble
@@ -169,13 +224,35 @@ object GenData {
     // LSH-family scale slopes without the 30-word-vocab artifact.
     if (args.length > 2 && args(2) == "zipf-docs") {
       val vocab = if (args.length > 3) args(3).toLong else 100000L
+      // optional 5th arg: boilerplate fraction (e.g. 0.05) — plants the
+      // shared-license-prefix docs the LSH cap-fire experiment needs
+      val boilerPct = if (args.length > 4) args(4).toDouble else 0.0
       val nDoc = math.max(500L, (50000 * sf).toLong)
       val minNonDup = spark.range(nDoc).filter(u(col("id"), 73) >= 0.05)
         .agg(min(col("id"))).first().getLong(0)
-      documentsZipfFrom(spark.range(nDoc).toDF("id"), nDoc, minNonDup, vocab)
+      documentsZipfFrom(spark.range(nDoc).toDF("id"), nDoc, minNonDup, vocab,
+          boilerPct)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       println(s"GENDATA zipf-docs documents=" +
-        spark.read.parquet(s"$out/documents.parquet").count() + s" vocab=$vocab")
+        spark.read.parquet(s"$out/documents.parquet").count() +
+        s" vocab=$vocab boiler=$boilerPct")
+      spark.stop()
+      return
+    }
+
+    // `clustered-embs [k] [sigma]` mode: write ONLY embeddings.parquet,
+    // with the mixture-of-gaussians generator — the corpus for
+    // re-measuring IVF recall / sub-bucketing slopes without the
+    // isotropic-gaussian artifact (uniform bucket occupancy).
+    if (args.length > 2 && args(2) == "clustered-embs") {
+      val k = if (args.length > 3) args(3).toInt else 50
+      val sigma = if (args.length > 4) args(4).toDouble else 0.35
+      val nEmb = math.max(500L, (20000 * sf).toLong)
+      embeddingsClusteredFrom(spark.range(nEmb).toDF("id"), k, sigma)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"GENDATA clustered-embs embeddings=" +
+        spark.read.parquet(s"$out/embeddings.parquet").count() +
+        s" k=$k sigma=$sigma")
       spark.stop()
       return
     }

@@ -52,7 +52,14 @@ object TextQueries {
   /** Shared CTE chain mirroring Dedup.minhashLshPairs(32, 8, 3): word
     * 3-shingles → 32-hash signature → 8 band keys → banded self-join →
     * `cand` (id_a, sh_a, id_b, sh_b). Used by q22 / q39 / q53 so all
-    * three oracles derive the IDENTICAL candidate set. */
+    * three oracles derive the IDENTICAL candidate set. The self-join
+    * reads `banded_ok` — buckets over [[Dedup.DefaultMaxBucket]]
+    * excluded, the SAME constant the engine path caps with — so engine
+    * and oracle agree on candidates even on a corpus where the cap
+    * fires (it never does at verify scale; the SCALE_r10 cap-fire
+    * experiment lowers the knob and re-proves parity with buckets
+    * actually shed). The uncapped `banded` CTE stays visible for shed
+    * audits (q119). */
   private def minhashCtes: String = minhashCtesFrom("documents")
 
   /** Same CTE chain over an arbitrary (doc_id, text)-shaped relation —
@@ -72,8 +79,11 @@ object TextQueries {
           list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
         banded AS (SELECT doc_id, sh, bb.range AS band, keys[bb.range + 1] AS key
           FROM keyed CROSS JOIN range(0, 8) AS bb),
+        ok_buckets AS (SELECT band, key FROM banded
+          GROUP BY band, key HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+        banded_ok AS (SELECT b.* FROM banded b JOIN ok_buckets USING (band, key)),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
-          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)"""
+          FROM banded_ok a JOIN banded_ok c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)"""
   }
 
   /** Verified pairs → bidirectional edges → connected components (min
@@ -1455,7 +1465,7 @@ object TextQueries {
                  ELSE 'kept' END AS reason, nt
           FROM base),
         capped AS (SELECT band, key FROM banded
-          GROUP BY band, key HAVING COUNT(*) > 100000),
+          GROUP BY band, key HAVING COUNT(*) > ${Dedup.DefaultMaxBucket}),
         shed_ids AS (SELECT DISTINCT b.doc_id
           FROM banded b JOIN capped c ON b.band = c.band AND b.key = c.key)
       SELECT reason, n_docs, n_tokens FROM (

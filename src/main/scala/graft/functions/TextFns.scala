@@ -10,6 +10,21 @@ import org.apache.spark.sql.types._
   * expressions (codegen'd, no UDFs), all engine-portable: the hash
   * primitive is md5-based so the DuckDB oracle can reproduce every value
   * bit-for-bit.
+  *
+  * ==Null-text contract==
+  * Every derived-text operator treats NULL text as EMPTY text, never as
+  * null-propagating: [[tokens]] → `[]`, [[tokenCount]] → 0,
+  * [[qualityScore]] → 0.0, [[wordShingles]] → `[""]` (the empty-text
+  * singleton shingle), [[normText]]'s consumers see `""`. This is
+  * deliberate — the non-nullable roots are what keep the optimizer from
+  * inferring `isnotnull(<pipeline>)` predicates that pushdown would
+  * inline into full per-row recomputes (round-9 plan census). The
+  * consequences for external data: a null-text document flows THROUGH
+  * quality/dedup pipelines as an empty document (quality 0.0 drops it in
+  * any gated funnel; in a raw near-dup pass it can bucket-match other
+  * empty/null docs via the `""` shingle). Ingestion that wants nulls
+  * rejected must filter `isnotnull(text)` explicitly at the source scan.
+  * TextFnsSpec ("null-text contract") pins these semantics.
   */
 object TextFns {
 

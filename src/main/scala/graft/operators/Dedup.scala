@@ -40,6 +40,19 @@ object Dedup {
     * [[minhashLshPairs]] calls) can't collide either. */
   private val capSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Default LSH bucket cap. 100000 everywhere in production: sized so it
+    * never fires below corpus scale and only sheds boilerplate
+    * mega-buckets. Env-overridable (`SPARK_GRAFT_LSH_MAX_BUCKET`) for
+    * HARNESS runs only — the cap-firing experiments (SCALE_r10
+    * `lsh_cap_fire`) lower it on a boilerplate-planted corpus to measure
+    * shed-rate vs pair-recall with engine and oracle under the SAME cap
+    * (the oracle CTEs interpolate this constant, so parity is provable
+    * while the cap fires, not only while it is idle). Read once at class
+    * init: queries and oracle SQL are built in the same JVM, so the two
+    * can never see different values. */
+  val DefaultMaxBucket: Int =
+    sys.env.getOrElse("SPARK_GRAFT_LSH_MAX_BUCKET", "100000").toInt
+
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
                                     tag: String): (DataFrame, DataFrame) = {
     val (l, r, _) = capBucketsScoped(banded, maxBucket, tag); (l, r)
@@ -192,21 +205,24 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8,
                       shingleN: Int = 3, threshold: Double = 0.5,
-                      maxBucket: Int = 100000): DataFrame =
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
     minhashLshPairsWithShed(df, idCol, textCol, numHashes, bands, shingleN,
       threshold, maxBucket)._1
 
   /** [[minhashLshPairs]] plus the cap-shed audit: also returns the
-    * distinct doc ids (column `id`) that landed in at least one
-    * over-`maxBucket` band bucket and were therefore excluded from
-    * candidate generation. Shares the banded checkpoint with the pair
+    * distinct doc ids (column `id`) that had at least one band bucket
+    * excluded by the cap. A shed doc still enters candidate generation
+    * through its other (under-cap) bands — the shed count measures
+    * cap EXPOSURE, not docs fully removed from dedup; only pairs whose
+    * every shared band is over-cap are lost. Shares the banded
+    * checkpoint with the pair
     * join — the audit is one extra group-by over the materialized slim
     * relation. Consumers (the q119 funnel report) surface the count so
     * shed volume is part of the pipeline's output, not only a log line. */
   def minhashLshPairsWithShed(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 32, bands: Int = 8,
                       shingleN: Int = 3, threshold: Double = 0.5,
-                      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
+                      maxBucket: Int = DefaultMaxBucket): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val docs = df.select(
       col(idCol).as("id"),
@@ -275,7 +291,7 @@ object Dedup {
                     idCol: String, textCol: String,
                     numHashes: Int = 32, bands: Int = 8,
                     shingleN: Int = 3, threshold: Double = 0.5,
-                    maxBucket: Int = 100000): DataFrame = {
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = numHashes / bands
     def bandedOf(df: DataFrame, isIdx: Boolean) = df.select(
         col(idCol).as("id"), lit(isIdx).as("is_idx"),
@@ -331,7 +347,7 @@ object Dedup {
     * `maxHamming`. Same LSH shuffle shape as [[minhashLshPairs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 3,
-                   maxBucket: Int = 100000): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // The banded relation (id, 64-bit sketch, band, key) is checkpointed
     // inside capBuckets for the same self-join-recompute reason as
     // [[minhashLshPairs]] — the 32-bit sketch costs 32 filters over the
@@ -468,7 +484,7 @@ object Dedup {
     * 60-bit hashes travel through the shuffle. */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, w: Int = 4, threshold: Double = 0.5,
-                     maxBucket: Int = 100000): DataFrame = {
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // fingerprints computed once into a checkpoint: the explode, the
     // per-doc counts, and both join sides all read it back
     val docs = Ckpt.local(df.select(col(idCol).as("id"),
@@ -623,7 +639,7 @@ object Dedup {
     * join, so a dropped bucket silences both sides consistently. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.8,
-                       maxBucket: Int = 100000): DataFrame = {
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val docs = Ckpt.local(df.select(col(idCol).as("id"),
       TextFns.wordShingles(col(textCol), shingleN).as("sh")))
     val posting = docs.select(col("id"), explode(col("sh")).as("el"))
@@ -656,7 +672,7 @@ object Dedup {
 
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, threshold: Double = 0.5,
-                         maxBucket: Int = 100000): DataFrame = {
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val docs = Ckpt.local(df.select(col(idCol).as("id"),
       TextFns.wordShingles(col(textCol), shingleN).as("sh")))
     val posting = docs.select(col("id"), explode(col("sh")).as("el"))

@@ -248,7 +248,7 @@ object Similarity {
     * follows the standard 1−(1−p_bit^useBits)^bands curve. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
                       nPlanes: Int = 16, bands: Int = 4,
-                      maxBucket: Int = 100000, useBits: Int = 0): DataFrame = {
+                      maxBucket: Int = Dedup.DefaultMaxBucket, useBits: Int = 0): DataFrame = {
     require(nPlanes % bands == 0, "bands must divide nPlanes")
     val width = nPlanes / bands
     val bits = if (useBits > 0) math.min(useBits, width) else width

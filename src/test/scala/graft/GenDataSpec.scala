@@ -76,7 +76,9 @@ class GenDataSpec extends SparkSpec {
     assert(distinctWords > 2000, s"vocab too small for Zipf mode: $distinctWords")
     val top = freq.orderBy(desc("count")).limit(1).head()
     assert(top.getString(0) == "w1", s"Zipf head should be w1, got ${top.getString(0)}")
-    val rank100 = freq.filter(col("w") === "w100").head().getLong(1)
+    val rank100 = freq.filter(col("w") === "w100").collect().headOption
+      .map(_.getLong(1))
+      .getOrElse(fail(s"rank-100 word 'w100' absent from the $distinctWords-word sample — Zipf shape broken (seed/vocab change?)"))
     assert(top.getLong(1) > 10 * rank100,
       s"head/rank-100 ratio too flat: ${top.getLong(1)} vs $rank100 (expect ~100x)")
     docs.unpersist()

@@ -28,6 +28,27 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Int](TextFns.subwordCount(col("c")), "ab12, c") == 5)
   }
 
+  test("null-text contract: null behaves as empty text, never propagates") {
+    // One null-text row through every derived-text root (the TextFns
+    // object scaladoc's contract): tokens [] / count 0 / score 0.0 /
+    // shingles [""] — and all four outputs are non-null.
+    val df = Seq[Option[String]](None).toDF("c").select(
+      TextFns.tokens(col("c")).as("toks"),
+      TextFns.tokenCount(col("c")).as("n"),
+      TextFns.qualityScore(col("c")).as("q"),
+      TextFns.wordShingles(col("c"), 3).as("sh"))
+    val r = df.collect()(0)
+    assert(!r.isNullAt(0) && r.getAs[scala.collection.Seq[String]]("toks").isEmpty,
+      "null text must tokenize to []")
+    assert(r.getAs[Int]("n") == 0, "null text must count 0 tokens")
+    assert(r.getAs[Double]("q") == 0.0, "null text must score 0.0")
+    assert(r.getAs[scala.collection.Seq[String]]("sh") == Seq(""),
+      "null text must yield the empty-text singleton shingle")
+    // and the declared schema is non-nullable for all four
+    assert(df.schema.fields.forall(!_.nullable),
+      s"all null-text contract outputs must be declared non-nullable: ${df.schema}")
+  }
+
   test("wordShingles: distinct n-grams; short docs collapse to one shingle") {
     assert(one[scala.collection.Seq[String]](TextFns.wordShingles(col("c"), 3), "a b c d").toSet
       == Set("a b c", "b c d"))
