@@ -66,6 +66,38 @@ object Bench {
       case Some(names) => Queries.all.filter(q => names.contains(q.name))
       case None => Queries.all.filter(q => q.headline || Promoted(q.name))
     }
+    // SPARK_GRAFT_PRETOUCH=table1,table2 | all — stream-read the named
+    // tables' parquet files byte-by-byte (untimed) BEFORE the cold pass,
+    // so pass 1 of a cold-layout run measures the ENGINE cold path, not
+    // the OS page cache filling at disk speed. The steady-state rule for
+    // iterative sf10 queries (q227/q214): pre-touch the edge tables,
+    // then quote median-of-warm with cv — without this the isolated
+    // q227 sf10 set carried a 2–3× pass spread (108–330 s) whose first
+    // passes were page-cache warmup, not plan behavior (SCALE.md r10).
+    sys.env.get("SPARK_GRAFT_PRETOUCH").foreach { spec =>
+      val tables =
+        if (spec == "all") new java.io.File(sfDir).list().toSeq
+          .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+        else spec.split(",").toSeq
+      val buf = new Array[Byte](1 << 20)
+      var bytes = 0L
+      for (t <- tables) {
+        val root = java.nio.file.Paths.get(sfDir, s"$t.parquet")
+        if (java.nio.file.Files.exists(root)) {
+          val it = java.nio.file.Files.walk(root).iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (java.nio.file.Files.isRegularFile(p)) {
+              val in = java.nio.file.Files.newInputStream(p)
+              try { var n = 0
+                while ({ n = in.read(buf); n >= 0 }) bytes += n
+              } finally in.close()
+            }
+          }
+        }
+      }
+      System.err.println(s"[bench] pretouched ${bytes / (1 << 20)} MiB ($spec)")
+    }
     def time(q: Q): Option[Double] = {
       val t0 = System.nanoTime()
       val r = try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

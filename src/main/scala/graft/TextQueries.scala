@@ -142,8 +142,11 @@ object TextQueries {
         banded AS (SELECT doc_id, sh, bb.range AS band,
             (sh >> (8 * bb.range)) & 255 AS key
           FROM sk CROSS JOIN range(0, 4) AS bb),
+        ok_buckets AS (SELECT band, key FROM banded
+          GROUP BY band, key HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+        banded_ok AS (SELECT b.* FROM banded b JOIN ok_buckets USING (band, key)),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sh AS sh_a, c.doc_id AS id_b, c.sh AS sh_b
-          FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+          FROM banded_ok a JOIN banded_ok c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
         SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         ORDER BY id_a, id_b""" })
@@ -192,8 +195,11 @@ object TextQueries {
         banded0 AS (SELECT doc_id, sh, bb.range AS band,
             (sh >> (8 * bb.range)) & 255 AS key
           FROM sk CROSS JOIN range(0, 4) AS bb),
+        ok_b0 AS (SELECT band, key FROM banded0
+          GROUP BY band, key HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+        banded0_ok AS (SELECT b.* FROM banded0 b JOIN ok_b0 USING (band, key)),
         bandp AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM banded0 a JOIN banded0 c
+          FROM banded0_ok a JOIN banded0_ok c
             ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
           WHERE bit_count(xor(a.sh, c.sh)) <= 3),
         counts AS (SELECT
@@ -585,8 +591,11 @@ object TextQueries {
           FROM hs),
         c AS (SELECT doc_id, len(fps) AS nfp FROM f),
         inv AS (SELECT doc_id, u.fp AS fp FROM f, unnest(fps) AS u(fp)),
+        ok_fp AS (SELECT fp FROM inv
+          GROUP BY fp HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+        inv_ok AS (SELECT i.* FROM inv i JOIN ok_fp USING (fp)),
         shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-          FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          FROM inv_ok a JOIN inv_ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id),
         sc AS (SELECT id_a, id_b,
           ${Det.roundAtSql("n_shared * 1.0 / least(ca.nfp, cb.nfp)", 6)} AS overlap
@@ -1383,8 +1392,11 @@ object TextQueries {
         pre AS (SELECT doc_id, u.el AS el FROM (
             SELECT doc_id, sorted[1:CAST(len(sorted) - ceil(0.5 * len(sorted)) + 1 AS BIGINT)] AS p
             FROM ordered), unnest(p) AS u(el)),
+        ok_el AS (SELECT el FROM pre
+          GROUP BY el HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+        pre_ok AS (SELECT p.* FROM pre p JOIN ok_el USING (el)),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM pre a JOIN pre b ON a.el = b.el AND a.doc_id < b.doc_id)
+          FROM pre_ok a JOIN pre_ok b ON a.el = b.el AND a.doc_id < b.doc_id)
       SELECT id_a, id_b, ${jaccardSql("ta.sh", "tb.sh")} AS jaccard
       FROM cand JOIN tk ta ON ta.doc_id = id_a JOIN tk tb ON tb.doc_id = id_b
       WHERE ${jaccardSql("ta.sh", "tb.sh")} >= 0.5
@@ -1700,8 +1712,11 @@ object TextQueries {
         pre AS (SELECT doc_id, u.el AS el FROM (
             SELECT doc_id, sorted[1:CAST(len(sorted) - ceil(0.8 * len(sorted)) + 1 AS BIGINT)] AS p
             FROM ordered), unnest(p) AS u(el)),
+        ok_el AS (SELECT el FROM posting
+          GROUP BY el HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+        posting_ok AS (SELECT p.* FROM posting p JOIN ok_el USING (el)),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, p.doc_id AS id_b
-          FROM pre a JOIN posting p ON a.el = p.el AND a.doc_id <> p.doc_id)
+          FROM pre a JOIN posting_ok p ON a.el = p.el AND a.doc_id <> p.doc_id)
       SELECT id_a, id_b,
         ${Det.roundAtSql("len(list_intersect(ta.sh, tb.sh)) * 1.0 / len(ta.sh)", 6)} AS containment
       FROM cand JOIN tk ta ON ta.doc_id = id_a JOIN tk tb ON tb.doc_id = id_b
@@ -2217,9 +2232,12 @@ object TextQueries {
           list_transform(range(0, 8), b -> $bandHash) AS keys FROM signed),
         banded AS (SELECT doc_id, is_idx, sh, bb.range AS band, keys[bb.range + 1] AS key
           FROM keyed CROSS JOIN range(0, 8) AS bb),
+        ok_buckets AS (SELECT band, key FROM banded
+          GROUP BY band, key HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+        banded_ok AS (SELECT b.* FROM banded b JOIN ok_buckets USING (band, key)),
         cand AS (SELECT DISTINCT n.doc_id AS id_new, n.sh AS sh_n,
             i.doc_id AS id_idx, i.sh AS sh_i
-          FROM banded n JOIN banded i
+          FROM banded_ok n JOIN banded_ok i
             ON n.band = i.band AND n.key = i.key AND NOT n.is_idx AND i.is_idx),
         dup AS (SELECT DISTINCT id_new FROM cand
           WHERE ${jaccardSql("sh_n", "sh_i")} >= 0.5)

@@ -234,8 +234,11 @@ object VecQueries {
       bands AS (SELECT vec_id, bb.b AS band,
           (sk >> (15 * bb.b)) & (CAST(pow(2, w) AS BIGINT) - 1) AS key
         FROM sk CROSS JOIN wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+      ok_bk AS (SELECT band, key FROM bands
+        GROUP BY band, key HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
+      bands_ok AS (SELECT b.* FROM bands b JOIN ok_bk USING (band, key)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bands a JOIN bands b
+        FROM bands_ok a JOIN bands_ok b
           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
       SELECT c.id_a, c.id_b, ${cos6("ea.embedding", "eb.embedding")} AS cos
       FROM cand c
