@@ -41,13 +41,13 @@ object ProbeIvf {
         sum(expr("bn * (bn - 1) div 2")).as("sum_b2")).first()
 
       def topIds(df: DataFrame, tag: String) =
-        df.select(col("query_id"), col("vec_id").as(s"${tag}_id"))
+        df.select(col("query_id").as(s"${tag}_q"), col("vec_id").as(s"${tag}_id"))
       val brute = operators.Ckpt.local(
         topIds(operators.Similarity.bruteTopK(emb, q, 10), "b"))
       val ivf = topIds(operators.Similarity.ivfTopK(emb, q, "label", 10), "i")
       val nQ = q.count()
       val hit = brute.join(ivf,
-        col("query_id") === ivf("query_id") && col("b_id") === col("i_id"),
+        col("b_q") === col("i_q") && col("b_id") === col("i_id"),
         "left_semi").count()
       val recall = if (nQ == 0) 0.0 else hit.toDouble / (nQ * 10.0)
 
@@ -63,13 +63,67 @@ object ProbeIvf {
         .agg(count(lit(1)).as("nsb"), max(col("bn")).as("mxs"),
           sum(expr("bn * (bn - 1) div 2")).as("sum_sb2")).first()
 
+      // candidate fix prototype: SHELL sub-bucket — quantized projection
+      // VALUES (E2LSH shells) instead of sign bits. Within a tight
+      // cluster every member shares the centroid's signs (extra sign
+      // bits never split a hot bucket) but the projection values still
+      // spread by the cluster's sigma, so shells do split it.
+      val W = 250000000000L // 0.25 in DotQ 1e-12 units
+      val Off = 64000000000000L // shifts dots non-negative; multiple of W
+      val mShells = (0 to 6).find(m =>
+        64L * math.pow(6.0, m).toLong >= n).getOrElse(6)
+      val shellKey = concat((col("label").cast("string") +:
+        (0 until mShells).map { j =>
+          val d = graft.plans.DotQExpr(col("embedding"),
+            lit(operators.Similarity.signPlanes(12, 64)(j))) + lit(Off)
+          concat(lit("#"), ((d - pmod(d, lit(W))) / lit(W)).cast("long")
+            .cast("string"))
+        }): _*)
+      val shell = emb.select(shellKey.as("mb"))
+        .groupBy("mb").agg(count(lit(1)).as("bn"))
+        .agg(count(lit(1)).as("nsb"), max(col("bn")).as("mxs"),
+          sum(expr("bn * (bn - 1) div 2")).as("sum_sb2")).first()
+
+      // blocking-recall accounting at the q35 threshold (0.3), corpora
+      // small enough for the brute truth: which fraction of true
+      // near-dup pairs does each single-key blocking (sign-bits vs
+      // shells) retain? The trade under adjudication: shells bound hot
+      // buckets but are a harsher block for mid-similarity pairs.
+      val recallStats = if (n <= 5000) {
+        val truth = operators.Ckpt.local(
+          operators.Similarity.nearDupPairs(emb, 0.3).select("id_a", "id_b"))
+        val nTruth = truth.count()
+        def bucketPairs(keyed: DataFrame) = {
+          val a = keyed.select(col("mb"), col("vec_id").as("id_a"))
+          val b = keyed.select(col("mb"), col("vec_id").as("id_b"))
+          truth.join(
+            a.join(b, Seq("mb")).filter(col("id_a") < col("id_b"))
+              .select("id_a", "id_b").distinct(),
+            Seq("id_a", "id_b"), "left_semi").count()
+        }
+        val signKeyed = emb.select(col("vec_id"),
+          concat(col("label").cast("string"), lit("#"),
+            operators.Similarity.signSketch(col("embedding"), planes)
+              .bitwiseAND(lit((1L << bits) - 1L)).cast("string")).as("mb"))
+        val shellKeyed = emb.select(col("vec_id"), shellKey.as("mb"))
+        val hitSign = bucketPairs(signKeyed)
+        val hitShell = bucketPairs(shellKeyed)
+        s""","n_truth_03":$nTruth,"block_recall_sign":${
+          math.floor((if (nTruth == 0) 1.0 else hitSign.toDouble / nTruth) * 1e4 + 0.5) / 1e4
+        },"block_recall_shell":${
+          math.floor((if (nTruth == 0) 1.0 else hitShell.toDouble / nTruth) * 1e4 + 0.5) / 1e4}"""
+      } else ""
+
       println(s"""PROBE_IVF {"dir":"$dir","n":$n,""" +
         s""""n_buckets":${occs.getLong(0)},"max_bucket":${occs.getLong(1)},""" +
         s""""top_share":${math.floor(occs.getLong(1) * 1e4 / n + 0.5) / 1e4},""" +
         s""""sum_b2":${occs.get(2)},"n_queries":$nQ,""" +
         s""""recall_ivf":${math.floor(recall * 1e4 + 0.5) / 1e4},""" +
         s""""sub_bits":$bits,"n_sub":${sub.getLong(0)},""" +
-        s""""max_sub":${sub.getLong(1)},"sum_sb2":${sub.get(2)}}""")
+        s""""max_sub":${sub.getLong(1)},"sum_sb2":${sub.get(2)},""" +
+        s""""m_shells":$mShells,"n_shell":${shell.getLong(0)},""" +
+        s""""max_shell":${shell.getLong(1)},"sum_shell2":${shell.get(2)}""" +
+        recallStats + "}")
       operators.Ckpt.release(spark)
     }
     spark.stop()

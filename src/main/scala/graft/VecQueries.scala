@@ -42,6 +42,17 @@ object VecQueries {
   // ladder, the 12 deterministic ±1 hyperplanes, and the quantized-dot
   // sign bits all replayed exactly in DuckDB, so candidate sets stay
   // engine-identical at every corpus size.
+  //
+  // ROUND-10 CAVEAT (measured on the clustered mixture corpus): the
+  // ladder only holds "~64 per bucket" on ISOTROPIC data. Inside a tight
+  // cluster every vector shares the centroid's sign bits, so widening
+  // the ladder does not split a hot cluster — max bucket grew
+  // 158→743→2294 for n 2k→20k→60k on the k=50 power-law corpus. The
+  // consumers therefore run their bucket joins through the shared
+  // Dedup.DefaultMaxBucket cap (shed-observable, oracle-modeled via
+  // eb_ok below), which bounds the blowup without giving up the sign
+  // key's blocking recall — quantized-projection shells bound buckets
+  // ladder-style but cost 10× blocking recall (SCALE_r10 ivf_clustered).
   private val subPlanes = Similarity.signPlanes(12, 64)
 
   private def subBits(n: Long): Int =
@@ -91,7 +102,10 @@ object VecQueries {
         eb AS (SELECT vec_id, embedding, label,
             CAST(label AS VARCHAR) || '#' ||
               CAST(sk % CAST(pow(2, bits) AS BIGINT) AS VARCHAR) AS mb
-          FROM sk12, bc)"""
+          FROM sk12, bc),
+        ok_mb AS (SELECT mb FROM eb
+          GROUP BY mb HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
+        eb_ok AS (SELECT e.* FROM eb e JOIN ok_mb USING (mb))"""
 
   // q28 — brute-force cosine top-10 per query vector: broadcast the query
   // set, one scan of the corpus, rank-limited window. The exact-ANN
@@ -160,7 +174,7 @@ object VecQueries {
     Some(s"""WITH ${adaptiveBucketCtes()}
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         ${cos6("a.embedding", "b.embedding")} AS cos
-      FROM eb a JOIN eb b
+      FROM eb_ok a JOIN eb_ok b
         ON a.mb = b.mb AND a.vec_id < b.vec_id
       WHERE ${cos6("a.embedding", "b.embedding")} >= 0.3
       ORDER BY id_a, id_b"""))
@@ -517,7 +531,7 @@ object VecQueries {
     },
     Some(s"""WITH ${adaptiveBucketCtes()},
       dropped AS (SELECT DISTINCT b.vec_id
-        FROM eb a JOIN eb b
+        FROM eb_ok a JOIN eb_ok b
           ON a.mb = b.mb AND a.vec_id < b.vec_id
         WHERE ${cos6("a.embedding", "b.embedding")} >= 0.3)
       SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS id_sum
@@ -916,9 +930,9 @@ object VecQueries {
       val abCtes =
         s"""${adaptiveBucketCtes("vec_id % 2 = 0")},
         a AS (SELECT vec_id AS a_id, embedding AS a_emb, mb AS a_bucket
-          FROM eb WHERE vec_id % 2 = 0),
+          FROM eb_ok WHERE vec_id % 2 = 0),
         b AS (SELECT vec_id AS b_id, embedding AS b_emb, mb AS b_bucket
-          FROM eb WHERE vec_id % 2 = 1)"""
+          FROM eb_ok WHERE vec_id % 2 = 1)"""
       marginSql("JOIN b ON a_bucket = b_bucket", 4, "1.05", abCtes)
     })
 

@@ -394,14 +394,36 @@ object Similarity {
     * Σ|bucketᵢ|² — callers MUST supply a bucket whose CARDINALITY grows
     * with the corpus (e.g. the adaptive label#sign-sub-bucket ladder
     * q35/q112 build); a fixed-cardinality bucket makes this quadratic
-    * (measured: the 10-way label bucket hit 36 s at sf3). */
-  def bucketedNearDupPairs(corpus: DataFrame, bucketCol: String, threshold: Double): DataFrame = {
-    def side(p: String) = corpus.select(
-      col("vec_id").as(s"${p}id"), col("embedding").as(s"${p}emb"),
-      graft.plans.DotQExpr(col("embedding"), col("embedding")).as(s"${p}norm"),
-      col(bucketCol).as(s"${p}bucket"))
-    side("a_").join(side("b_"),
-        col("a_bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+    * (measured: the 10-way label bucket hit 36 s at sf3).
+    *
+    * Buckets over `maxBucket` are DROPPED (the [[Dedup.capBuckets]]
+    * guard, same constant and observability as the text-side LSH): on a
+    * CLUSTERED embedding corpus the sign-bit ladder cannot split a hot
+    * cluster — every member shares the centroid's signs, so extra
+    * ladder bits produce the same key and the top bucket grows linearly
+    * with the corpus (measured on the round-10 mixture corpus: max
+    * bucket 158→743→2294 for n 2k→20k→60k, within-bucket pair work
+    * ~quadratic). Hot clusters are the vector analog of boilerplate
+    * mega-buckets, and they get the same answer: deterministic capping
+    * with the shed volume observable, never a silent O(b²). (Quantized
+    * projection SHELLS were measured as the alternative ladder — they
+    * bound the bucket, max 26→27→68 on the same corpora, but cost 10×
+    * in blocking recall at cosine 0.3: 0.037 vs 0.38 — so the sign
+    * ladder + cap keeps the better recall and bounds the blowup;
+    * SCALE_r10.json `ivf_clustered`.) */
+  def bucketedNearDupPairs(corpus: DataFrame, bucketCol: String,
+                           threshold: Double,
+                           maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val keyed = corpus.select(
+      col("vec_id"), col("embedding"),
+      graft.plans.DotQExpr(col("embedding"), col("embedding")).as("norm"),
+      lit(0).as("band"), col(bucketCol).as("key"))
+    val (l, r) = Dedup.capBuckets(keyed, maxBucket, "vec_bucket")
+    def side(df: DataFrame, p: String) = df.select(
+      col("band"), col("key"), col("vec_id").as(s"${p}id"),
+      col("embedding").as(s"${p}emb"), col("norm").as(s"${p}norm"))
+    side(l, "a_").join(side(r, "b_"), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
       .withColumn("cos", pairCos(col("a_emb"), col("a_norm"), col("b_emb"), col("b_norm")))
       .filter(col("cos") >= threshold)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("cos"))
@@ -420,8 +442,9 @@ object Similarity {
     * (Σ bucketᵢ², never n²); the dropped-id set is distinct slim ids and
     * the apply is a shuffled left-anti join on the corpus key — at 100 TB
     * both sides hash-partition on vec_id, no broadcast assumption. */
-  def semDedup(corpus: DataFrame, bucketCol: String, threshold: Double): DataFrame = {
-    val dropped = bucketedNearDupPairs(corpus, bucketCol, threshold)
+  def semDedup(corpus: DataFrame, bucketCol: String, threshold: Double,
+               maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val dropped = bucketedNearDupPairs(corpus, bucketCol, threshold, maxBucket)
       .select(col("id_b").as("vec_id")).distinct()
     corpus.join(dropped, Seq("vec_id"), "left_anti")
   }
@@ -615,7 +638,8 @@ object Similarity {
     * bit-portable. Returns (a_id, b_id, cos, margin, rank) for forward
     * top-k pairs with margin ≥ `threshold`. */
   def marginMine(a: DataFrame, b: DataFrame, k: Int, threshold: Double,
-                 bucketCol: Option[String] = None): DataFrame = {
+                 bucketCol: Option[String] = None,
+                 maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def side(df: DataFrame, p: String) = {
       val cols = Seq(col("vec_id").as(s"${p}id"),
@@ -627,7 +651,26 @@ object Similarity {
     val sa = side(a, "a_")
     val sb = side(b, "b_")
     val joined = bucketCol match {
-      case Some(_) => sa.join(sb, col("a_bucket") === col("b_bucket"))
+      case Some(_) =>
+        // One union-side cap on the COMBINED per-bucket population
+        // (same shape as Dedup.crossLshPairs): a hot cluster floods
+        // Σ|Aᵦ|·|Bᵦ| no matter which side its rows came from — see
+        // bucketedNearDupPairs' scaladoc for the clustered-corpus
+        // measurements that make this guard load-bearing.
+        val u = sa.select(col("a_id").as("vid"), col("a_emb").as("emb"),
+            col("a_norm").as("nrm"), lit(true).as("is_a"),
+            lit(0).as("band"), col("a_bucket").as("key"))
+          .unionByName(sb.select(col("b_id").as("vid"), col("b_emb").as("emb"),
+            col("b_norm").as("nrm"), lit(false).as("is_a"),
+            lit(0).as("band"), col("b_bucket").as("key")))
+        val (l, r) = Dedup.capBuckets(u, maxBucket, "margin_bucket")
+        l.filter(col("is_a"))
+          .select(col("band"), col("key"), col("vid").as("a_id"),
+            col("emb").as("a_emb"), col("nrm").as("a_norm"))
+          .join(r.filter(!col("is_a"))
+            .select(col("band"), col("key"), col("vid").as("b_id"),
+              col("emb").as("b_emb"), col("nrm").as("b_norm")),
+            Seq("band", "key"))
       case None    => sa.crossJoin(sb)
     }
     val scored = joined.withColumn("cos",
