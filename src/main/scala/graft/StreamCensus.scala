@@ -73,8 +73,14 @@ object StreamCensus {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit =
-        batchPlans.add(qe.executedPlan.toString())
+          durationNs: Long): Unit = {
+        val p = qe.executedPlan.toString()
+        // the capture's own q.explain() also lands here as a
+        // StreamingExplainCommand whose text holds FOUR copies of the
+        // plan (parsed/analyzed/optimized/physical) — counting it would
+        // fabricate a 4x recompute flag out of the harness itself
+        if (!p.contains("ExplainCommand")) batchPlans.add(p)
+      }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
@@ -139,10 +145,26 @@ object StreamCensus {
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", s"$stage/ckpt_lsh").start()))
 
+    // SPARK_GRAFT_CENSUS_DUMP=<dir>: write every captured plan there for
+    // offline duplicate-call adjudication (same contract as PlanCensus).
+    val dumpDir = sys.env.get("SPARK_GRAFT_CENSUS_DUMP")
+    dumpDir.foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val flagged = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, start) <- pipelines) {
       val (streamPlan, bps) = capture(start)
+      dumpDir.foreach { d =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"$name.stream.plan.txt"),
+          streamPlan.getBytes("UTF-8"))
+        bps.zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, s"$name.batch$i.plan.txt"),
+            p.getBytes("UTF-8"))
+        }
+      }
       val sCounts = Markers.map(m => m -> count(streamPlan, m)).filter(_._2 > 0)
       // per-marker MAX over the batch plans: a repeated defect shows up
       // as a high single-plan count, not as a sum over distinct plans
