@@ -106,11 +106,60 @@ object GenData {
     * that makes most shingles rare, so candidates should track the
     * planted dups ~linearly. */
   def documentsZipfFrom(docIds: DataFrame, nDoc: Long, minNonDup: Long,
-                        vocab: Long = 100000L, boilerPct: Double = 0.0): DataFrame =
+                        vocab: Long = 100000L, boilerPct: Double = 0.0,
+                        markerPct: Double = 0.0): DataFrame =
     documentsWith(docIds, nDoc, minNonDup) { base =>
-      def zipfWord(cell: Column): Column = concat(lit("w"),
-        least(floor(pow(lit(vocab + 1.0), u(cell, 78)))
-          .cast("long"), lit(vocab)).cast("string"))
+      // markerPct > 0 = the LANGUAGE-BEARING variant: words render
+      // alphabetically (base-26 of the Zipf rank — "wNNN" digit words
+      // zero out qualityScore's alpha_ratio, which silently emptied the
+      // funnel family's survivor set on the plain Zipf corpora), and
+      // each word is, with probability markerPct, replaced by a marker
+      // stopword of the doc's assigned language (TextFns.LangMarkers;
+      // 'zh' has no Latin markers and stays 'unknown' — realistic: a
+      // fraction of any crawl fails language ID). Gives q119-family
+      // gates a REPRESENTATIVE pass-rate at scale instead of 0%.
+      def alphaOf(rank: Column): Column = {
+        // rank 1..100000 → exactly 4 lowercase letters (offset into the
+        // base-26 space). Word length is load-bearing for the quality
+        // gate: alpha_ratio counts SPACES against the text, so a corpus
+        // of w+2-letter words tops out at alpha ≈ 0.78 and the 0.8
+        // quality threshold silently re-empties the survivor set this
+        // variant exists to fill; w+4 letters give alpha ≈ 0.82 and the
+        // gate discriminates on length again (the realistic behavior).
+        val r0 = rank + 17575L
+        val c1 = (r0 % 26).cast("int")
+        val c2 = ((r0.cast("long") / 26L) % 26L).cast("int")
+        val c3 = ((r0.cast("long") / 676L) % 26L).cast("int")
+        val c4 = ((r0.cast("long") / 17576L) % 26L).cast("int")
+        val abc = typedLit(('a' to 'z').map(_.toString))
+        concat(element_at(abc, c4 + 1), element_at(abc, c3 + 1),
+          element_at(abc, c2 + 1), element_at(abc, c1 + 1))
+      }
+      def zipfWord(cell: Column): Column = {
+        val rank = least(floor(pow(lit(vocab + 1.0), u(cell, 78)))
+          .cast("long"), lit(vocab))
+        val plain =
+          if (markerPct <= 0.0) concat(lit("w"), rank.cast("string"))
+          else concat(lit("w"), alphaOf(rank))
+        if (markerPct <= 0.0) plain
+        else {
+          // doc language mirrors documentsWith's derivation from the
+          // BASE id, so a dup's text regenerates its base's markers
+          val langSel = when(ui(base, 75, 100) < 41, lit("en"))
+            .otherwise(element_at(typedLit(Seq("zh", "es", "fr", "de")),
+              pmod(ui(base, 75, 100) - 41, lit(4)).cast("int") + 1))
+          val markers = graft.functions.TextFns.LangMarkers.toMap
+            .map { case (l, ws) => l -> ws.map(_.trim) }
+          val mIdx = ui(cell, 89, 5).cast("int") + 1
+          val markerWord = when(langSel === "en",
+              element_at(typedLit(markers("en")), mIdx))
+            .when(langSel === "es", element_at(typedLit(markers("es")), mIdx))
+            .when(langSel === "fr", element_at(typedLit(markers("fr")), mIdx))
+            .when(langSel === "de", element_at(typedLit(markers("de")), mIdx))
+            .otherwise(plain) // zh: no Latin markers
+          when(u(cell, 88) < markerPct, markerWord).otherwise(plain)
+        }
+      }
       val len = (ui(base, 71, 91) + 10).cast("int")
       val normal = concat_ws(" ",
         transform(sequence(lit(1), len), k => zipfWord(base * 128 + k)))
@@ -225,17 +274,21 @@ object GenData {
     if (args.length > 2 && args(2) == "zipf-docs") {
       val vocab = if (args.length > 3) args(3).toLong else 100000L
       // optional 5th arg: boilerplate fraction (e.g. 0.05) — plants the
-      // shared-license-prefix docs the LSH cap-fire experiment needs
+      // shared-license-prefix docs the LSH cap-fire experiment needs;
+      // optional 6th arg: marker fraction (e.g. 0.15) — the language-
+      // bearing variant (alphabetic words + per-lang marker stopwords)
+      // that gives the funnel family a representative gate pass-rate
       val boilerPct = if (args.length > 4) args(4).toDouble else 0.0
+      val markerPct = if (args.length > 5) args(5).toDouble else 0.0
       val nDoc = math.max(500L, (50000 * sf).toLong)
       val minNonDup = spark.range(nDoc).filter(u(col("id"), 73) >= 0.05)
         .agg(min(col("id"))).first().getLong(0)
       documentsZipfFrom(spark.range(nDoc).toDF("id"), nDoc, minNonDup, vocab,
-          boilerPct)
+          boilerPct, markerPct)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       println(s"GENDATA zipf-docs documents=" +
         spark.read.parquet(s"$out/documents.parquet").count() +
-        s" vocab=$vocab boiler=$boilerPct")
+        s" vocab=$vocab boiler=$boilerPct marker=$markerPct")
       spark.stop()
       return
     }

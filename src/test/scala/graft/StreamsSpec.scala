@@ -248,6 +248,59 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshBandHits TTL eviction: post-horizon tags equal a fresh index " +
+      "built from post-horizon docs only (ScalaCheck epochs)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    implicit val sqlCtx = spark.sqlContext
+    // Two doc epochs separated by > idleDays: the property is that every
+    // epoch-1 bucket has been EVICTED by the time epoch 2 arrives, so
+    // epoch-2 tagging must be bit-identical to running epoch 2 against
+    // an empty index. Random word-pool texts give chance near-dups both
+    // within and across epochs — the cross-epoch ones are exactly what
+    // eviction must erase.
+    val pool = Vector("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "spark", "stream", "band", "bucket")
+    val docGen = Gen.chooseNum(8, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(pool))).map(_.mkString(" "))
+    def epoch(seed: Long, n: Int): Seq[String] =
+      (0 until n).flatMap(i => docGen(Gen.Parameters.default, Seed(seed + i)))
+    val day = 24L * 3600 * 1000
+    val t0 = 1700000000000L
+    val t2 = t0 + 3 * day // idleDays=1 → epoch-1 buckets time out before this
+    // watermark/timeout advancers: distinctive text, never in the pool
+    val dummies = Seq(Doc(9001, new Timestamp(t2), "zzzz yyyy xxxx wwww vvvv"),
+      Doc(9002, new Timestamp(t2 + 60000), "qqqq rrrr ssss tttt uuuu"))
+
+    def run(name: String, epoch1: Seq[Doc], epoch2: Seq[Doc]): Map[Long, Boolean] = {
+      val in = MemoryStream[Doc]
+      val q = Streams.lshBandHits(in.toDF(), idleDays = 1)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        if (epoch1.nonEmpty) { in.addData(epoch1); q.processAllAvailable() }
+        in.addData(dummies.head); q.processAllAvailable() // wm → t2 - 10m
+        in.addData(dummies.last); q.processAllAvailable() // timeouts fire
+        in.addData(epoch2); q.processAllAvailable()
+        spark.table(name).filter(col("doc_id") >= 100 && col("doc_id") < 9000)
+          .groupBy("doc_id").agg(max(col("is_dup_band")).as("dup"))
+          .as[(Long, Boolean)].collect().toMap
+      } finally q.stop()
+    }
+
+    for (s <- 0 until 3) {
+      val e1 = epoch(1000L * s, 8).zipWithIndex.map { case (t, i) =>
+        Doc(i + 1, new Timestamp(t0 + i * 1000), t) }
+      val e2 = epoch(7777L * (s + 1), 8).zipWithIndex.map { case (t, i) =>
+        Doc(100 + i, new Timestamp(t2 + 120000 + i * 1000), t) }
+      val withHistory = run(s"lshttl_a$s", e1, e2)
+      val freshIndex = run(s"lshttl_b$s", Nil, e2)
+      assert(withHistory == freshIndex,
+        s"sample $s: epoch-2 tags differ with pre-horizon history present — " +
+          s"TTL eviction leaked state across the idle horizon: " +
+          s"$withHistory vs $freshIndex")
+    }
+  }
+
   test("lshBandHits over the real documents table equals the q73 batch twin") {
     implicit val sqlCtx = spark.sqlContext
     // arrival order = doc_id (ts synthesized monotonically) → the
