@@ -397,7 +397,11 @@ object Similarity {
     * (measured: the 10-way label bucket hit 36 s at sf3).
     *
     * Buckets over `maxBucket` are DROPPED (the [[Dedup.capBuckets]]
-    * guard, same constant and observability as the text-side LSH): on a
+    * guard, same constant and observability as the text-side LSH; an
+    * uncheckpointed variant was A/B-measured WORSE — +32-53% vs +7-10%
+    * — because each anti-join side re-derives the 12-plane sketch,
+    * the round-9 recompute class. The wide checkpoint is the cheaper
+    * evil and the guard's A/B cost is ~7-10% on q218/q112): on a
     * CLUSTERED embedding corpus the sign-bit ladder cannot split a hot
     * cluster — every member shares the centroid's signs, so extra
     * ladder bits produce the same key and the top bucket grows linearly
