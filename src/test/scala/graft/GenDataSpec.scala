@@ -84,6 +84,91 @@ class GenDataSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("zipf boilerplate mode plants the license prefix; dups of boiler docs regenerate it") {
+    import org.apache.spark.sql.functions._
+    val n = 800L
+    val dfs = layouts(n).map(ids =>
+      GenData.documentsZipfFrom(ids, n, 1L, vocab = 100000L, boilerPct = 0.05))
+    assertSame(dfs)
+    val docs = dfs.head.cache()
+    val boiler = docs.filter(col("text").startsWith(GenData.BoilerPrefix))
+    val nBoiler = boiler.count()
+    // ~5% carry the prefix (boiler bases + dups of boiler bases)
+    assert(nBoiler >= 20 && nBoiler <= 90, s"boiler fraction off: $nBoiler of $n")
+    // boiler docs are prefix + 0-10 word body (+ optional ' dup'): the
+    // prefix must DOMINATE the shingle set, or no mega-bucket forms
+    val prefixWords = GenData.BoilerPrefix.split(" ").length
+    val tooLong = boiler
+      .filter(size(split(col("text"), " ")) > prefixWords + 11).count()
+    assert(tooLong == 0, s"$tooLong boiler docs with bodies over 10 words")
+    // a dup of a boiler base must carry the full boiler text + " dup"
+    val boilerDups = docs.filter(col("text").startsWith(GenData.BoilerPrefix)
+      && col("text").endsWith(" dup"))
+      .select(expr("substring(text, 1, length(text) - 4)").as("base_text"))
+    val orphan = boilerDups.join(
+      docs.select(col("text").as("base_text")), Seq("base_text"), "left_anti").count()
+    assert(orphan == 0, s"$orphan boiler-dup docs with no matching base text")
+    docs.unpersist()
+  }
+
+  test("zipf marker mode: alphabetic words, detectable languages, zh stays unknown") {
+    import org.apache.spark.sql.functions._
+    val n = 800L
+    val dfs = layouts(n).map(ids =>
+      GenData.documentsZipfFrom(ids, n, 1L, vocab = 100000L, markerPct = 0.15))
+    assertSame(dfs)
+    val docs = dfs.head.cache()
+    // no digit characters anywhere: the base-26 rendering exists so
+    // qualityScore's alpha_ratio is not zeroed by 'wNNN' words
+    assert(docs.filter(col("text").rlike("[0-9]")).count() == 0,
+      "marker-mode words must be fully alphabetic")
+    val pred = docs.select(col("lang"),
+      graft.functions.TextFns.langId(col("text")).as(("pl"))).cache()
+    // the dominant latin langs must be detected for a solid majority of
+    // their docs (dup docs carry their BASE's markers, so per-doc lang
+    // and text-lang can legitimately disagree on ~5% + short docs)
+    val agree = pred.filter(col("lang") =!= "zh")
+      .select(avg((col("pl") === col("lang")).cast("double"))).first().getDouble(0)
+    assert(agree > 0.7, s"latin-language marker detection too weak: $agree")
+    // zh has no latin markers: its docs must NOT be claimed by some
+    // other language more often than chance dup-noise allows
+    val zhClaimed = pred.filter(col("lang") === "zh" && col("pl") =!= "unknown").count()
+    val zhAll = pred.filter(col("lang") === "zh").count()
+    assert(zhClaimed.toDouble / zhAll < 0.35,
+      s"zh docs claimed by latin languages: $zhClaimed of $zhAll")
+    docs.unpersist(); pred.unpersist()
+  }
+
+  test("embeddingsClusteredFrom: partition-insensitive, unit-norm, power-law clusters, tight") {
+    import org.apache.spark.sql.functions._
+    val dfs = layouts(2000).map(ids => GenData.embeddingsClusteredFrom(ids, k = 50))
+    assertSame(dfs)
+    val emb = dfs.head.cache()
+    val badNorm = emb.select(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x * x).as("n2"))
+      .filter(abs(col("n2") - 1.0) > 0.001).count()
+    assert(badNorm == 0, s"$badNorm clustered embeddings not L2-normalized")
+    // power-law occupancy: rank-1 cluster ~18%, and all 50 present
+    val occ = emb.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ.size == 50, s"expected 50 clusters, got ${occ.size}")
+    val top = occ.values.max.toDouble / 2000
+    assert(top > 0.12 && top < 0.25, s"top-cluster share $top not power-law-headed")
+    // within-cluster tightness: mean pairwise cosine inside the top
+    // cluster must be high (~1/(1+sigma^2) ~ 0.9), far above the ~0
+    // between-cluster level — the property that defeats sign sub-buckets
+    val topLabel = occ.maxBy(_._2)._1
+    val c = emb.filter(col("label") === topLabel).limit(40)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val pairs = for (i <- c.indices; j <- c.indices if i < j) yield cos(c(i), c(j))
+    val meanCos = pairs.sum / pairs.size
+    assert(meanCos > 0.75, s"top cluster not tight: mean within-cosine $meanCos")
+    emb.unpersist()
+  }
+
   test("embeddingsFrom is partition-insensitive and unit-norm") {
     val dfs = layouts(400).map(GenData.embeddingsFrom)
     assertSame(dfs)
