@@ -76,9 +76,16 @@ object Bench {
     // passes were page-cache warmup, not plan behavior (SCALE.md r10).
     sys.env.get("SPARK_GRAFT_PRETOUCH").foreach { spec =>
       val tables =
-        if (spec == "all") new java.io.File(sfDir).list().toSeq
-          .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
-        else spec.split(",").toSeq
+        // File.list() returns null for a missing/non-directory path — a
+        // typo'd SPARK_GRAFT_SF_DIR must not NPE before the bench's JSON
+        // line (the read below would fail loudly anyway; warn and skip)
+        if (spec == "all") {
+          val ls = Option(new java.io.File(sfDir).list()).getOrElse {
+            System.err.println(s"[bench] pretouch: $sfDir is not a readable directory — skipping")
+            Array.empty[String]
+          }
+          ls.toSeq.filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+        } else spec.split(",").toSeq
       val buf = new Array[Byte](1 << 20)
       var bytes = 0L
       for (t <- tables) {
@@ -103,9 +110,6 @@ object Bench {
       val r = try { q.run(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
               catch { case e: Throwable =>
                 System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); None }
-      // per-pass visibility for adjudicating a high-CV query (dev knob)
-      if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE"))
-        System.err.println(f"[bench] pass ${q.name} ${r.getOrElse(-1.0)}%.2f s")
       graft.operators.Ckpt.release(spark) // checkpoint blocks must not leak across passes
       // Outside the timed region: let ContextCleaner reclaim this pass's
       // shuffle/broadcast state NOW instead of when the big driver heap
@@ -114,6 +118,17 @@ object Bench {
       // 4× pass 1; with per-pass GC all passes are flat) — exactly the
       // cross-pass contamination a median-of-warm protocol must not have.
       System.gc()
+      // per-pass visibility for adjudicating a high-CV query (dev knob);
+      // printed AFTER release+GC so heapUsedMiB/cachedBlocks show the
+      // steady-state floor — the flat-memory evidence for the blocking
+      // Ckpt.release contract (a leak shows as a monotone heap ramp here)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")) {
+        val rt = Runtime.getRuntime
+        val used = (rt.totalMemory - rt.freeMemory) >> 20
+        val blocks = spark.sparkContext.getRDDStorageInfo.map(_.numCachedPartitions).sum
+        System.err.println(f"[bench] pass ${q.name} ${r.getOrElse(-1.0)}%.2f s " +
+          s"heapUsedMiB=$used cachedBlocks=$blocks")
+      }
       r
     }
     def median(xs: Seq[Double]): Double = {

@@ -73,11 +73,27 @@ object Ckpt {
     (out, added)
   }
 
+  /** Release synchronously (the default). `unpersist(blocking = false)`
+    * only ENQUEUES block removal: a driver looping iterative operators
+    * back-to-back produces checkpoint generations faster than the async
+    * removal drains them, so storage grows without bound even though
+    * every single pass fits — the adjudicated root cause of the q227/q214
+    * sf10 pass spread (SCALE_r10 `q227_steady_state`: a 24 g heap ran one
+    * pass flat at ~160 s but OOMed at pass 5 of 7). Blocking removal is a
+    * driver→BlockManagerMaster round-trip per RDD — microseconds against
+    * an iterative round's seconds — so it is the right default for a
+    * long-running embedding. `SPARK_GRAFT_CKPT_ASYNC_RELEASE=1` restores
+    * the pre-round-11 async behavior (A/B probe knob only). */
+  private val blockingRelease: Boolean =
+    !sys.env.get("SPARK_GRAFT_CKPT_ASYNC_RELEASE").contains("1")
+
   /** Unpersist a specific checkpoint's blocks (safe once every consumer of
-    * that checkpoint has run or been checkpointed itself). */
+    * that checkpoint has run or been checkpointed itself). Blocks until
+    * the BlockManager has actually dropped them (see [[blockingRelease]])
+    * so repeated executions hold flat storage. */
   def releaseIds(spark: SparkSession, ids: Set[Int]): Unit = synchronized {
     val persistent = spark.sparkContext.getPersistentRDDs
-    ids.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
+    ids.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = blockingRelease)))
     idsFor(spark.sparkContext.applicationId) --= ids
   }
 

@@ -108,6 +108,27 @@ class CkptCapSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet.toSet == before)
   }
 
+  test("release is SYNCHRONOUS — blocks are gone the moment it returns") {
+    // unpersist(blocking = false) only enqueues removal: a loop producing
+    // checkpoint generations faster than the async drain accumulates
+    // storage without bound (the q227/q214 sf10 spread's root cause —
+    // SCALE_r10 q227_steady_state: one pass fit a 24 g heap, seven OOMed).
+    // getRDDStorageInfo reflects actual BlockManager block status, so an
+    // assertion immediately after release (no polling, no sleep) is the
+    // determinism contract.
+    val sc = spark.sparkContext
+    val ck = Ckpt.local(megaDocs)
+    assert(ck.count() == 202L)
+    assert(sc.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
+      "the checkpoint should hold cached blocks before release")
+    Ckpt.release(spark)
+    assert(sc.getRDDStorageInfo.forall(_.numCachedPartitions == 0),
+      "blocking release must have dropped every block before returning: " +
+        sc.getRDDStorageInfo.map(i => s"rdd_${i.id}:${i.numCachedPartitions}")
+          .mkString(","))
+    assert(sc.getPersistentRDDs.isEmpty)
+  }
+
   test("clusters + release leave no persistent RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pairs = Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10)
