@@ -107,8 +107,15 @@ object GenData {
     * planted dups ~linearly. */
   def documentsZipfFrom(docIds: DataFrame, nDoc: Long, minNonDup: Long,
                         vocab: Long = 100000L, boilerPct: Double = 0.0,
-                        markerPct: Double = 0.0): DataFrame =
-    documentsWith(docIds, nDoc, minNonDup) { base =>
+                        markerPct: Double = 0.0,
+                        dupPct: Double = 0.05): DataFrame = {
+    // alphaOf renders exactly 4 base-26 letters: ranks beyond
+    // 26^4 - 17576 = 439,400 would wrap (c4 = r0/17576 % 26), silently
+    // mapping distant Zipf ranks onto the same word and distorting the
+    // shingle statistics the marker corpus exists to make realistic.
+    require(markerPct <= 0.0 || vocab <= 439400L,
+      s"marker mode renders ranks as 4 letters; vocab=$vocab > 439400 would wrap")
+    documentsWith(docIds, nDoc, minNonDup, dupPct) { base =>
       // markerPct > 0 = the LANGUAGE-BEARING variant: words render
       // alphabetically (base-26 of the Zipf rank — "wNNN" digit words
       // zero out qualityScore's alpha_ratio, which silently emptied the
@@ -175,13 +182,22 @@ object GenData {
         // function of the base id like everything else here.
         val isBoiler = u(base, 85) < boilerPct
         val bodyLen = ui(base, 87, 11).cast("int")
-        val boiler = when(bodyLen === 0, lit(BoilerPrefix))
-          .otherwise(concat(lit(BoilerPrefix + " "), concat_ws(" ",
+        // In marker mode the body words render alphabetically, so the
+        // prefix must too — a "wNNN" digit-word prefix would zero the
+        // quality gate's alpha_ratio for exactly the boiler docs,
+        // contradicting the marker corpus's all-alphabetic premise (the
+        // two modes composed syntactically but produced an internally
+        // inconsistent corpus; round-10 corpora used one mode at a time,
+        // so their pinned numbers are unaffected).
+        val prefix = if (markerPct > 0.0) BoilerPrefixAlpha else BoilerPrefix
+        val boiler = when(bodyLen === 0, lit(prefix))
+          .otherwise(concat(lit(prefix + " "), concat_ws(" ",
             transform(sequence(lit(1), greatest(bodyLen, lit(1))),
               k => zipfWord(base * 128 + k)))))
         when(isBoiler, boiler).otherwise(normal)
       }
     }
+  }
 
   /** The planted license-header text: 30 fixed words drawn from the Zipf
     * vocab's first ~10k ranks (boilerplate is made of ordinary words, not
@@ -190,18 +206,38 @@ object GenData {
   val BoilerPrefix: String =
     (1 to 30).map(j => "w" + ((j * 2654435761L % 9973) + 1)).mkString(" ")
 
+  /** Scala twin of the column-side `alphaOf` in [[documentsZipfFrom]]:
+    * rank → exactly 4 base-26 lowercase letters with the same +17575
+    * offset, so a driver-side constant can render the identical word a
+    * generated doc would carry for that rank. */
+  private[graft] def alphaOfScala(rank: Long): String = {
+    val r0 = rank + 17575L
+    Array(r0 / 17576 % 26, r0 / 676 % 26, r0 / 26 % 26, r0 % 26)
+      .map(i => ('a' + i.toInt).toChar).mkString
+  }
+
+  /** [[BoilerPrefix]] rendered the way marker mode renders every word
+    * (alphabetic base-26 ranks): the same 30 ranks, so boiler docs in a
+    * marker corpus keep the all-alphabetic quality-gate premise. */
+  val BoilerPrefixAlpha: String =
+    (1 to 30).map(j => "w" + alphaOfScala((j * 2654435761L % 9973) + 1)).mkString(" ")
+
   /** Shared documents skeleton: dup planting, lang, source, n_chars.
     * `wordsFor` must be a pure function of the BASE id column so a dup
-    * doc regenerates its base's text without a join. */
-  private def documentsWith(docIds: DataFrame, nDoc: Long, minNonDup: Long)
+    * doc regenerates its base's text without a join. `dupPct` is the
+    * planted near-dup fraction (0.05 everywhere except the oracle-fuzz
+    * corpora, which sweep it); a caller passing a non-default value must
+    * compute `minNonDup` under the SAME threshold. */
+  private def documentsWith(docIds: DataFrame, nDoc: Long, minNonDup: Long,
+                            dupPct: Double = 0.05)
                            (wordsFor: Column => Column): DataFrame = {
     val id = col("id")
-    val isDup = u(id, 73) < 0.05
+    val isDup = u(id, 73) < dupPct
     val cand1 = ui(id, 74, nDoc)
     val cand2 = ui(id, 77, nDoc)
     val baseId = when(!isDup, id)
-      .when(u(cand1, 73) >= 0.05, cand1)
-      .when(u(cand2, 73) >= 0.05, cand2)
+      .when(u(cand1, 73) >= dupPct, cand1)
+      .when(u(cand2, 73) >= dupPct, cand2)
       .otherwise(lit(minNonDup))
     docIds
       .select(id.as("doc_id"),
@@ -280,15 +316,18 @@ object GenData {
       // that gives the funnel family a representative gate pass-rate
       val boilerPct = if (args.length > 4) args(4).toDouble else 0.0
       val markerPct = if (args.length > 5) args(5).toDouble else 0.0
+      // optional 7th arg: planted near-dup fraction (default 0.05) — the
+      // oracle-fuzz harness (tools/fuzz_oracle.py) sweeps it
+      val dupPct = if (args.length > 6) args(6).toDouble else 0.05
       val nDoc = math.max(500L, (50000 * sf).toLong)
-      val minNonDup = spark.range(nDoc).filter(u(col("id"), 73) >= 0.05)
+      val minNonDup = spark.range(nDoc).filter(u(col("id"), 73) >= dupPct)
         .agg(min(col("id"))).first().getLong(0)
       documentsZipfFrom(spark.range(nDoc).toDF("id"), nDoc, minNonDup, vocab,
-          boilerPct, markerPct)
+          boilerPct, markerPct, dupPct)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       println(s"GENDATA zipf-docs documents=" +
         spark.read.parquet(s"$out/documents.parquet").count() +
-        s" vocab=$vocab boiler=$boilerPct marker=$markerPct")
+        s" vocab=$vocab boiler=$boilerPct marker=$markerPct dup=$dupPct")
       spark.stop()
       return
     }

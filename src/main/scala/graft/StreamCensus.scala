@@ -99,8 +99,19 @@ object StreamCensus {
       Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
         q.explain()
       }
-      // the listener fires asynchronously; give the bus a short settle
-      Thread.sleep(1500)
+      // the QueryExecutionListener fires asynchronously on the shared
+      // LiveListenerBus — drain it deterministically (a fixed settle
+      // sleep can miss late-delivered foreachBatch plans on a loaded
+      // box, undercounting markers and letting a recompute defect pass
+      // the census as clean). `SparkContext.listenerBus` is
+      // private[spark] in Scala but public in bytecode, so go through
+      // Java reflection; fall back to the old settle if the accessor or
+      // the drain (10 s TimeoutException) ever fails.
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(1500) }
       spark.listenerManager.unregister(listener)
       val bp = scala.jdk.CollectionConverters.CollectionHasAsScala(batchPlans)
         .asScala.toSeq

@@ -50,8 +50,20 @@ object Dedup {
     * while the cap fires, not only while it is idle). Read once at class
     * init: queries and oracle SQL are built in the same JVM, so the two
     * can never see different values. */
-  val DefaultMaxBucket: Int =
-    sys.env.getOrElse("SPARK_GRAFT_LSH_MAX_BUCKET", "100000").toInt
+  val DefaultMaxBucket: Int = {
+    val v = sys.env.getOrElse("SPARK_GRAFT_LSH_MAX_BUCKET", "100000").toInt
+    // A stray inherited env var would silently lower the cap for every
+    // LSH operator AND every oracle CTE in a run — shed results would
+    // look like normal output. Make a non-default cap loud in the run's
+    // stderr artifacts (class init is the only safe place: the value is
+    // read exactly once, before any query or oracle is built).
+    if (v != 100000)
+      System.err.println(
+        s"[graft] LSH bucket cap OVERRIDDEN: DefaultMaxBucket=$v " +
+          "(SPARK_GRAFT_LSH_MAX_BUCKET; harness-only knob — production runs " +
+          "expect 100000; capped operators will shed over-cap buckets)")
+    v
+  }
 
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
                                     tag: String): (DataFrame, DataFrame) = {

@@ -139,6 +139,35 @@ class GenDataSpec extends SparkSpec {
     docs.unpersist(); pred.unpersist()
   }
 
+  test("boiler+marker compose: alphabetic boiler prefix, consistent corpus") {
+    import org.apache.spark.sql.functions._
+    val n = 800L
+    val dfs = layouts(n).map(ids =>
+      GenData.documentsZipfFrom(ids, n, 1L, vocab = 100000L,
+        boilerPct = 0.05, markerPct = 0.15))
+    assertSame(dfs)
+    val docs = dfs.head.cache()
+    // the whole corpus — boiler prefixes included — stays alphabetic, so
+    // the quality gate's alpha_ratio premise holds for every doc class
+    assert(docs.filter(col("text").rlike("[0-9]")).count() == 0,
+      "composed mode must not reintroduce digit words via the boiler prefix")
+    val nBoiler = docs.filter(col("text").startsWith(GenData.BoilerPrefixAlpha)).count()
+    assert(nBoiler >= 20 && nBoiler <= 90, s"alpha-boiler fraction off: $nBoiler of $n")
+    // the alpha prefix renders the SAME 30 ranks as the digit prefix
+    assert(GenData.BoilerPrefixAlpha.split(" ").length == 30)
+    assert(!GenData.BoilerPrefixAlpha.exists(_.isDigit))
+    docs.unpersist()
+  }
+
+  test("marker mode rejects vocab beyond the 4-letter rendering range") {
+    val ids = spark.range(10L).toDF("id")
+    intercept[IllegalArgumentException] {
+      GenData.documentsZipfFrom(ids, 10L, 1L, vocab = 500000L, markerPct = 0.15)
+    }
+    // plain mode (digit words) has no such limit
+    GenData.documentsZipfFrom(ids, 10L, 1L, vocab = 500000L)
+  }
+
   test("embeddingsClusteredFrom: partition-insensitive, unit-norm, power-law clusters, tight") {
     import org.apache.spark.sql.functions._
     val dfs = layouts(2000).map(ids => GenData.embeddingsClusteredFrom(ids, k = 50))
