@@ -859,6 +859,77 @@ object VecQueries {
         ${Det.roundAtSql("CAST(MIN(h) AS DOUBLE) / 10.0", 6)} AS min_query_recall
       FROM hits"""))
 
+  // q298 — banded sign-LSH RECALL vs exact cosine: q47's recall-targeting
+  // vector scale path (OR-amplified 4-band sketch, adaptive key width,
+  // capBuckets-guarded) measured pair-for-pair against the brute O(n²)
+  // truth of q28's ranking machinery. Completes the per-index recall
+  // audit set (minhash-LSH→q53, PQ→q195, IVF→q196, banded-sign→this):
+  // round 10's clustered-corpus probe showed hot clusters stress exactly
+  // this path's blocking (every member shares the centroid's sign bits),
+  // so the audit runs wherever the corpus dir points — the shipped
+  // isotropic set under the driver's gate, the clustered mixture corpus
+  // in SCALE_r11's probe runs. LSH verification applies the same cosine
+  // predicate as brute, so n_common = n_lsh when nothing is shed; the
+  // join computes it honestly rather than assuming the subset property.
+  private val q298 = Q(
+    "q298_embed_lsh_recall",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val n = emb.count()
+      val w = (4 to 15).find(b => n <= 32L * (1L << b)).getOrElse(15)
+      val brute = Similarity.nearDupPairs(emb, 0.2).select("id_a", "id_b")
+      val lsh = Similarity.lshNearDupPairs(emb, 0.2, nPlanes = 60, bands = 4,
+          useBits = w)
+        .select(col("id_a").as("l_a"), col("id_b").as("l_b"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      brute.join(lsh, col("id_a") === col("l_a") && col("id_b") === col("l_b"), "left")
+        .agg(
+          count(lit(1)).as("n_brute"),
+          sum(col("l_a").isNotNull.cast("long")).as("n_common"))
+        .crossJoin(broadcast(nLsh))
+        .select(col("n_brute"), col("n_lsh"), col("n_common"),
+          Det.roundAt(col("n_common").cast(DoubleType)
+            / col("n_brute").cast(DoubleType), 6).as("recall"))
+    },
+    Some {
+      val planes = Similarity.signPlanes(60, 64)
+      def sketch(e: String) = planes.zipWithIndex.map { case (p, i) =>
+        s"""CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(floor(CAST($e[i] AS DOUBLE) * (${planeLit(p)})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT) >= 0
+            THEN ${1L << i} ELSE 0 END""" }
+        .mkString("(", " + ", ")")
+      val ladder = (4 to 15)
+        .map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b").mkString(" ")
+      s"""WITH sk AS (SELECT vec_id, ${sketch("embedding")} AS sk FROM embeddings),
+      nc AS (SELECT COUNT(*) AS n FROM embeddings),
+      wc AS (SELECT CASE $ladder ELSE 15 END AS w FROM nc),
+      bands AS (SELECT vec_id, bb.b AS band,
+          (sk >> (15 * bb.b)) & (CAST(pow(2, w) AS BIGINT) - 1) AS key
+        FROM sk CROSS JOIN wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+      ok_bk AS (SELECT band, key FROM bands
+        GROUP BY band, key HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
+      bands_ok AS (SELECT b.* FROM bands b JOIN ok_bk USING (band, key)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands_ok a JOIN bands_ok b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      lsh AS (SELECT c.id_a, c.id_b
+        FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.id_a
+          JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE ${cos6("ea.embedding", "eb.embedding")} >= 0.2),
+      brute AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${cos6("a.embedding", "b.embedding")} >= 0.2),
+      counts AS (SELECT
+        (SELECT COUNT(*) FROM brute) AS n_brute,
+        (SELECT COUNT(*) FROM lsh) AS n_lsh,
+        (SELECT COUNT(*) FROM brute t JOIN lsh p
+           ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_common)
+      SELECT CAST(n_brute AS BIGINT) AS n_brute, CAST(n_lsh AS BIGINT) AS n_lsh,
+        CAST(n_common AS BIGINT) AS n_common,
+        ${Det.roundAtSql("CAST(n_common AS DOUBLE) / CAST(n_brute AS DOUBLE)", 6)} AS recall
+      FROM counts""" })
+
   /** Shared SQL body for q217/q218 — identical margin math, only the
     * candidate generator differs (`CROSS JOIN` vs bucket equi-join). */
   private def marginSql(candJoin: String, k: Int, threshold: String,
@@ -1204,5 +1275,5 @@ object VecQueries {
 
   val all: Seq[Q] = Seq(q28, q29, q30, q35, q36, q47, q56, q57, q64, q71,
     q78, q85, q95, q112, q123, q141, q142, q162, q163, q195, q196,
-    q217, q218, q220, q243, q283, q287)
+    q217, q218, q220, q243, q283, q287, q298)
 }
