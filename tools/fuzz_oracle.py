@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Oracle fuzz for the capped LSH/vector families (round-11, VERDICT r10 #3).
+
+Cap-fire engine≡DuckDB parity was proven on two HAND-PLANTED corpora
+(boiler at cap 100/25, clustered at cap 100). This harness closes the gap
+between "parity on the corpora we thought of" and "parity": it generates N
+randomized small corpora — sweeping vocabulary size, boilerplate rate,
+marker rate, planted dup rate, cluster count/tightness, and the cap itself
+(including caps low enough to fire on ORGANIC buckets, not just planted
+mega-buckets) — and asserts the full rows+schema+values oracle compare on
+the capped query families for every one.
+
+Each trial is one fresh JVM per (corpus, cap): Dedup.DefaultMaxBucket and
+the oracle CTEs that interpolate it are both resolved at class init, so
+engine and oracle always see the SAME cap by construction — the trial
+varies the pair together, never separately.
+
+Parameters are drawn from random.Random(SEED + trial) — reruns reproduce
+the identical corpus set; bump SEED (env FUZZ_SEED) to explore new ground.
+
+Usage: python3 tools/fuzz_oracle.py [nText] [nVec]     (default 14 + 6)
+Needs compiled classes (sbt compile). Writes under /tmp/graft-fuzz/.
+Exit 0 = every trial matched; any mismatch prints the failing trial's
+full recipe (so it can be replayed by hand) and exits 1.
+"""
+import json, os, random, shutil, subprocess, sys, time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROOT = "/tmp/graft-fuzz"
+SEED = int(os.environ.get("FUZZ_SEED", "1101"))
+N_TEXT = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+N_VEC = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+
+# documents-only capped family (the q22/q39/q63/q112/q119 shapes VERDICT
+# names, plus the other pipelines that ride the shared capped CTEs)
+TEXT_QUERIES = ",".join([
+    "q22_minhash_lsh", "q39_dedup_clusters", "q63_dedup_apply",
+    "q53_lsh_recall", "q119_curation_funnel", "q23_simhash",
+    "q54_winnow_neardup", "q118_prefix_join", "q136_containment",
+    "q291_lsh_scurve"])
+# embeddings-only capped family
+VEC_QUERIES = ",".join([
+    "q47_embed_lsh", "q35_embed_neardup_ivf", "q112_semdedup",
+    "q218_margin_mining_ivf", "q298_embed_lsh_recall"])
+
+
+def run(cmd, env=None, tag=""):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    r = subprocess.run(cmd, env=e, capture_output=True, text=True, cwd=REPO)
+    if r.returncode != 0:
+        print(f"--- {tag} failed (rc={r.returncode}) ---")
+        print(" ".join(cmd))
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+    return r
+
+
+def java(xmx, main, args, env=None, tag=""):
+    return run([f"{REPO}/tools/graft_java.sh", xmx, main] + [str(a) for a in args],
+               env=env, tag=tag)
+
+
+def trial_text(i):
+    rng = random.Random(SEED + i)
+    vocab = rng.choice([200, 1000, 5000, 20000, 100000])
+    boiler = rng.choice([0.0, 0.02, 0.05, 0.1, 0.2])
+    marker = rng.choice([0.0, 0.15])
+    dup = rng.choice([0.0, 0.02, 0.05, 0.15])
+    cap = rng.choice([3, 10, 50])
+    return dict(kind="text", vocab=vocab, boiler=boiler, marker=marker,
+                dup=dup, cap=cap, sf=0.001)
+
+
+def trial_vec(i):
+    rng = random.Random(SEED + 10000 + i)
+    k = rng.choice([3, 10, 50])
+    sigma = rng.choice([0.15, 0.35, 0.6])
+    cap = rng.choice([10, 50, 100])
+    sf = rng.choice([0.01, 0.025])  # 200 / 500 vectors
+    return dict(kind="vec", k=k, sigma=sigma, cap=cap, sf=sf)
+
+
+def run_trial(i, t):
+    d = f"{ROOT}/t{i:02d}"
+    corpus, out = f"{d}/corpus", f"{d}/out"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    if t["kind"] == "text":
+        g = java("8g", "graft.GenData",
+                 [corpus, t["sf"], "zipf-docs", t["vocab"], t["boiler"],
+                  t["marker"], t["dup"]],
+                 env={"SPARK_GRAFT_CPUS": "8"}, tag=f"t{i} gen")
+        queries = TEXT_QUERIES
+    else:
+        g = java("8g", "graft.GenData",
+                 [corpus, t["sf"], "clustered-embs", t["k"], t["sigma"]],
+                 env={"SPARK_GRAFT_CPUS": "8"}, tag=f"t{i} gen")
+        queries = VEC_QUERIES
+    if g.returncode != 0:
+        return False, "gendata failed"
+    v = java("8g", "graft.Verify", [corpus, out, queries],
+             env={"SPARK_GRAFT_CPUS": "8",
+                  "SPARK_GRAFT_LSH_MAX_BUCKET": str(t["cap"])},
+             tag=f"t{i} verify")
+    if v.returncode != 0:
+        return False, "verify failed"
+    per_query_errs = [l for l in v.stderr.splitlines() if "[verify]" in l]
+    if per_query_errs:
+        return False, "; ".join(per_query_errs)
+    c = run(["python3", "-W", "ignore", f"{REPO}/tools/check_oracle.py",
+             corpus, out], tag=f"t{i} oracle")
+    tail = c.stdout.strip().splitlines()[-1] if c.stdout.strip() else "no output"
+    return c.returncode == 0, tail
+
+
+def main():
+    os.makedirs(ROOT, exist_ok=True)
+    trials = [trial_text(i) for i in range(N_TEXT)] + \
+             [trial_vec(i) for i in range(N_VEC)]
+    results, failed = [], 0
+    for i, t in enumerate(trials):
+        t0 = time.time()
+        ok, detail = run_trial(i, t)
+        dt = time.time() - t0
+        rec = dict(trial=i, ok=ok, secs=round(dt, 1), detail=detail, **t)
+        results.append(rec)
+        print(("PASS" if ok else "FAIL") +
+              f" t{i:02d} [{dt:5.1f}s] {json.dumps(t)} -> {detail}", flush=True)
+        if ok:  # keep failing trials on disk for replay
+            shutil.rmtree(f"{ROOT}/t{i:02d}", ignore_errors=True)
+        else:
+            failed += 1
+    summary = dict(seed=SEED, n_trials=len(trials), n_failed=failed,
+                   trials=results)
+    with open(f"{ROOT}/fuzz_summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"\n{len(trials) - failed}/{len(trials)} fuzz trials match "
+          f"(seed {SEED}); summary at {ROOT}/fuzz_summary.json")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
