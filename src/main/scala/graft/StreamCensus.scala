@@ -38,13 +38,22 @@ object StreamCensus {
     n
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outFile = if (args.length > 1) args(1) else "STREAMCENSUS.json"
-    val flagAt = sys.env.getOrElse("SPARK_GRAFT_CENSUS_FLAG", "8").toInt
-    val spark = GraftSession.local(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
-      app = "graft-stream-census", periodicGC = "10h")
+  /** One pipeline's census row: marker→count for the stream-side plan,
+    * marker→max-single-plan-count over the batch-side (foreachBatch)
+    * plans, and how many batch plans the run triggered. */
+  final case class PipelineCensus(name: String,
+                                  stream: Seq[(String, Int)],
+                                  batchMax: Seq[(String, Int)],
+                                  nBatchPlans: Int) {
+    def maxCount: Int = (stream ++ batchMax).map(_._2).maxOption.getOrElse(0)
+  }
+
+  /** The sweep itself, callable from CI (StreamCensusSpec asserts the
+    * streaming-recompute class can't silently reopen) as well as from
+    * [[main]]. Runs the 8 StreamBench pipelines over a staged sf feed on
+    * the GIVEN session and censuses their plans. */
+  def sweep(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+            dumpDir: Option[String] = None): Seq[PipelineCensus] = {
     val stage = java.nio.file.Files.createTempDirectory("graft_sc").toString
 
     // Staging mirrors StreamBench: 4 ascending time slices are enough
@@ -158,13 +167,10 @@ object StreamCensus {
 
     // SPARK_GRAFT_CENSUS_DUMP=<dir>: write every captured plan there for
     // offline duplicate-call adjudication (same contract as PlanCensus).
-    val dumpDir = sys.env.get("SPARK_GRAFT_CENSUS_DUMP")
     dumpDir.foreach(d => java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(d)))
 
-    val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val flagged = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, start) <- pipelines) {
+    pipelines.map { case (name, start) =>
       val (streamPlan, bps) = capture(start)
       dumpDir.foreach { d =>
         java.nio.file.Files.write(
@@ -182,16 +188,26 @@ object StreamCensus {
       val bCounts = Markers.map { m =>
         m -> bps.foldLeft(0)((mx, p) => math.max(mx, count(p, m)))
       }.filter(_._2 > 0)
-      def fmt(cs: Seq[(String, Int)]) =
-        cs.map { case (m, c) => s""""$m":$c""" }.mkString("{", ",", "}")
-      rows(name) =
-        s"""{"stream":${fmt(sCounts)},"batch_max":${fmt(bCounts)},"n_batch_plans":${bps.size}}"""
-      if ((sCounts ++ bCounts).exists(_._2 >= flagAt)) flagged += name
       println(s"STREAMCENSUS $name stream=${sCounts.mkString(",")} " +
         s"batch_max=${bCounts.mkString(",")} n_batch_plans=${bps.size}")
+      PipelineCensus(name, sCounts, bCounts, bps.size)
     }
-    val json = "{\"pipelines\":{" +
-      rows.map { case (n, j) => s""""$n":$j""" }.mkString(",") +
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outFile = if (args.length > 1) args(1) else "STREAMCENSUS.json"
+    val flagAt = sys.env.getOrElse("SPARK_GRAFT_CENSUS_FLAG", "8").toInt
+    val spark = GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      app = "graft-stream-census", periodicGC = "10h")
+    val res = sweep(spark, sfDir, sys.env.get("SPARK_GRAFT_CENSUS_DUMP"))
+    def fmt(cs: Seq[(String, Int)]) =
+      cs.map { case (m, c) => s""""$m":$c""" }.mkString("{", ",", "}")
+    val rows = res.map(r =>
+      s""""${r.name}":{"stream":${fmt(r.stream)},"batch_max":${fmt(r.batchMax)},"n_batch_plans":${r.nBatchPlans}}""")
+    val flagged = res.filter(_.maxCount >= flagAt).map(_.name)
+    val json = "{\"pipelines\":{" + rows.mkString(",") +
       s"""},"flag_at":$flagAt,"flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -176,11 +176,11 @@ object TextQueries {
       brute.join(banded,
           col("id_a") === col("b_a") && col("id_b") === col("b_b"), "left")
         .agg(count(lit(1)).as("n_brute"),
-          sum(col("b_a").isNotNull.cast("long")).as("n_common"))
+          coalesce(sum(col("b_a").isNotNull.cast("long")), lit(0L)).as("n_common"))
         .crossJoin(broadcast(nBand))
         .select(col("n_brute"), col("n_banded"), col("n_common"),
-          Det.roundAt(col("n_common").cast("double") / col("n_brute"), 6)
-            .as("recall"))
+          Det.roundAt(try_divide(col("n_common").cast("double"),
+            col("n_brute")), 6).as("recall"))
     },
     Some {
       val sim = s"""CAST(list_sum(list_transform(range(0, 32), i ->
@@ -552,10 +552,11 @@ object TextQueries {
       brute.join(lsh, col("id_a") === col("l_a") && col("id_b") === col("l_b"), "left")
         .agg(
           count(lit(1)).as("n_brute"),
-          sum(col("l_a").isNotNull.cast("long")).as("n_common"))
+          coalesce(sum(col("l_a").isNotNull.cast("long")), lit(0L)).as("n_common"))
         .crossJoin(broadcast(nLsh))
         .select(col("n_brute"), col("n_lsh"), col("n_common"),
-          Det.roundAt(col("n_common").cast("double") / col("n_brute"), 6).as("recall"))
+          Det.roundAt(try_divide(col("n_common").cast("double"),
+            col("n_brute")), 6).as("recall"))
     },
     Some(s"""WITH $minhashCtes,
         pairs AS (SELECT id_a, id_b FROM cand

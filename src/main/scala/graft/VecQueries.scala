@@ -885,11 +885,11 @@ object VecQueries {
       brute.join(lsh, col("id_a") === col("l_a") && col("id_b") === col("l_b"), "left")
         .agg(
           count(lit(1)).as("n_brute"),
-          sum(col("l_a").isNotNull.cast("long")).as("n_common"))
+          coalesce(sum(col("l_a").isNotNull.cast("long")), lit(0L)).as("n_common"))
         .crossJoin(broadcast(nLsh))
         .select(col("n_brute"), col("n_lsh"), col("n_common"),
-          Det.roundAt(col("n_common").cast(DoubleType)
-            / col("n_brute").cast(DoubleType), 6).as("recall"))
+          Det.roundAt(try_divide(col("n_common").cast(DoubleType),
+            col("n_brute").cast(DoubleType)), 6).as("recall"))
     },
     Some {
       val planes = Similarity.signPlanes(60, 64)
