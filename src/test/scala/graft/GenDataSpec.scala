@@ -159,6 +159,16 @@ class GenDataSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("dupPct knob: 0 plants no dups, a raised rate scales the planting") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(800L).toDF("id")
+    val none = GenData.documentsZipfFrom(ids, 800L, 0L, vocab = 1000L, dupPct = 0.0)
+    assert(none.filter(col("text").endsWith(" dup")).count() == 0)
+    val some = GenData.documentsZipfFrom(ids, 800L, 1L, vocab = 1000L, dupPct = 0.15)
+      .filter(col("text").endsWith(" dup")).count()
+    assert(some >= 80 && some <= 160, s"~15% of 800 expected, got $some")
+  }
+
   test("marker mode rejects vocab beyond the 4-letter rendering range") {
     val ids = spark.range(10L).toDF("id")
     intercept[IllegalArgumentException] {
