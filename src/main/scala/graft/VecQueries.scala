@@ -214,46 +214,75 @@ object VecQueries {
       TRUE AS orders_ok, TRUE AS median_ok, TRUE AS p99_ok
       FROM lineitem"""))
 
-  // q47 — sign-LSH near-dup: deterministic ±1 hyperplane sketches bucket
-  // the corpus in 4 bands (any-band match → candidate, OR-amplified
-  // recall); exact-cosine verify only on collisions. The band key WIDTH
-  // is adaptive — w = clamp(⌈log₂(n/32)⌉, 4, 15) bits of each 15-bit
-  // slice of a 60-plane sketch, ~32 vectors per band bucket at any
-  // scale — because a fixed 4-bit key space made Σ bucketᵢ² quadratic
-  // (the sf3 checkpoint OOM'd this query before the fix). Recall
-  // follows the standard 1−(1−p_bitʷ)⁴ curve: wider keys at larger n
-  // trade per-band recall for bounded bucket volume, the textbook LSH
-  // tuning knob. The oracle receives the identical plane literals,
-  // ladder, and band slicing, so candidate sets match bit-for-bit.
-  private val q47 = Q(
-    "q47_embed_lsh",
-    (s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val n = emb.count()
-      val w = (4 to 15).find(b => n <= 32L * (1L << b)).getOrElse(15)
-      Similarity.lshNearDupPairs(emb, 0.2, nPlanes = 60, bands = 4, useBits = w)
-    },
-    Some {
-      val planes = Similarity.signPlanes(60, 64)
-      def sketch(e: String) = planes.zipWithIndex.map { case (p, i) =>
-        s"""CASE WHEN CAST(list_sum(list_transform(range(1, 65),
-            i -> CAST(floor(CAST($e[i] AS DOUBLE) * (${planeLit(p)})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT) >= 0
-            THEN ${1L << i} ELSE 0 END""" }
-        .mkString("(", " + ", ")")
-      val ladder = (4 to 15)
-        .map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b").mkString(" ")
-      s"""WITH sk AS (SELECT vec_id, ${sketch("embedding")} AS sk FROM embeddings),
-      nc AS (SELECT COUNT(*) AS n FROM embeddings),
+  /** The adaptive band-key width for a corpus of `n` vectors: the least
+    * w in [4, 15] with n ≤ 32·2^w (~32 vectors per band bucket on
+    * isotropic data at any scale). Single source of truth for the engine
+    * side of q47/q298; [[bandedLshCtes]] interpolates the identical
+    * ladder into the oracle. */
+  private[graft] def lshKeyBits(n: Long): Int =
+    (4 to 15).find(b => n <= 32L * (1L << b)).getOrElse(15)
+
+  /** Shared DuckDB CTE chain mirroring [[Similarity.lshNearDupPairs]]
+    * with the adaptive key ladder AND the closed-form band count
+    * b(w) = [[Similarity.recallBands]] interpolated as CASE arms — the
+    * plane literals, ladder, band table, and cap are all rendered from
+    * the same Scala constants the engine compiles, so candidate sets
+    * match bit-for-bit at every rung. Yields CTEs `nc, wc, bc, pl, bits,
+    * bands, ok_bk, bands_ok, cand` (no WITH prefix; callers append). */
+  private def bandedLshCtes: String = {
+    val stride = Similarity.PlaneStride
+    val bMax = Similarity.recallBands(15)
+    val planes = Similarity.signPlanes(bMax * stride, 64)
+    // only planes a reachable (band, bit) pair can read: bit < 15 ≤ stride
+    val rows = (0 until bMax).flatMap(band =>
+      (0 until 15).map(bit => band * stride + bit))
+    val values = rows.map(pid => s"($pid, ${planeLit(planes(pid))})")
+      .mkString(",\n        ")
+    val ladder = (4 to 15)
+      .map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b").mkString(" ")
+    val bCase = (4 to 15)
+      .map(w => s"WHEN $w THEN ${Similarity.recallBands(w)}").mkString(" ")
+    s"""nc AS (SELECT COUNT(*) AS n FROM embeddings),
       wc AS (SELECT CASE $ladder ELSE 15 END AS w FROM nc),
-      bands AS (SELECT vec_id, bb.b AS band,
-          (sk >> (15 * bb.b)) & (CAST(pow(2, w) AS BIGINT) - 1) AS key
-        FROM sk CROSS JOIN wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+      bc AS (SELECT w, CASE w $bCase END AS nb FROM wc),
+      pl AS (SELECT * FROM (VALUES $values) t(pid, pv)),
+      bits AS (SELECT e.vec_id, p.pid // $stride AS band, p.pid % $stride AS bit,
+          CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE) * 1e12 + 0.5) AS BIGINT))) AS BIGINT) >= 0
+          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b1
+        FROM embeddings e CROSS JOIN pl p CROSS JOIN bc
+        WHERE p.pid // $stride < bc.nb AND p.pid % $stride < bc.w),
+      bands AS (SELECT vec_id, band,
+          CAST(SUM(b1 * (CAST(1 AS BIGINT) << bit)) AS BIGINT) AS key
+        FROM bits GROUP BY vec_id, band),
       ok_bk AS (SELECT band, key FROM bands
         GROUP BY band, key HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
       bands_ok AS (SELECT b.* FROM bands b JOIN ok_bk USING (band, key)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands_ok a JOIN bands_ok b
-          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)"""
+  }
+
+  // q47 — sign-LSH near-dup: deterministic ±1 hyperplane band keys bucket
+  // the corpus (any-band match → candidate, OR-amplified recall);
+  // exact-cosine verify only on collisions. The band key WIDTH is
+  // adaptive — w = clamp(⌈log₂(n/32)⌉, 4, 15), ~32 vectors per band
+  // bucket at any scale — because a fixed 4-bit key space made
+  // Σ bucketᵢ² quadratic (the sf3 checkpoint OOM'd this query before
+  // the fix). The band COUNT follows the closed form b(w) =
+  // Similarity.recallBands (round 12): recall at the declared operating
+  // point (cos ≥ 0.9) is ≥ 0.9 at EVERY ladder rung, instead of
+  // decaying 0.90 → 0.34 as fixed 4-band keys widened with corpus
+  // growth. The oracle receives the identical plane literals, ladder,
+  // and band table, so candidate sets match bit-for-bit.
+  private val q47 = Q(
+    "q47_embed_lsh",
+    (s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshNearDupPairs(emb, 0.2, keyBits = lshKeyBits(emb.count()))
+    },
+    Some {
+      s"""WITH $bandedLshCtes
       SELECT c.id_a, c.id_b, ${cos6("ea.embedding", "eb.embedding")} AS cos
       FROM cand c
         JOIN embeddings ea ON ea.vec_id = c.id_a
@@ -860,74 +889,74 @@ object VecQueries {
       FROM hits"""))
 
   // q298 — banded sign-LSH RECALL vs exact cosine: q47's recall-targeting
-  // vector scale path (OR-amplified 4-band sketch, adaptive key width,
-  // capBuckets-guarded) measured pair-for-pair against the brute O(n²)
-  // truth of q28's ranking machinery. Completes the per-index recall
-  // audit set (minhash-LSH→q53, PQ→q195, IVF→q196, banded-sign→this):
-  // round 10's clustered-corpus probe showed hot clusters stress exactly
-  // this path's blocking (every member shares the centroid's sign bits),
-  // so the audit runs wherever the corpus dir points — the shipped
-  // isotropic set under the driver's gate, the clustered mixture corpus
-  // in SCALE_r11's probe runs. LSH verification applies the same cosine
-  // predicate as brute, so n_common = n_lsh when nothing is shed; the
-  // join computes it honestly rather than assuming the subset property.
+  // vector scale path (OR-amplified adaptive-band sketch, adaptive key
+  // width, capBuckets-guarded) measured pair-for-pair against the brute
+  // O(n²) truth of q28's ranking machinery. Completes the per-index
+  // recall audit set (minhash-LSH→q53, PQ→q195, IVF→q196,
+  // banded-sign→this): round 10's clustered-corpus probe showed hot
+  // clusters stress exactly this path's blocking (every member shares the
+  // centroid's sign bits), so the audit runs wherever the corpus dir
+  // points — the shipped isotropic set under the driver's gate, the
+  // clustered mixture corpora in the SCALE_r12 ladder runs. LSH
+  // verification applies the same cosine predicate as brute, so
+  // n_common = n_lsh when nothing is shed; the join computes it honestly
+  // rather than assuming the subset property. Round 12 adds the
+  // OPERATING-POINT columns (`*_hi`, the cos ≥ 0.9 truth bin): with
+  // bands = Similarity.recallBands(w), recall_hi carries the declared
+  // ≥ 0.9 floor at every ladder rung (absent cap shedding) — the
+  // contract is now a first-class oracle-checked output, not a probe.
   private val q298 = Q(
     "q298_embed_lsh_recall",
     (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      val n = emb.count()
-      val w = (4 to 15).find(b => n <= 32L * (1L << b)).getOrElse(15)
-      val brute = Similarity.nearDupPairs(emb, 0.2).select("id_a", "id_b")
-      val lsh = Similarity.lshNearDupPairs(emb, 0.2, nPlanes = 60, bands = 4,
-          useBits = w)
+      val brute = Similarity.nearDupPairs(emb, 0.2)
+      val lsh = Similarity.lshNearDupPairs(emb, 0.2,
+          keyBits = lshKeyBits(emb.count()))
         .select(col("id_a").as("l_a"), col("id_b").as("l_b"))
       val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      val hi = col("cos") >= Similarity.RecallTargetCos
+      val hit = col("l_a").isNotNull
       brute.join(lsh, col("id_a") === col("l_a") && col("id_b") === col("l_b"), "left")
         .agg(
           count(lit(1)).as("n_brute"),
-          coalesce(sum(col("l_a").isNotNull.cast("long")), lit(0L)).as("n_common"))
+          coalesce(sum(hit.cast("long")), lit(0L)).as("n_common"),
+          coalesce(sum(hi.cast("long")), lit(0L)).as("n_brute_hi"),
+          coalesce(sum((hi && hit).cast("long")), lit(0L)).as("n_common_hi"))
         .crossJoin(broadcast(nLsh))
         .select(col("n_brute"), col("n_lsh"), col("n_common"),
           Det.roundAt(try_divide(col("n_common").cast(DoubleType),
-            col("n_brute").cast(DoubleType)), 6).as("recall"))
+            col("n_brute").cast(DoubleType)), 6).as("recall"),
+          col("n_brute_hi"), col("n_common_hi"),
+          Det.roundAt(try_divide(col("n_common_hi").cast(DoubleType),
+            col("n_brute_hi").cast(DoubleType)), 6).as("recall_hi"))
     },
     Some {
-      val planes = Similarity.signPlanes(60, 64)
-      def sketch(e: String) = planes.zipWithIndex.map { case (p, i) =>
-        s"""CASE WHEN CAST(list_sum(list_transform(range(1, 65),
-            i -> CAST(floor(CAST($e[i] AS DOUBLE) * (${planeLit(p)})[i] * 1e12 + 0.5) AS BIGINT))) AS BIGINT) >= 0
-            THEN ${1L << i} ELSE 0 END""" }
-        .mkString("(", " + ", ")")
-      val ladder = (4 to 15)
-        .map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b").mkString(" ")
-      s"""WITH sk AS (SELECT vec_id, ${sketch("embedding")} AS sk FROM embeddings),
-      nc AS (SELECT COUNT(*) AS n FROM embeddings),
-      wc AS (SELECT CASE $ladder ELSE 15 END AS w FROM nc),
-      bands AS (SELECT vec_id, bb.b AS band,
-          (sk >> (15 * bb.b)) & (CAST(pow(2, w) AS BIGINT) - 1) AS key
-        FROM sk CROSS JOIN wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
-      ok_bk AS (SELECT band, key FROM bands
-        GROUP BY band, key HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
-      bands_ok AS (SELECT b.* FROM bands b JOIN ok_bk USING (band, key)),
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM bands_ok a JOIN bands_ok b
-          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      s"""WITH $bandedLshCtes,
       lsh AS (SELECT c.id_a, c.id_b
         FROM cand c
           JOIN embeddings ea ON ea.vec_id = c.id_a
           JOIN embeddings eb ON eb.vec_id = c.id_b
         WHERE ${cos6("ea.embedding", "eb.embedding")} >= 0.2),
-      brute AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      brute AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${cos6("a.embedding", "b.embedding")} AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE ${cos6("a.embedding", "b.embedding")} >= 0.2),
       counts AS (SELECT
         (SELECT COUNT(*) FROM brute) AS n_brute,
         (SELECT COUNT(*) FROM lsh) AS n_lsh,
         (SELECT COUNT(*) FROM brute t JOIN lsh p
-           ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_common)
+           ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_common,
+        (SELECT COUNT(*) FROM brute
+           WHERE cos >= ${Similarity.RecallTargetCos}) AS n_brute_hi,
+        (SELECT COUNT(*) FROM brute t JOIN lsh p
+           ON t.id_a = p.id_a AND t.id_b = p.id_b
+           WHERE t.cos >= ${Similarity.RecallTargetCos}) AS n_common_hi)
       SELECT CAST(n_brute AS BIGINT) AS n_brute, CAST(n_lsh AS BIGINT) AS n_lsh,
         CAST(n_common AS BIGINT) AS n_common,
-        ${Det.roundAtSql("CAST(n_common AS DOUBLE) / CAST(n_brute AS DOUBLE)", 6)} AS recall
+        ${Det.roundAtSql("CAST(n_common AS DOUBLE) / CAST(n_brute AS DOUBLE)", 6)} AS recall,
+        CAST(n_brute_hi AS BIGINT) AS n_brute_hi,
+        CAST(n_common_hi AS BIGINT) AS n_common_hi,
+        ${Det.roundAtSql("CAST(n_common_hi AS DOUBLE) / CAST(n_brute_hi AS DOUBLE)", 6)} AS recall_hi
       FROM counts""" })
 
   /** Shared SQL body for q217/q218 — identical margin math, only the

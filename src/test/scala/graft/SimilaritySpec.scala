@@ -27,26 +27,56 @@ class SimilaritySpec extends SparkSpec {
 
   test("banded candidates verify exactly: LSH pairs are a subset of brute pairs") {
     val brute  = pairs(Similarity.nearDupPairs(corpus, 0.5))
-    val banded = pairs(Similarity.lshNearDupPairs(corpus, 0.5, nPlanes = 16, bands = 4))
+    val banded = pairs(Similarity.lshNearDupPairs(corpus, 0.5, keyBits = 4))
     assert(banded.subsetOf(brute), s"banded produced non-brute pairs: ${banded -- brute}")
     assert(brute.size >= 25, s"fixture should contain ≥25 true pairs, got ${brute.size}")
   }
 
-  test("4×4-bit banding beats the full-sketch match on recall") {
-    val brute  = pairs(Similarity.nearDupPairs(corpus, 0.5))
-    val banded = pairs(Similarity.lshNearDupPairs(corpus, 0.5, nPlanes = 16, bands = 4))
-    val full   = pairs(Similarity.lshNearDupPairs(corpus, 0.5, nPlanes = 16, bands = 1))
-    val rBanded = banded.intersect(brute).size.toDouble / brute.size
-    val rFull   = full.intersect(brute).size.toDouble / brute.size
-    assert(rBanded >= 0.8, s"banded recall $rBanded < 0.8")
-    assert(rBanded >= rFull, s"banded recall $rBanded below full-sketch recall $rFull")
+  test("adaptive banding recalls the planted twins at the declared floor") {
+    // 30 planted twin pairs at cos ≈ 0.999: per-pair closed-form recall
+    // 1−(1−p⁴)³ ≈ 0.9998 ≫ the declared 0.9 floor — all 30 must surface
+    // (deterministic planes + corpus make this exact, not statistical).
+    val banded = pairs(Similarity.lshNearDupPairs(corpus, 0.5, keyBits = 4))
+    val twins = (0 until 30).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val found = twins.intersect(banded)
+    assert(found.size >= 29, s"only ${found.size}/30 planted twins recalled")
+  }
+
+  test("band configurations NEST: more bands ⊇ fewer, narrower keys ⊇ wider") {
+    // PlaneStride allocation makes band b's planes independent of the
+    // total band count and key width, so these are EXACT set inclusions
+    // (what keeps the adaptive ladder rung-to-rung comparable), not
+    // statistical tendencies.
+    val b2 = pairs(Similarity.lshNearDupPairs(corpus, 0.5, keyBits = 4, bands = 2))
+    val b4 = pairs(Similarity.lshNearDupPairs(corpus, 0.5, keyBits = 4, bands = 4))
+    assert(b2.subsetOf(b4), s"bands=2 found pairs bands=4 missed: ${b2 -- b4}")
+    val w8 = pairs(Similarity.lshNearDupPairs(corpus, 0.5, keyBits = 8, bands = 4))
+    assert(w8.subsetOf(b4), s"keyBits=8 found pairs keyBits=4 missed: ${w8 -- b4}")
+  }
+
+  test("recallBands holds the declared floor at every ladder rung") {
+    // Pin the closed-form table — an edit to the constants or the formula
+    // must fail loudly, because the oracle CTEs interpolate these values.
+    val expected = Map(4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6, 8 -> 7, 9 -> 9,
+      10 -> 10, 11 -> 12, 12 -> 14, 13 -> 17, 14 -> 19, 15 -> 23)
+    expected.foreach { case (w, b) =>
+      assert(Similarity.recallBands(w) == b,
+        s"recallBands($w) = ${Similarity.recallBands(w)}, expected $b")
+    }
+    // and the floor the table exists to hold: 1−(1−p^w)^b ≥ 0.9 at cos 0.9
+    val p = 1.0 - math.acos(Similarity.RecallTargetCos) / math.Pi
+    (4 to 15).foreach { w =>
+      val r = 1.0 - math.pow(1.0 - math.pow(p, w), Similarity.recallBands(w))
+      assert(r >= Similarity.RecallFloor,
+        f"closed-form recall $r%.4f at w=$w below the declared floor")
+    }
   }
 
   test("banded LSH cosines match the brute cosines on shared pairs") {
     val brute = Similarity.nearDupPairs(corpus, 0.5)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
-    val banded = Similarity.lshNearDupPairs(corpus, 0.5, nPlanes = 16, bands = 4)
+    val banded = Similarity.lshNearDupPairs(corpus, 0.5, keyBits = 4)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
     banded.foreach { case (a, b, c) =>
       assert(brute((a, b)) == c, s"cos mismatch on ($a,$b)")
