@@ -125,9 +125,15 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")) {
         val rt = Runtime.getRuntime
         val used = (rt.totalMemory - rt.freeMemory) >> 20
-        val blocks = spark.sparkContext.getRDDStorageInfo.map(_.numCachedPartitions).sum
+        // BlockManagerMaster-side truth (ADVICE r11): getRDDStorageInfo
+        // enumerates persistentRdds, which unpersist clears synchronously
+        // even when block removal is still in flight — it reads 0 in the
+        // exact async-lag failure mode this line exists to evidence.
+        val sc = spark.sparkContext
+        val blocks = org.apache.spark.graftbridge.BlockBridge.rddBlocks(sc).size
+        val storMiB = org.apache.spark.graftbridge.BlockBridge.storageMemoryUsed(sc) >> 20
         System.err.println(f"[bench] pass ${q.name} ${r.getOrElse(-1.0)}%.2f s " +
-          s"heapUsedMiB=$used cachedBlocks=$blocks")
+          s"heapUsedMiB=$used cachedBlocks=$blocks storageUsedMiB=$storMiB")
       }
       r
     }

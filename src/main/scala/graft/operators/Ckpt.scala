@@ -69,6 +69,20 @@ object Ckpt {
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(/* eager = */ false, level)
     val added = sc.getPersistentRDDs.keySet.toSet -- before
+    // Single-writer guard (VERDICT r11 #6b): ids are attributed by this
+    // before/after diff, and localCheckpoint persists exactly ONE RDD —
+    // more than one new id means another thread persisted RDDs
+    // concurrently, and those ids would be silently mis-attributed here
+    // and mis-RELEASED later (data loss for the other pipeline's cache,
+    // invisible until its consumer recomputes or dies). The scaladoc
+    // assumption is now load-bearing for long-running embeddings, so an
+    // interleave fails loudly at registration instead.
+    require(added.size <= 1,
+      s"Ckpt.localScoped observed ${added.size} newly-persisted RDD ids " +
+        s"(${added.mkString(",")}) for a single localCheckpoint — another " +
+        "thread is persisting RDDs concurrently on this SparkContext; " +
+        "the Ckpt registry is single-writer (scope a registry per " +
+        "pipeline for concurrent callers)")
     idsFor(sc.applicationId) ++= added
     (out, added)
   }
@@ -86,6 +100,12 @@ object Ckpt {
     * the pre-round-11 async behavior (A/B probe knob only). */
   private val blockingRelease: Boolean =
     !sys.env.get("SPARK_GRAFT_CKPT_ASYNC_RELEASE").contains("1")
+
+  /** Test hook: the blocking-release default is part of the storage
+    * contract (SCALE_r11 proof), so CI pins it directly — a timing-based
+    * guard alone can pass spuriously when the async drain happens to win
+    * the race (ADVICE r11). */
+  private[graft] def isBlockingRelease: Boolean = blockingRelease
 
   /** Unpersist a specific checkpoint's blocks (safe once every consumer of
     * that checkpoint has run or been checkpointed itself). Blocks until

@@ -147,7 +147,7 @@ object Graph {
     val e = Ckpt.local(
       edges.select(col("src"), col("dst"), col("ets").cast("long").as("ets"))
         .repartition(col("src")).sortWithinPartitions("src"))
-    var arr = Ckpt.local(
+    var (arr, seedArrIds) = Ckpt.localScoped(
       seeds.select(col("id")).distinct().withColumn("arr", lit(0L)))
     // DELTA-FRONTIER rounds (round 8): only nodes whose arrival CHANGED
     // last round can open new edges (an unchanged src already emitted all
@@ -158,25 +158,40 @@ object Graph {
     // once the delta is small AQE plans it as a broadcast join (no edge
     // shuffle at all). The empty-delta exit is the same fixpoint proof as
     // before (min-arrival is monotone), now at delta grain.
+    // Scoped generation release — see cheapestPath for the proof sketch:
+    // once round N's count() returns, arr(N−1) has materialized and
+    // lineage-truncated, so arr(N−2) and delta(N−1) have no remaining
+    // consumer; releasing them in-loop bounds live checkpoint
+    // generations at ≤4 regardless of maxHops (the intra-pass working
+    // set that kept one q227 sf10 pass from fitting 24 g).
+    val spark = edges.sparkSession
+    var arrIds = seedArrIds
+    var prevArrIds = Set.empty[Int]
     var delta = arr
+    var deltaIds = Set.empty[Int] // seed delta IS arr — never self-release
     var h = 0
     while (h < maxHops && delta != null) {
       val cand = e
         .join(delta.withColumnRenamed("id", "src"), "src")
         .filter(col("ets") >= col("arr"))
         .groupBy(col("dst").as("id")).agg(min(col("ets")).as("arr"))
-      val improved = Ckpt.local(
+      val (improved, impIds) = Ckpt.localScoped(
         cand.join(arr.withColumnRenamed("arr", "_old"), Seq("id"), "left")
           .filter(col("_old").isNull || col("arr") < col("_old"))
           .select(col("id"), col("arr")))
-      // the count also materializes the delta checkpoint before the next
-      // round's join (and the arr merge) reuse it
-      if (improved.count() == 0) delta = null
+      // the count also materializes the current arr checkpoint (and this
+      // round's delta) before the next round's join reuses them
+      val empty = improved.count() == 0
+      Ckpt.releaseIds(spark, prevArrIds ++ deltaIds)
+      prevArrIds = Set.empty
+      if (empty) delta = null
       else {
-        arr = Ckpt.local(
+        val (na, naIds) = Ckpt.localScoped(
           arr.join(improved.select("id"), Seq("id"), "left_anti")
             .union(improved))
-        delta = improved
+        prevArrIds = arrIds
+        arr = na; arrIds = naIds
+        delta = improved; deltaIds = impIds
       }
       h += 1
     }
@@ -200,7 +215,7 @@ object Graph {
     val e = Ckpt.local(
       edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
         .repartition(col("src")).sortWithinPartitions("src"))
-    var costs = Ckpt.local(
+    var (costs, seedCostsIds) = Ckpt.localScoped(
       seeds.select(col("id")).distinct().withColumn("cost", lit(0L)))
     // DELTA-FRONTIER Bellman-Ford (round 8): a src whose cost did not
     // change last round re-derives only candidates already merged in an
@@ -211,24 +226,46 @@ object Graph {
     // whole vertex set, and a small delta becomes a broadcast join under
     // AQE (the sf3-measured 3.06×-for-3×-data asymptote came from the
     // full-relation rounds). Empty delta ⇒ fixpoint (monotone min), exit.
+    // SCOPED GENERATION RELEASE (round 12, VERDICT r11 #2): without it
+    // every round's costs+delta checkpoints stay live until the caller's
+    // session-level Ckpt.release — ~2·maxHops vertex-grain generations
+    // whose INTRA-pass working set OOMed a 24 g heap at sf10 even after
+    // blocking release flattened the cross-pass floor. The DP only ever
+    // reads generation N−1: once round N's count() returns, costs(N−1)
+    // has materialized (computing improved(N) pulls it through its own
+    // checkpoint, and runJob's doCheckpoint hook caches every partition
+    // and truncates its lineage), so costs(N−2) and delta(N−1) have no
+    // remaining consumer and are released inside the loop — live
+    // generations are now a constant ≤4 regardless of maxHops. Same
+    // discipline as Dedup.clusters; bfsLevels keeps session-level
+    // release because its visited union reads EVERY level at the end.
+    val spark = edges.sparkSession
+    var costsIds = seedCostsIds       // current costs generation
+    var prevCostsIds = Set.empty[Int] // generation the current one was built from
     var delta = costs
+    var deltaIds = Set.empty[Int]     // seed delta IS costs — never self-release
     var h = 0
     while (h < maxHops && delta != null) {
       val cand = e.join(delta.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cost") + col("w")).as("cost"))
-      val improved = Ckpt.local(
+      val (improved, impIds) = Ckpt.localScoped(
         cand.join(costs.withColumnRenamed("cost", "_old"), Seq("id"), "left")
           .filter(col("_old").isNull || col("cost") < col("_old"))
           .select(col("id"), col("cost")))
-      // the count also materializes the delta checkpoint before the next
-      // round's join (and the costs merge) reuse it
-      if (improved.count() == 0) delta = null
+      // the count also materializes the current costs checkpoint (and
+      // this round's delta) before the next round's join reuses them
+      val empty = improved.count() == 0
+      Ckpt.releaseIds(spark, prevCostsIds ++ deltaIds)
+      prevCostsIds = Set.empty
+      if (empty) delta = null
       else {
-        costs = Ckpt.local(
+        val (nc, ncIds) = Ckpt.localScoped(
           costs.join(improved.select("id"), Seq("id"), "left_anti")
             .union(improved))
-        delta = improved
+        prevCostsIds = costsIds
+        costs = nc; costsIds = ncIds
+        delta = improved; deltaIds = impIds
       }
       h += 1
     }

@@ -113,19 +113,32 @@ class CkptCapSpec extends SparkSpec {
     // checkpoint generations faster than the async drain accumulates
     // storage without bound (the q227/q214 sf10 spread's root cause —
     // SCALE_r10 q227_steady_state: one pass fit a 24 g heap, seven OOMed).
-    // getRDDStorageInfo reflects actual BlockManager block status, so an
-    // assertion immediately after release (no polling, no sleep) is the
-    // determinism contract.
+    //
+    // ADVICE r11: the original assertions read getRDDStorageInfo, which
+    // enumerates the driver's persistentRdds map — a map unpersist clears
+    // synchronously REGARDLESS of the blocking flag, so they passed even
+    // under the async env knob (a vacuous guard). This version captures
+    // the checkpoint's RDD ids and asks the BlockManagerMaster for actual
+    // block state (askStorageEndpoints = true) immediately after release,
+    // plus pins the blocking default directly — a regression to async
+    // release flips isBlockingRelease and fails deterministically, and
+    // any removal lag shows up as live blocks for the captured ids.
+    import org.apache.spark.graftbridge.BlockBridge
     val sc = spark.sparkContext
-    val ck = Ckpt.local(megaDocs)
+    assert(Ckpt.isBlockingRelease,
+      "blocking release is the contract default (SPARK_GRAFT_CKPT_ASYNC_RELEASE is an A/B-only knob)")
+    val (ck, ids) = Ckpt.localScoped(megaDocs)
     assert(ck.count() == 202L)
-    assert(sc.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
-      "the checkpoint should hold cached blocks before release")
+    assert(ids.nonEmpty, "localScoped should have registered the checkpoint RDD")
+    // block writes report to the master synchronously during the put
+    // (tellMaster), so by count()'s return the endpoint state is settled
+    assert(BlockBridge.rddBlocksFor(sc, ids).nonEmpty,
+      "the checkpoint should hold BlockManager blocks before release")
     Ckpt.release(spark)
-    assert(sc.getRDDStorageInfo.forall(_.numCachedPartitions == 0),
-      "blocking release must have dropped every block before returning: " +
-        sc.getRDDStorageInfo.map(i => s"rdd_${i.id}:${i.numCachedPartitions}")
-          .mkString(","))
+    val leftover = BlockBridge.rddBlocksFor(sc, ids)
+    assert(leftover.isEmpty,
+      s"blocking release must have dropped every block before returning: " +
+        leftover.mkString(","))
     assert(sc.getPersistentRDDs.isEmpty)
   }
 
