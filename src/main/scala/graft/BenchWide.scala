@@ -14,6 +14,22 @@ package graft
   * once per round, commit as BENCHWIDE.json (see README).
   */
 object BenchWide {
+  /** Fixed CALIBRATION PROBE (round 12, VERDICT r11 #5): ten queries
+    * spanning the box's load axes — parquet-scan-bound (q01/q41/q11),
+    * shuffle-join (q03/q70/q80), window (q06), sessionization (q37),
+    * vector-CPU (q28), and LSH/checkpoint (q22) — run with 3 warm passes
+    * BEFORE and AFTER the cold sweep. The probe's round-over-round ratio
+    * estimates box drift INDEPENDENTLY of the 297 swept queries it is
+    * used to de-drift (the r11 estimate was the median over the same
+    * queries it then corrected — circular), and the before/after pair
+    * bounds intra-sweep drift. Names are pinned: changing this list
+    * breaks round-over-round comparability. */
+  val ProbeQueries: Seq[String] = Seq(
+    "q01_groupby_agg", "q41_region_revenue", "q11_monthly_trend",
+    "q03_join_revenue", "q70_asof_join", "q80_range_join",
+    "q06_window_topn", "q37_sessionize", "q28_ann_brute",
+    "q22_minhash_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outFile = if (args.nonEmpty) args(0) else "BENCHWIDE.json"
@@ -22,17 +38,14 @@ object BenchWide {
     val spark = GraftSession.local(
       cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), app = "graft-benchwide",
       periodicGC = "10h")
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (q <- Queries.all.sortBy(_.name)) {
+
+    def timed(q: Q): Option[Double] = {
       val t0 = System.nanoTime()
-      try {
-        q.run(spark, sfDir).count()
-        results(q.name) = math.rint((System.nanoTime() - t0) / 1e6) / 1e3
-      } catch { case e: Throwable =>
-        System.err.println(s"[benchwide] ${q.name} failed: ${e.getMessage}")
-        failed += q.name
-      }
+      val r = try { q.run(spark, sfDir).count()
+                    Some(math.rint((System.nanoTime() - t0) / 1e6) / 1e3) }
+              catch { case e: Throwable =>
+                System.err.println(s"[benchwide] ${q.name} failed: ${e.getMessage}")
+                None }
       // free localCheckpoint blocks between queries — 280+ plans in one
       // session would otherwise accumulate storage until eviction noise
       // pollutes the timings — and GC so ContextCleaner reclaims each
@@ -40,14 +53,40 @@ object BenchWide {
       // (see Bench: un-collected driver heap degrades later passes 4×)
       graft.operators.Ckpt.release(spark)
       System.gc()
+      r
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // one untimed pass warms JIT/parquet footers, then median of 3
+    def probe(): Seq[(String, Double)] =
+      ProbeQueries.flatMap { n =>
+        Queries.all.find(_.name == n).flatMap { q =>
+          timed(q)
+          val warms = (1 to 3).flatMap(_ => timed(q))
+          if (warms.size == 3) Some(q.name -> median(warms)) else None
+        }
+      }
+
+    val probeBefore = probe()
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (q <- Queries.all.sortBy(_.name))
+      timed(q) match {
+        case Some(s) => results(q.name) = s
+        case None => failed += q.name
+      }
+    val probeAfter = probe()
+
     val total = math.rint(results.values.sum * 1000) / 1000
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (n, s) => s""""$n":$s""" }.mkString("{", ",", "}")
     val json = new StringBuilder
     json ++= s"""{"metric":"wide_cold_total_sec","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size}"""
     json ++= s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
-    json ++= ""","queries":{"""
-    json ++= results.map { case (n, s) => s""""$n":$s""" }.mkString(",")
-    json ++= "}}"
+    json ++= s""","probe_before":${obj(probeBefore)},"probe_after":${obj(probeAfter)}"""
+    json ++= s""","queries":${obj(results.toSeq)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.toString.getBytes("UTF-8"))
     println(json.toString)

@@ -54,12 +54,35 @@ def main():
             cv_bar = 2 * statistics.median(cvs)
     rel_bar = max(cv_bar, args.min_rel)
 
-    # Uniform drift check first: if the median ratio across shared
-    # queries is itself far from 1, the box drifted — per-query flags
-    # would just re-report the drift N times.
+    # Uniform drift check first: if the box itself sped up or slowed down
+    # between the two runs, per-query flags would just re-report the
+    # drift N times. Preferred estimator (round 12): the FIXED calibration
+    # probe both snapshots carry (probe_before/probe_after, 10 pinned
+    # queries, 3-warm-median, run before AND after each sweep) — a drift
+    # estimate independent of the 297 swept queries it then de-drifts.
+    # Per side the probe reading is min(before, after): min is the right
+    # estimator for a lower-bounded timing corrupted by one-sided noise.
+    # Fallback for pre-r12 snapshots without a probe block: the median
+    # ratio over the shared sweep queries (the old, circular estimate —
+    # still reported as sweep_drift_ratio for cross-checking).
     shared = sorted(set(oq) & set(nq))
     ratios = [nq[q] / oq[q] for q in shared if oq[q] > 0]
-    drift = statistics.median(ratios) if ratios else 1.0
+    sweep_drift = statistics.median(ratios) if ratios else 1.0
+
+    def probe_min(snap):
+        b, a = snap.get("probe_before", {}), snap.get("probe_after", {})
+        return {q: min(b[q], a[q]) for q in set(b) & set(a)}
+
+    def probe_spread(snap):
+        b, a = snap.get("probe_before", {}), snap.get("probe_after", {})
+        rs = [a[q] / b[q] for q in set(b) & set(a) if b[q] > 0]
+        return round(statistics.median(rs), 3) if rs else None
+
+    po, pn = probe_min(old), probe_min(new)
+    probe_shared = sorted(set(po) & set(pn))
+    probe_drift = (statistics.median([pn[q] / po[q] for q in probe_shared])
+                   if probe_shared else None)
+    drift = probe_drift if probe_drift is not None else sweep_drift
 
     flagged = []
     for q in shared:
@@ -82,6 +105,12 @@ def main():
         "only_in_old": sorted(set(oq) - set(nq)),
         "only_in_new": sorted(set(nq) - set(oq)),
         "median_drift_ratio": round(drift, 3),
+        "drift_source": "probe" if probe_drift is not None else "sweep",
+        "probe_drift_ratio": (round(probe_drift, 3)
+                              if probe_drift is not None else None),
+        "sweep_drift_ratio": round(sweep_drift, 3),
+        "intra_sweep_drift_old": probe_spread(old),
+        "intra_sweep_drift_new": probe_spread(new),
         "rel_bar": round(rel_bar, 3),
         "min_abs_sec": args.min_abs,
         "flagged": flagged,

@@ -22,7 +22,22 @@ Usage: python3 tools/fuzz_oracle.py [nText] [nVec]     (default 14 + 6)
 Needs compiled classes (sbt compile). Writes under /tmp/graft-fuzz/.
 Exit 0 = every trial matched; any mismatch prints the failing trial's
 full recipe (so it can be replayed by hand) and exits 1.
+
+CI mode (round 12, VERDICT r11 #3): `python3 tools/fuzz_oracle.py --ci`
+runs the PINNED subset below — the defect class this harness catches
+(degenerate-corpus contract drift) reopens silently as queries evolve,
+so a small always-on gate complements the big randomized sweep:
+  - the r11 t04 empty-truth corpus (vocab 200, no boiler/dups, cap 3) —
+    the recipe that caught the NULL-n_common and ANSI-0/0 defects;
+  - the r11 t00 organic-shed corpus (vocab 5k, 10% boiler, cap 3) —
+    cap firing on organic buckets, not planted mega-buckets;
+  - two vector corpora on ADJACENT key-ladder rungs (n=500 → w=4 and
+    n=1000 → w=5), so the closed-form band interpolation (bc CTE) is
+    exercised beyond its lowest arm every round.
+Trials run concurrently (one fresh JVM each, 8 cores per trial); wall
+time ~5 min. Wired into tools/round_open.sh so every round opens gated.
 """
+import concurrent.futures
 import json, os, random, shutil, subprocess, sys, time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -78,8 +93,24 @@ def trial_vec(i):
     k = rng.choice([3, 10, 50])
     sigma = rng.choice([0.15, 0.35, 0.6])
     cap = rng.choice([10, 50, 100])
-    sf = rng.choice([0.01, 0.025])  # 200 / 500 vectors
+    # 200 / 500 / 1000 / 1100 vectors — the last two cross the adaptive
+    # key ladder onto w=5 and w=6 (and with it the closed-form band-count
+    # CASE arms nb=4, nb=5), so the randomized sweep fuzzes the band
+    # interpolation the same way it fuzzes the cap (VERDICT r11 #6a)
+    sf = rng.choice([0.01, 0.025, 0.05, 0.055])
     return dict(kind="vec", k=k, sigma=sigma, cap=cap, sf=sf)
+
+
+# Pinned CI recipes (see module docstring). Keep t04/t00 byte-identical
+# to the r11 randomized draws they replay.
+CI_TRIALS = [
+    dict(kind="text", vocab=200, boiler=0.0, marker=0.15, dup=0.0,
+         cap=3, sf=0.001),                                   # r11 t04
+    dict(kind="text", vocab=5000, boiler=0.1, marker=0.15, dup=0.02,
+         cap=3, sf=0.001),                                   # r11 t00
+    dict(kind="vec", k=3, sigma=0.35, cap=100, sf=0.025),    # n=500, w=4
+    dict(kind="vec", k=10, sigma=0.35, cap=100, sf=0.05),    # n=1000, w=5
+]
 
 
 def run_trial(i, t):
@@ -116,28 +147,45 @@ def run_trial(i, t):
 
 
 def main():
+    global ROOT
+    ci = "--ci" in sys.argv
+    if ci:
+        ROOT = "/tmp/graft-fuzz-ci"
+        trials = CI_TRIALS
+    else:
+        trials = [trial_text(i) for i in range(N_TEXT)] + \
+                 [trial_vec(i) for i in range(N_VEC)]
     os.makedirs(ROOT, exist_ok=True)
-    trials = [trial_text(i) for i in range(N_TEXT)] + \
-             [trial_vec(i) for i in range(N_VEC)]
-    results, failed = [], 0
-    for i, t in enumerate(trials):
+
+    def one(it):
+        i, t = it
         t0 = time.time()
         ok, detail = run_trial(i, t)
-        dt = time.time() - t0
-        rec = dict(trial=i, ok=ok, secs=round(dt, 1), detail=detail, **t)
-        results.append(rec)
-        print(("PASS" if ok else "FAIL") +
-              f" t{i:02d} [{dt:5.1f}s] {json.dumps(t)} -> {detail}", flush=True)
-        if ok:  # keep failing trials on disk for replay
-            shutil.rmtree(f"{ROOT}/t{i:02d}", ignore_errors=True)
-        else:
-            failed += 1
-    summary = dict(seed=SEED, n_trials=len(trials), n_failed=failed,
-                   trials=results)
+        return i, t, ok, detail, time.time() - t0
+
+    results, failed = [], 0
+    # CI mode runs the pinned set concurrently (each trial is its own
+    # 8-core JVM + DuckDB process); the randomized sweep stays sequential
+    # so a long sweep never saturates a shared box.
+    workers = min(len(trials), 4) if ci else 1
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+        for i, t, ok, detail, dt in ex.map(one, enumerate(trials)):
+            rec = dict(trial=i, ok=ok, secs=round(dt, 1), detail=detail, **t)
+            results.append(rec)
+            print(("PASS" if ok else "FAIL") +
+                  f" t{i:02d} [{dt:5.1f}s] {json.dumps(t)} -> {detail}",
+                  flush=True)
+            if ok:  # keep failing trials on disk for replay
+                shutil.rmtree(f"{ROOT}/t{i:02d}", ignore_errors=True)
+            else:
+                failed += 1
+    summary = dict(seed=SEED, mode="ci" if ci else "sweep",
+                   n_trials=len(trials), n_failed=failed, trials=results)
     with open(f"{ROOT}/fuzz_summary.json", "w") as f:
         json.dump(summary, f, indent=1)
     print(f"\n{len(trials) - failed}/{len(trials)} fuzz trials match "
-          f"(seed {SEED}); summary at {ROOT}/fuzz_summary.json")
+          f"({'pinned CI set' if ci else f'seed {SEED}'}); "
+          f"summary at {ROOT}/fuzz_summary.json")
     sys.exit(1 if failed else 0)
 
 

@@ -23,11 +23,20 @@ done
 
 if [ ${#FILES[@]} -eq 0 ]; then
   echo "round_open: evidence chain already clean — nothing to commit"
-  exit 0
-fi
-
-git add -- "${FILES[@]}"
-git commit -m "round ${N}: commit driver evidence artifacts at round open
+else
+  git add -- "${FILES[@]}"
+  git commit -m "round ${N}: commit driver evidence artifacts at round open
 
 No-Verification-Needed: artifact-only commit (driver-generated JSON/MD)"
-echo "round_open: committed ${#FILES[@]} artifact(s): ${FILES[*]}"
+  echo "round_open: committed ${#FILES[@]} artifact(s): ${FILES[*]}"
+fi
+
+# Pinned oracle-fuzz gate (round 12, VERDICT r11 #3): the degenerate-corpus
+# recipes that have caught real engine≡oracle contract drift run at EVERY
+# round open — ~5 min wall (4 concurrent 8-core trials), loud failure.
+# Skip only with SPARK_GRAFT_SKIP_FUZZ_CI=1 (e.g. when classes are stale).
+if [ "${SPARK_GRAFT_SKIP_FUZZ_CI:-0}" != "1" ]; then
+  echo "round_open: running pinned oracle-fuzz CI subset..."
+  python3 tools/fuzz_oracle.py --ci
+  echo "round_open: fuzz CI subset green"
+fi
