@@ -43,8 +43,9 @@ import json, os, random, shutil, subprocess, sys, time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROOT = "/tmp/graft-fuzz"
 SEED = int(os.environ.get("FUZZ_SEED", "1101"))
-N_TEXT = int(sys.argv[1]) if len(sys.argv) > 1 else 14
-N_VEC = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+_POS = [a for a in sys.argv[1:] if not a.startswith("-")]
+N_TEXT = int(_POS[0]) if len(_POS) > 0 else 14
+N_VEC = int(_POS[1]) if len(_POS) > 1 else 6
 
 # documents-only capped family (the q22/q39/q63/q112/q119 shapes VERDICT
 # names, plus the other pipelines that ride the shared capped CTEs)
