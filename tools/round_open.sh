@@ -36,6 +36,11 @@ fi
 # round open — ~5 min wall (4 concurrent 8-core trials), loud failure.
 # Skip only with SPARK_GRAFT_SKIP_FUZZ_CI=1 (e.g. when classes are stale).
 if [ "${SPARK_GRAFT_SKIP_FUZZ_CI:-0}" != "1" ]; then
+  if [ ! -d target/scala-2.13/classes/graft ]; then
+    echo "round_open: classes not compiled — run 'sbt compile' then" \
+         "'python3 tools/fuzz_oracle.py --ci' before building on this round" >&2
+    exit 1
+  fi
   echo "round_open: running pinned oracle-fuzz CI subset..."
   python3 tools/fuzz_oracle.py --ci
   echo "round_open: fuzz CI subset green"
