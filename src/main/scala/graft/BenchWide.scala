@@ -23,7 +23,16 @@ object BenchWide {
     * used to de-drift (the r11 estimate was the median over the same
     * queries it then corrected — circular), and the before/after pair
     * bounds intra-sweep drift. Names are pinned: changing this list
-    * breaks round-over-round comparability. */
+    * breaks round-over-round comparability.
+    *
+    * Side effect, by design (ADVICE r12): the before-probe pre-warms
+    * JIT/codegen and the page cache for exactly these ten queries, so
+    * their entries in the SWEEP are warm-biased — symmetric in any two
+    * probe-carrying snapshots, but not against a pre-r12 one.
+    * `tools/diff_benchwide.py` therefore EXCLUDES the probe queries from
+    * per-query flagging (their drift duty is served by the probe block
+    * itself); the r12→r13 transition is the last diff to straddle the
+    * discontinuity. */
   val ProbeQueries: Seq[String] = Seq(
     "q01_groupby_agg", "q41_region_revenue", "q11_monthly_trend",
     "q03_join_revenue", "q70_asof_join", "q80_range_join",
@@ -58,6 +67,15 @@ object BenchWide {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // The probe list is load-bearing for round-over-round drift
+    // comparability: a renamed/removed query silently shrinking the
+    // estimator would bias every future diff (ADVICE r12) — fail loudly
+    // instead.
+    ProbeQueries.foreach { n =>
+      require(Queries.all.exists(_.name == n),
+        s"BenchWide.ProbeQueries pins '$n' but no registry query has " +
+          "that name — the drift estimator must never shrink silently")
     }
     // one untimed pass warms JIT/parquet footers, then median of 3
     def probe(): Seq[(String, Double)] =

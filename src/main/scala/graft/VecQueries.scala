@@ -214,13 +214,36 @@ object VecQueries {
       TRUE AS orders_ok, TRUE AS median_ok, TRUE AS p99_ok
       FROM lineitem"""))
 
+  /** Harness-only forced band-key width (round 13, VERDICT r12 #5): the
+    * adaptive ladder derives w from corpus size, so the upper arms of the
+    * oracle's b(w) CASE table (w ≥ 11 needs n > 65k) were unreachable at
+    * fuzz-scale corpora — a typo there could hide until a 200k-corpus
+    * run. `SPARK_GRAFT_LSH_KEY_BITS` pins w directly for BOTH the engine
+    * ([[lshKeyBits]]) and the oracle ([[bandedLshCtes]]' `wc` CTE) — read
+    * once at class init, same discipline as
+    * [[graft.operators.Dedup.DefaultMaxBucket]], so the two can never see
+    * different widths. Loud on stderr: a stray inherited env var must
+    * never silently re-key a production run. */
+  private[graft] val ForcedKeyBits: Option[Int] = {
+    val v = sys.env.get("SPARK_GRAFT_LSH_KEY_BITS").map(_.toInt)
+    v.foreach { w =>
+      require(w >= 4 && w <= 15,
+        s"SPARK_GRAFT_LSH_KEY_BITS must be in [4, 15], got $w")
+      System.err.println(
+        s"[graft] LSH band-key width FORCED: keyBits=$w " +
+          "(SPARK_GRAFT_LSH_KEY_BITS; harness-only knob — production " +
+          "derives the width from corpus size on the adaptive ladder)")
+    }
+    v
+  }
+
   /** The adaptive band-key width for a corpus of `n` vectors: the least
     * w in [4, 15] with n ≤ 32·2^w (~32 vectors per band bucket on
     * isotropic data at any scale). Single source of truth for the engine
     * side of q47/q298; [[bandedLshCtes]] interpolates the identical
-    * ladder into the oracle. */
+    * ladder into the oracle. [[ForcedKeyBits]] overrides both. */
   private[graft] def lshKeyBits(n: Long): Int =
-    (4 to 15).find(b => n <= 32L * (1L << b)).getOrElse(15)
+    ForcedKeyBits.getOrElse((4 to 15).find(b => n <= 32L * (1L << b)).getOrElse(15))
 
   /** Shared DuckDB CTE chain mirroring [[Similarity.lshNearDupPairs]]
     * with the adaptive key ladder AND the closed-form band count
@@ -228,7 +251,9 @@ object VecQueries {
     * plane literals, ladder, band table, and cap are all rendered from
     * the same Scala constants the engine compiles, so candidate sets
     * match bit-for-bit at every rung. Yields CTEs `nc, wc, bc, pl, bits,
-    * bands, ok_bk, bands_ok, cand` (no WITH prefix; callers append). */
+    * bands, ok_bk, shed_bk, bands_ok, cand` (no WITH prefix; callers
+    * append; `shed_bk` mirrors the over-cap bucket relation of
+    * [[graft.operators.Dedup.capBucketsScoped]] for the shed audit). */
   private def bandedLshCtes: String = {
     val stride = Similarity.PlaneStride
     val bMax = Similarity.recallBands(15)
@@ -242,8 +267,11 @@ object VecQueries {
       .map(b => s"WHEN n <= ${32L * (1L << b)} THEN $b").mkString(" ")
     val bCase = (4 to 15)
       .map(w => s"WHEN $w THEN ${Similarity.recallBands(w)}").mkString(" ")
+    val wSelect = ForcedKeyBits
+      .map(w => s"SELECT $w AS w FROM nc")
+      .getOrElse(s"SELECT CASE $ladder ELSE 15 END AS w FROM nc")
     s"""nc AS (SELECT COUNT(*) AS n FROM embeddings),
-      wc AS (SELECT CASE $ladder ELSE 15 END AS w FROM nc),
+      wc AS ($wSelect),
       bc AS (SELECT w, CASE w $bCase END AS nb FROM wc),
       pl AS (SELECT * FROM (VALUES $values) t(pid, pv)),
       bits AS (SELECT e.vec_id, p.pid // $stride AS band, p.pid % $stride AS bit,
@@ -257,6 +285,8 @@ object VecQueries {
         FROM bits GROUP BY vec_id, band),
       ok_bk AS (SELECT band, key FROM bands
         GROUP BY band, key HAVING COUNT(*) <= ${graft.operators.Dedup.DefaultMaxBucket}),
+      shed_bk AS (SELECT band, key FROM bands
+        GROUP BY band, key HAVING COUNT(*) > ${graft.operators.Dedup.DefaultMaxBucket}),
       bands_ok AS (SELECT b.* FROM bands b JOIN ok_bk USING (band, key)),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM bands_ok a JOIN bands_ok b
@@ -905,14 +935,19 @@ object VecQueries {
   // bands = Similarity.recallBands(w), recall_hi carries the declared
   // ≥ 0.9 floor at every ladder rung (absent cap shedding) — the
   // contract is now a first-class oracle-checked output, not a probe.
+  // Round 13 adds the SHED AUDIT columns (n_shed_buckets, n_shed_rows,
+  // VERDICT r12 #2): the floor contract says "absent cap shedding", and
+  // these columns are how a caller SEES whether it applied to this run —
+  // zeros when the cap is idle (the shipped corpora), exact
+  // DuckDB-matched counts when it fires (the fuzz-CI cap recipes).
   private val q298 = Q(
     "q298_embed_lsh_recall",
     (s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val brute = Similarity.nearDupPairs(emb, 0.2)
-      val lsh = Similarity.lshNearDupPairs(emb, 0.2,
-          keyBits = lshKeyBits(emb.count()))
-        .select(col("id_a").as("l_a"), col("id_b").as("l_b"))
+      val (lshPairs, shedAudit) = Similarity.lshNearDupPairsScoped(emb, 0.2,
+        keyBits = lshKeyBits(emb.count()))
+      val lsh = lshPairs.select(col("id_a").as("l_a"), col("id_b").as("l_b"))
       val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
       val hi = col("cos") >= Similarity.RecallTargetCos
       val hit = col("l_a").isNotNull
@@ -923,12 +958,14 @@ object VecQueries {
           coalesce(sum(hi.cast("long")), lit(0L)).as("n_brute_hi"),
           coalesce(sum((hi && hit).cast("long")), lit(0L)).as("n_common_hi"))
         .crossJoin(broadcast(nLsh))
+        .crossJoin(broadcast(shedAudit))
         .select(col("n_brute"), col("n_lsh"), col("n_common"),
           Det.roundAt(try_divide(col("n_common").cast(DoubleType),
             col("n_brute").cast(DoubleType)), 6).as("recall"),
           col("n_brute_hi"), col("n_common_hi"),
           Det.roundAt(try_divide(col("n_common_hi").cast(DoubleType),
-            col("n_brute_hi").cast(DoubleType)), 6).as("recall_hi"))
+            col("n_brute_hi").cast(DoubleType)), 6).as("recall_hi"),
+          col("n_shed_buckets"), col("n_shed_rows"))
     },
     Some {
       s"""WITH $bandedLshCtes,
@@ -950,13 +987,18 @@ object VecQueries {
            WHERE cos >= ${Similarity.RecallTargetCos}) AS n_brute_hi,
         (SELECT COUNT(*) FROM brute t JOIN lsh p
            ON t.id_a = p.id_a AND t.id_b = p.id_b
-           WHERE t.cos >= ${Similarity.RecallTargetCos}) AS n_common_hi)
+           WHERE t.cos >= ${Similarity.RecallTargetCos}) AS n_common_hi,
+        (SELECT COUNT(*) FROM shed_bk) AS n_shed_buckets,
+        (SELECT COUNT(DISTINCT b.vec_id) FROM bands b
+           JOIN shed_bk USING (band, key)) AS n_shed_rows)
       SELECT CAST(n_brute AS BIGINT) AS n_brute, CAST(n_lsh AS BIGINT) AS n_lsh,
         CAST(n_common AS BIGINT) AS n_common,
         ${Det.roundAtSql("CAST(n_common AS DOUBLE) / CAST(n_brute AS DOUBLE)", 6)} AS recall,
         CAST(n_brute_hi AS BIGINT) AS n_brute_hi,
         CAST(n_common_hi AS BIGINT) AS n_common_hi,
-        ${Det.roundAtSql("CAST(n_common_hi AS DOUBLE) / CAST(n_brute_hi AS DOUBLE)", 6)} AS recall_hi
+        ${Det.roundAtSql("CAST(n_common_hi AS DOUBLE) / CAST(n_brute_hi AS DOUBLE)", 6)} AS recall_hi,
+        CAST(n_shed_buckets AS BIGINT) AS n_shed_buckets,
+        CAST(n_shed_rows AS BIGINT) AS n_shed_rows
       FROM counts""" })
 
   /** Shared SQL body for q217/q218 — identical margin math, only the

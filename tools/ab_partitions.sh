@@ -1,0 +1,57 @@
+#!/usr/bin/env bash
+# Interleaved fresh-JVM A/B of the shuffle-partition rule on the
+# checkpoint-heavy funnel family (round 13, VERDICT r12 #4): the
+# 128-partition rule is fit-proven and faster for the GRAPH family
+# (SCALE_r12 q227_partitions_ab_48g), but the session default stayed 32
+# on the strength of an old 8x-INITIAL-partitions q119 regression
+# (23 s -> 77 s, r8 binary). This re-proves or retires that blocker on
+# the CURRENT binary: legs P32 (today's default), P128 (the candidate
+# rule), P256I (the original regression config: initialPartitionNum=256,
+# shuffle=32), interleaved P32,P128,P256I,P32,P128,P256I — one fresh JVM
+# each, cold + 3 warm, min-of-legs arbiter (same-hour interleaving is
+# the only drift-valid protocol on this box; see SCALE.md).
+#
+# Usage: tools/ab_partitions.sh <sfDir> <q1,q2,...> <outdir> [xmx]
+set -euo pipefail
+cd "$(git rev-parse --show-toplevel)"
+SF="${1:?sf dir}"; QS="${2:?query list}"; OUT="${3:?outdir}"; XMX="${4:-48g}"
+mkdir -p "$OUT"
+
+leg() { # $1=tag $2=shuffle-parts $3=initial-parts(optional)
+  local tag="$1" parts="$2" init="${3:-}"
+  local env=(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32
+             SPARK_GRAFT_BENCH_ONLY="$QS" SPARK_GRAFT_WARM_RUNS=3
+             SPARK_GRAFT_BENCH_OUT="$OUT/$tag.json"
+             SPARK_GRAFT_SHUFFLE_PARTITIONS="$parts")
+  [ -n "$init" ] && env+=(SPARK_GRAFT_INITIAL_PARTITIONS="$init")
+  env "${env[@]}" tools/graft_java.sh "$XMX" graft.Bench \
+    > "$OUT/$tag.log" 2>&1 || echo "leg $tag FAILED (rc=$?)" | tee -a "$OUT/failures"
+  echo "leg $tag done"
+}
+
+for round in 1 2; do
+  leg "P32_$round" 32
+  leg "P128_$round" 128
+  leg "P256I_$round" 32 256
+done
+
+python3 - "$OUT" <<'EOF'
+import json, sys, os, glob
+out = sys.argv[1]
+legs = {}
+for f in glob.glob(os.path.join(out, "P*.json")):
+    tag = os.path.basename(f)[:-5]
+    legs[tag] = json.load(open(f))
+cfgs = sorted({t.rsplit("_", 1)[0] for t in legs})
+qs = sorted(next(iter(legs.values()))["queries"])
+res = {}
+print(f"{'query':28s} " + " ".join(f"{c+'_min':>11s}" for c in cfgs))
+for q in qs:
+    row = {}
+    for c in cfgs:
+        vals = [legs[t]["queries"][q] for t in legs if t.startswith(c + "_")]
+        row[c] = {"min": min(vals), "legs": vals}
+    res[q] = row
+    print(f"{q:28s} " + " ".join(f"{row[c]['min']:11.3f}" for c in cfgs))
+json.dump(res, open(os.path.join(out, "ab_summary.json"), "w"), indent=1)
+EOF

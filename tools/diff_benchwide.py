@@ -13,9 +13,26 @@ protocol); MIN_REL (default 0.5, i.e. 50%) keeps cold-pass jitter out;
 MIN_ABS (default 0.3 s) keeps sub-second queries from dominating the
 report with meaningless ratios.
 
+Self-qualification (round 13, VERDICT r12 #3): the report downgrades its
+own flag list when its evidence says the list can't be trusted —
+
+  - PROBE queries are excluded from per-query flagging: the before-probe
+    warms exactly those ten queries, so their sweep entries are
+    warm-biased (ADVICE r12; their drift duty is served by the probe
+    block itself). When only one snapshot carries probes, the bias is
+    asymmetric — the report marks the transition.
+  - When either snapshot's INTRA-sweep probe spread (probe_after /
+    probe_before) deviates from 1.0 beyond --max-probe-spread (default
+    0.15, i.e. outside [1/1.15, 1.15]), the box moved mid-sweep and a
+    single drift ratio cannot de-drift individual cold times: the flag
+    list is SUPPRESSED to a count + reason (r12's 0.706 spread would
+    have collapsed 37 flags to one line), and adjudication falls back to
+    the interleaved A/B protocol in SCALE.md.
+
 Usage:
   python3 tools/diff_benchwide.py OLD.json NEW.json [--bench BENCH.json]
                                   [--min-rel 0.5] [--min-abs 0.3]
+                                  [--max-probe-spread 0.15]
 
 Typical: python3 tools/diff_benchwide.py <(git show HEAD:BENCHWIDE.json) \
          BENCHWIDE.json --bench BENCH.json
@@ -41,6 +58,10 @@ def main():
                     help="BENCH.json with a cv block, for the noise bar")
     ap.add_argument("--min-rel", type=float, default=0.5)
     ap.add_argument("--min-abs", type=float, default=0.3)
+    ap.add_argument("--max-probe-spread", type=float, default=0.15,
+                    help="suppress per-query flags when either snapshot's "
+                         "intra-sweep probe spread is outside "
+                         "[1/(1+x), 1+x]")
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
@@ -84,8 +105,14 @@ def main():
                    if probe_shared else None)
     drift = probe_drift if probe_drift is not None else sweep_drift
 
+    # Probe queries are warm-biased in the sweep of any probe-carrying
+    # snapshot (the before-probe just ran them 4x) — never flag them;
+    # the probe block itself is their round-over-round comparison.
+    probe_names = set(old.get("probe_before", {})) | set(new.get("probe_before", {}))
     flagged = []
     for q in shared:
+        if q in probe_names:
+            continue
         o, n = oq[q], nq[q]
         if o <= 0:
             continue
@@ -97,6 +124,21 @@ def main():
                             "new_dedrifted_sec": round(adj, 3),
                             "rel_change": round(rel, 3)})
     flagged.sort(key=lambda r: -abs(r["rel_change"]))
+
+    # Self-qualification: a box that moved mid-sweep makes single-ratio
+    # de-drifting of individual cold times meaningless.
+    import math
+    spread_bar = math.log(1.0 + args.max_probe_spread)
+    spreads = [s for s in (probe_spread(old), probe_spread(new)) if s]
+    unstable = [s for s in spreads if abs(math.log(s)) > spread_bar]
+    flags_reliable = not unstable
+    flags_note = None
+    if unstable:
+        flags_note = (f"intra-sweep probe spread {unstable} outside "
+                      f"[{round(1/(1+args.max_probe_spread), 3)}, "
+                      f"{1+args.max_probe_spread}]: the box moved mid-sweep, "
+                      "per-query flags are unadjudicable from this sweep — "
+                      "use the interleaved A/B protocol (SCALE.md)")
 
     report = {
         "old_total_sec": old.get("value"),
@@ -113,7 +155,15 @@ def main():
         "intra_sweep_drift_new": probe_spread(new),
         "rel_bar": round(rel_bar, 3),
         "min_abs_sec": args.min_abs,
-        "flagged": flagged,
+        "probe_queries_excluded": sorted(probe_names & set(shared)),
+        "probe_transition": (("probe_before" in old) != ("probe_before" in new)
+                             and "one snapshot predates probe blocks: totals "
+                                 "straddle the probe-warm discontinuity"
+                             or None),
+        "flags_reliable": flags_reliable,
+        "flags_note": flags_note,
+        "suppressed_flag_count": 0 if flags_reliable else len(flagged),
+        "flagged": flagged if flags_reliable else [],
     }
     json.dump(report, sys.stdout, indent=2)
     print()

@@ -33,9 +33,20 @@ so a small always-on gate complements the big randomized sweep:
     cap firing on organic buckets, not planted mega-buckets;
   - two vector corpora on ADJACENT key-ladder rungs (n=500 → w=4 and
     n=1000 → w=5), so the closed-form band interpolation (bc CTE) is
-    exercised beyond its lowest arm every round.
+    exercised beyond its lowest arm every round;
+  - (round 13, VERDICT r12 #1) the MEASURED recall-floor rung: the exact
+    ladder rung-1 corpus (clustered-embs 50 0.35 at sf0.1 → n=2000, w=6),
+    cap idle, with a recall_hi >= RecallFloor assertion read from q298's
+    own output — r12's rung 1 passed by 0.0017 and sat BELOW the closed
+    form, so the formula-only spec pin could not catch a real-world dip;
+    this gate pins the measurement itself (now with the narrow-width
+    margin band: closed form 0.9507 at w=6, b=6);
+  - (round 13, VERDICT r12 #5) two FORCED-WIDTH corpora (w=12 and w=15
+    via SPARK_GRAFT_LSH_KEY_BITS, shared by engine and oracle at class
+    init) so the upper arms of the oracle's b(w) CASE table — unreachable
+    from corpus size at fuzz scale — are parity-checked every round.
 Trials run concurrently (one fresh JVM each, 8 cores per trial); wall
-time ~5 min. Wired into tools/round_open.sh so every round opens gated.
+time ~5-8 min. Wired into tools/round_open.sh so every round opens gated.
 """
 import concurrent.futures
 import json, os, random, shutil, subprocess, sys, time
@@ -99,11 +110,18 @@ def trial_vec(i):
     # CASE arms nb=4, nb=5), so the randomized sweep fuzzes the band
     # interpolation the same way it fuzzes the cap (VERDICT r11 #6a)
     sf = rng.choice([0.01, 0.025, 0.05, 0.055])
-    return dict(kind="vec", k=k, sigma=sigma, cap=cap, sf=sf)
+    t = dict(kind="vec", k=k, sigma=sigma, cap=cap, sf=sf)
+    # 3-in-8 draws force an off-ladder key width (r13): the upper b(w)
+    # CASE arms are unreachable from corpus size at fuzz scale
+    kb = rng.choice([None, None, None, None, None, 11, 13, 14])
+    if kb:
+        t["key_bits"] = kb
+    return t
 
 
 # Pinned CI recipes (see module docstring). Keep t04/t00 byte-identical
 # to the r11 randomized draws they replay.
+CAP_IDLE = 1000000000
 CI_TRIALS = [
     dict(kind="text", vocab=200, boiler=0.0, marker=0.15, dup=0.0,
          cap=3, sf=0.001),                                   # r11 t04
@@ -111,6 +129,19 @@ CI_TRIALS = [
          cap=3, sf=0.001),                                   # r11 t00
     dict(kind="vec", k=3, sigma=0.35, cap=100, sf=0.025),    # n=500, w=4
     dict(kind="vec", k=10, sigma=0.35, cap=100, sf=0.05),    # n=1000, w=5
+    # ladder rung 1, MEASURED floor gate (r13): the exact clustered
+    # mixture of tools/gen_corpora.sh at sf0.1 (n=2000, w=6, b=6),
+    # cap idle so the floor contract applies; asserts q298's own
+    # recall_hi >= floor and n_shed_buckets = 0 beyond oracle parity.
+    dict(kind="vec", k=50, sigma=0.35, cap=CAP_IDLE, sf=0.1,
+         queries="q47_embed_lsh,q298_embed_lsh_recall",
+         floor_recall_hi=0.9),
+    # forced-width arms (r13): w=12 (nb=14) and w=15 (nb=23) pin the
+    # upper b(w) CASE arms the adaptive ladder can't reach at fuzz scale.
+    dict(kind="vec", k=10, sigma=0.35, cap=CAP_IDLE, sf=0.025,
+         queries="q47_embed_lsh,q298_embed_lsh_recall", key_bits=12),
+    dict(kind="vec", k=10, sigma=0.35, cap=CAP_IDLE, sf=0.025,
+         queries="q47_embed_lsh,q298_embed_lsh_recall", key_bits=15),
 ]
 
 
@@ -124,18 +155,23 @@ def run_trial(i, t):
                  [corpus, t["sf"], "zipf-docs", t["vocab"], t["boiler"],
                   t["marker"], t["dup"]],
                  env={"SPARK_GRAFT_CPUS": "8"}, tag=f"t{i} gen")
-        queries = TEXT_QUERIES
+        queries = t.get("queries", TEXT_QUERIES)
     else:
         g = java("8g", "graft.GenData",
                  [corpus, t["sf"], "clustered-embs", t["k"], t["sigma"]],
                  env={"SPARK_GRAFT_CPUS": "8"}, tag=f"t{i} gen")
-        queries = VEC_QUERIES
+        queries = t.get("queries", VEC_QUERIES)
     if g.returncode != 0:
         return False, "gendata failed"
+    env = {"SPARK_GRAFT_CPUS": "8",
+           "SPARK_GRAFT_LSH_MAX_BUCKET": str(t["cap"])}
+    if "key_bits" in t:
+        # forced band-key width: the Verify JVM interpolates it into BOTH
+        # the engine ladder and the oracle's wc CTE at class init, so
+        # check_oracle needs no knowledge of it
+        env["SPARK_GRAFT_LSH_KEY_BITS"] = str(t["key_bits"])
     v = java("8g", "graft.Verify", [corpus, out, queries],
-             env={"SPARK_GRAFT_CPUS": "8",
-                  "SPARK_GRAFT_LSH_MAX_BUCKET": str(t["cap"])},
-             tag=f"t{i} verify")
+             env=env, tag=f"t{i} verify")
     if v.returncode != 0:
         return False, "verify failed"
     per_query_errs = [l for l in v.stderr.splitlines() if "[verify]" in l]
@@ -144,7 +180,26 @@ def run_trial(i, t):
     c = run(["python3", "-W", "ignore", f"{REPO}/tools/check_oracle.py",
              corpus, out], tag=f"t{i} oracle")
     tail = c.stdout.strip().splitlines()[-1] if c.stdout.strip() else "no output"
-    return c.returncode == 0, tail
+    if c.returncode != 0:
+        return False, tail
+    if "floor_recall_hi" in t:
+        # MEASURED recall-floor gate (r13): beyond engine≡oracle parity,
+        # the rung's recall_hi must hold the declared floor, and the shed
+        # audit must confirm the floor contract applied (cap idle).
+        import duckdb
+        # Verify writes each result as a parquet DIRECTORY (Spark layout)
+        row = duckdb.sql(
+            f"SELECT recall_hi, n_shed_buckets FROM "
+            f"read_parquet('{out}/q298_embed_lsh_recall.parquet/*.parquet')"
+        ).fetchone()
+        recall_hi, shed = float(row[0]), int(row[1])
+        if shed != 0:
+            return False, f"floor gate: cap shed {shed} buckets on an idle-cap rung"
+        if recall_hi < t["floor_recall_hi"]:
+            return False, (f"MEASURED rung recall_hi={recall_hi:.4f} below "
+                           f"floor {t['floor_recall_hi']}")
+        tail += f"; measured recall_hi={recall_hi:.4f} >= {t['floor_recall_hi']}"
+    return True, tail
 
 
 def main():
@@ -161,7 +216,12 @@ def main():
     def one(it):
         i, t = it
         t0 = time.time()
-        ok, detail = run_trial(i, t)
+        try:
+            ok, detail = run_trial(i, t)
+        except Exception as e:
+            # a harness bug must surface as a FAILED trial, not crash the
+            # pool (where a shell pipe can mask the nonzero exit)
+            ok, detail = False, f"harness exception: {e!r}"
         return i, t, ok, detail, time.time() - t0
 
     results, failed = [], 0

@@ -4,7 +4,8 @@
 # Similarity.recallBands) at three rungs of the adaptive key ladder on
 # clustered mixture corpora, against exact-cosine truth:
 #
-#   n=2k   (w=6,  b=5)   /tmp/graft-clustered-sf0.1   full O(n^2) truth
+#   n=2k   (w=6,  b=6)   /tmp/graft-clustered-sf0.1   full O(n^2) truth
+#                        (b includes the round-13 narrow-width margin band)
 #   n=20k  (w=10, b=10)  /tmp/graft-clustered-sf1     full O(n^2) truth
 #   n=200k (w=13, b=17)  /tmp/graft-clustered5k-sf10  anchored truth (mod 100)
 #

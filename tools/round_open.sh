@@ -41,6 +41,18 @@ if [ "${SPARK_GRAFT_SKIP_FUZZ_CI:-0}" != "1" ]; then
          "'python3 tools/fuzz_oracle.py --ci' before building on this round" >&2
     exit 1
   fi
+  # Stale-class guard (ADVICE r12): classes that merely EXIST can be
+  # compiled from older sources, and the fuzz gate would then silently
+  # validate old code. Compare newest source vs newest class mtime.
+  NEWEST_SRC=$(find src/main -name '*.scala' -o -name '*.java' | \
+               xargs stat -c %Y 2>/dev/null | sort -n | tail -1)
+  NEWEST_CLS=$(find target/scala-2.13/classes -name '*.class' | \
+               xargs stat -c %Y 2>/dev/null | sort -n | tail -1)
+  if [ -z "${NEWEST_CLS:-}" ] || [ "${NEWEST_SRC:-0}" -gt "$NEWEST_CLS" ]; then
+    echo "round_open: compiled classes are OLDER than src/main sources —" \
+         "run 'sbt compile' first so the fuzz gate validates current code" >&2
+    exit 1
+  fi
   echo "round_open: running pinned oracle-fuzz CI subset..."
   python3 tools/fuzz_oracle.py --ci
   echo "round_open: fuzz CI subset green"
