@@ -187,10 +187,11 @@ def run_trial(i, t):
         # the rung's recall_hi must hold the declared floor, and the shed
         # audit must confirm the floor contract applied (cap idle).
         import duckdb
-        # Verify writes each result as a parquet DIRECTORY (Spark layout)
+        # Verify writes each result as <out>/<query-name>/ (a Spark
+        # parquet directory, no suffix — the layout check_oracle reads)
         row = duckdb.sql(
             f"SELECT recall_hi, n_shed_buckets FROM "
-            f"read_parquet('{out}/q298_embed_lsh_recall.parquet/*.parquet')"
+            f"read_parquet('{out}/q298_embed_lsh_recall/*.parquet')"
         ).fetchone()
         recall_hi, shed = float(row[0]), int(row[1])
         if shed != 0:
