@@ -26,15 +26,25 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Experiment knob only — measured at the sf10 scale point, raising
-      // the AQE initial partition count (e.g. 8× cores) REGRESSED the
-      // checkpoint-heavy pipelines 3× (q119: 23 s → 77 s): localCheckpoint
+      // Experiment knob only. The partition default stays `= cores`
+      // because raising it regresses the CHECKPOINT-HEAVY funnel family,
+      // re-proven on the current binary (round 13, VERDICT r12 #4,
+      // SCALE_r13 q119_partitions_ab): q119 sf10 at 48 g, 3 interleaved
+      // fresh-JVM legs per config, min-of-legs — 32 partitions warm
+      // 68.0 s vs 110.2 s at 8× INITIAL partitions (the original r8
+      // regression config) vs 238.1 s at 128 SHUFFLE partitions, where
+      // the warm pass ran ≥ its own cold in 3/3 legs (a config
+      // signature, not box drift). Mechanism unchanged: localCheckpoint
       // materializes every initial partition as a block, AQE cannot
       // coalesce across the checkpoint boundary, and the extra task +
-      // block overhead swamps any sort-headroom gain. The default stays
-      // `spark.sql.shuffle.partitions` (= cores); override per-run via
-      // SPARK_GRAFT_INITIAL_PARTITIONS when probing a shuffle-bound
-      // hypothesis.
+      // block churn compounds across repeated passes. The GRAPH family
+      // is the exception — its 11 GiB-scale edge checkpoints want
+      // smaller tasks (SPARK_GRAFT_SHUFFLE_PARTITIONS=128: 24 g fit +
+      // −17.8 % warm, SCALE_r12 q227_partitions_ab_48g) — so the 128
+      // rule stays scoped to graph-family invocations, never the
+      // session default. Probe via SPARK_GRAFT_INITIAL_PARTITIONS /
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS; tools/ab_partitions.sh is the
+      // interleaved A/B harness.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
           sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)))

@@ -20,7 +20,7 @@ mkdir -p "$OUT"
 leg() { # $1=tag $2=shuffle-parts $3=initial-parts(optional)
   local tag="$1" parts="$2" init="${3:-}"
   local env=(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32
-             SPARK_GRAFT_BENCH_ONLY="$QS" SPARK_GRAFT_WARM_RUNS=3
+             SPARK_GRAFT_BENCH_ONLY="$QS" SPARK_GRAFT_WARM_RUNS="${AB_WARM_RUNS:-3}"
              SPARK_GRAFT_BENCH_OUT="$OUT/$tag.json"
              SPARK_GRAFT_SHUFFLE_PARTITIONS="$parts")
   [ -n "$init" ] && env+=(SPARK_GRAFT_INITIAL_PARTITIONS="$init")
