@@ -16,14 +16,24 @@ object GraftSession {
     * a multi-second STW stall that polluted the very measurements the
     * cleaner hygiene was meant to protect (q214 sf3: median 31.9 s
     * cv 0.25 with 2min, 16.7 s cv 0.17 with the periodic GC pushed out). */
+  /** The session's shuffle-partition default: `= cores`, env-overridable.
+    * ADJUDICATED, not arbitrary — raising it regresses the
+    * checkpoint-heavy funnel family (re-proven round 13 on the current
+    * binary: q119 sf10 min-of-legs warm 68.0 s at 32 vs 238.1 s at 128,
+    * SCALE_r13 `q119_partitions_ab`), while the graph family wants 128
+    * via the env knob (SCALE_r12 `q227_partitions_ab_48g`). Extracted so
+    * the spec pins the rule — an accidental default flip must fail CI,
+    * not surface as a 3× funnel regression at the next scale run. */
+  private[graft] def shufflePartitions(cores: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)
+
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             app: String = "graft",
             periodicGC: String = "2min"): SparkSession = {
     val spark = SparkSession.builder()
       .appName(app)
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
+      .config("spark.sql.shuffle.partitions", shufflePartitions(cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Experiment knob only. The partition default stays `= cores`
@@ -47,7 +57,7 @@ object GraftSession {
       // interleaved A/B harness.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
-          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)))
+          shufflePartitions(cores)))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // ContextCleaner only reclaims shuffle files, broadcasts, and
       // accumulator state when the DRIVER GCs their references — and a

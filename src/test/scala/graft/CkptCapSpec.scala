@@ -169,6 +169,18 @@ class CkptCapSpec extends SparkSpec {
         s"main spec's BlockBridge assertion is vacuous): $line")
   }
 
+  test("session shuffle-partition default follows cores — the adjudicated rule") {
+    // SCALE_r13 q119_partitions_ab: raising the default regresses the
+    // checkpoint-heavy funnel family (q119 sf10 warm 68.0 s at 32 vs
+    // 238.1 s at 128, min-of-legs over 3 interleaved fresh-JVM rounds);
+    // the graph family opts INTO 128 via the env knob. A default flip
+    // must fail here, not at the next scale run.
+    assume(!sys.env.contains("SPARK_GRAFT_SHUFFLE_PARTITIONS"),
+      "harness env knob set — the default rule is not observable")
+    assert(GraftSession.shufflePartitions("32") == "32")
+    assert(GraftSession.shufflePartitions("7") == "7")
+  }
+
   test("clusters + release leave no persistent RDDs behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val pairs = Dedup.minhashLshPairs(megaDocs, "doc_id", "text", maxBucket = 10)
