@@ -42,9 +42,11 @@ object GraftSession {
       // SCALE_r13 q119_partitions_ab): q119 sf10 at 48 g, 3 interleaved
       // fresh-JVM legs per config, min-of-legs — 32 partitions warm
       // 68.0 s vs 110.2 s at 8× INITIAL partitions (the original r8
-      // regression config) vs 238.1 s at 128 SHUFFLE partitions, where
-      // the warm pass ran ≥ its own cold in 3/3 legs (a config
-      // signature, not box drift). Mechanism unchanged: localCheckpoint
+      // regression config) vs 238.1 s at 128 SHUFFLE partitions, whose
+      // warm MIN (238.1 s) exceeded even its own cold min (110.0 s) —
+      // the min-of-legs arbiter carries the verdict (warm ≥ cold held
+      // in 2/3 P128 legs, not 3/3 as a previous revision of this
+      // comment overstated). Mechanism unchanged: localCheckpoint
       // materializes every initial partition as a block, AQE cannot
       // coalesce across the checkpoint boundary, and the extra task +
       // block churn compounds across repeated passes. The GRAPH family
