@@ -73,6 +73,11 @@ object GraftSession {
       // long-running driver, cluster or local.
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", periodicGC))
+      // Reliable-checkpoint mode (SPARK_GRAFT_CKPT_DIR, see Ckpt): let
+      // the ContextCleaner delete checkpoint FILES once their RDDs are
+      // GC'd, so a long-running driver's durable checkpoint dir drains
+      // like its block store does. No-op when reliable mode is off.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

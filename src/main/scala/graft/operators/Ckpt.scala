@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Lifecycle registry for `localCheckpoint` intermediates.
+/** Lifecycle registry for `localCheckpoint` intermediates — or, with
+  * `SPARK_GRAFT_CKPT_DIR` set, the switchover to RELIABLE checkpoints on
+  * durable storage (the cluster fault-tolerance mode; see [[reliableDir]]).
   *
   * `Dataset.localCheckpoint(eager = false)` registers its backing RDD with
   * the block manager immediately but nothing ever unpersists it — repeated
@@ -59,12 +61,61 @@ object Ckpt {
       .map(org.apache.spark.storage.StorageLevel.fromString)
       .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** RELIABLE-checkpoint mode (round 14, VERDICT r13 #2): set
+    * `SPARK_GRAFT_CKPT_DIR=<durable path>` (HDFS/S3 on a cluster, any
+    * directory locally) and every [[local]]/[[localScoped]] call becomes
+    * an EAGER `Dataset.checkpoint` to that directory instead of a lazy
+    * `localCheckpoint`. This is the fault-tolerant path for the DP-loop
+    * families (graph traversals, [[Dedup.clusters]]) on a real cluster:
+    * the in-loop N−2 generation release makes released local-checkpoint
+    * blocks unrecoverable by design (see Graph.scala), which is fine
+    * under local[32] but leaves a multi-hour 100 TB graph DP with no
+    * executor-loss tolerance. Reliable checkpoints invert that trade —
+    * every generation's partitions live as files on durable storage, so
+    * the SAME scoped release discipline is safe against executor loss
+    * (there are no block-manager blocks to lose; release is a no-op).
+    *
+    * Semantics are identical by construction (the checkpoint is a plan
+    * barrier either way — CkptModeSpec pins result equivalence on the
+    * DP fixtures); the costs are (a) one extra job per checkpoint (eager:
+    * lazy reliable marks are only finalized when a consuming job's
+    * doCheckpoint recursion reaches them, which the DP loops' generation
+    * chains do NOT guarantee under the default
+    * checkpointAllMarkedAncestors=false — the un-finalized chain would
+    * re-derive ever-deeper lineage, the exact failure checkpointing
+    * exists to prevent), (b) one recompute of the checkpointed relation
+    * into files (Spark writes reliable checkpoints by re-running the
+    * RDD), and (c) file I/O per generation. Measured local-mode overhead
+    * is recorded in SCALE_r14.json `ckpt_mode_ab`. Checkpoint files are
+    * reclaimed by the ContextCleaner when the RDDs are GC'd
+    * (GraftSession sets `spark.cleaner.referenceTracking.cleanCheckpoints`)
+    * and by Spark's shutdown hook at session stop. */
+  @volatile private[graft] var reliableDirOverride: Option[Option[String]] = None
+  private def reliableDir: Option[String] =
+    reliableDirOverride.getOrElse(sys.env.get("SPARK_GRAFT_CKPT_DIR"))
+
+  /** True when the reliable-checkpoint mode is active (env or test hook). */
+  private[graft] def isReliable: Boolean = reliableDir.isDefined
+
   /** Lazy local checkpoint, tracked for session-level [[release]]. */
   def local(df: DataFrame): DataFrame = localScoped(df)._1
 
   /** Lazy local checkpoint returning the persisted RDD ids it registered,
-    * for scoped early release inside iterative operators. */
+    * for scoped early release inside iterative operators. Under
+    * [[reliableDir]] the checkpoint is EAGER and durable instead, and the
+    * returned id set is empty — releasing file-backed generations is a
+    * structural no-op, so callers' release discipline needs no branching. */
   def localScoped(df: DataFrame): (DataFrame, Set[Int]) = synchronized {
+    val sc = df.sparkSession.sparkContext
+    reliableDir match {
+      case Some(dir) =>
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        (df.checkpoint(eager = true), Set.empty[Int])
+      case None => localScopedBlocks(df)
+    }
+  }
+
+  private def localScopedBlocks(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(/* eager = */ false, level)
