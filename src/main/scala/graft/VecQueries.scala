@@ -225,7 +225,12 @@ object VecQueries {
     * different widths. Loud on stderr: a stray inherited env var must
     * never silently re-key a production run. */
   private[graft] val ForcedKeyBits: Option[Int] = {
-    val v = sys.env.get("SPARK_GRAFT_LSH_KEY_BITS").map(_.toInt)
+    // ADVICE r13: parse with toIntOption so a malformed value fails with
+    // the same loud, named-knob message as an out-of-range one — not a
+    // NumberFormatException buried in ExceptionInInitializerError.
+    val v = sys.env.get("SPARK_GRAFT_LSH_KEY_BITS").map(s =>
+      s.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_LSH_KEY_BITS must be an integer in [4, 15], got '$s'")))
     v.foreach { w =>
       require(w >= 4 && w <= 15,
         s"SPARK_GRAFT_LSH_KEY_BITS must be in [4, 15], got $w")

@@ -275,12 +275,26 @@ object Similarity {
     * planes violate hardest at SMALL n — the r12 ladder measured rung 1
     * (n=2k, w=6) at 0.9017, BELOW its 0.9187 closed form and 0.0017 from
     * the floor, while the wide rungs (w=10, w=13) measured ABOVE theirs.
-    * The extra band costs ~20–33 % more candidate volume only at the
-    * smallest corpora (where a pass is cheap anyway) and lifts the w=6
-    * closed form to 0.9507; the r13 ladder re-measurement of rung 1 is
-    * the evidence the margin is real, and the fuzz-CI gate pins the
-    * MEASURED rung so a future dip fails loudly, not silently. */
-  val NarrowMarginMaxBits = 8
+    * The extra band costs ~10–33 % more candidate volume and lifts every
+    * margined width's closed form ≥ floor + 0.02; the r13/r14 ladder
+    * re-measurements are the evidence the margin is real, and the
+    * fuzz-CI gate pins the MEASURED rung-1 value so a future dip fails
+    * loudly, not silently.
+    *
+    * Extended 8 → 10 in round 14 (VERDICT r13 #3): w=10 was the first
+    * width with neither a margin band nor a measured CI gate, and its
+    * bare closed form (0.9080 at b=10) left only 0.016 of margin —
+    * under the ≥ 0.02 bar the narrow rungs hold. b(9) 9→10 lifts
+    * 0.9230→0.9421; b(10) 10→11 lifts 0.9080→0.9276 (~10 % more
+    * candidate volume at mid-size corpora); rung 2 of the ladder
+    * (n=20k, w=10) re-measured at the new band count — see
+    * SCALE_r14.json `recall_ladder`. Widths above 10 stay bare: the
+    * adaptive ladder reaches them only at n > 65k, where the
+    * measured evidence runs the OTHER way — every wide rung measured
+    * ABOVE its closed form (w=13 rung: 0.9284 vs 0.9122 form; the
+    * clustered-corpus pessimism the margin exists for is a small-n
+    * effect of deterministic planes on few clusters). */
+  val NarrowMarginMaxBits = 10
 
   /** Closed-form band count that HOLDS the declared recall floor as the
     * adaptive key widens (VERDICT r11 #1): a sign bit collides for a pair
@@ -288,8 +302,12 @@ object Similarity {
     * OR-amplified bands recall 1 − (1 − p^w)^b — so
     * b(w) = ⌈ln(1 − floor) / ln(1 − p^w)⌉ is the least band count with
     * recall ≥ floor at the target cosine, plus one safety band at narrow
-    * widths (see [[NarrowMarginMaxBits]]). At (cos 0.9, floor 0.9):
-    * w = 4→4, 5→5, 6→6, 7→7, 8→8, 9→9, 10→10, 11→12, 12→14, 13→17,
+    * widths (see [[NarrowMarginMaxBits]]; the margin is CALIBRATED at
+    * the default (0.9, 0.9) operating point and applies only there — a
+    * caller passing a different targetCos/floor gets the bare closed
+    * form, since a margin tuned for one curve is noise on another). At
+    * (cos 0.9, floor 0.9):
+    * w = 4→4, 5→5, 6→6, 7→7, 8→8, 9→10, 10→11, 11→12, 12→14, 13→17,
     * 14→19, 15→23 — without the closed form, fixed 4-band recall at
     * cos 0.9 decays 0.90 (w=4) → 0.34 (w=15) as the ladder widens with
     * corpus growth: a silent quality cliff at exactly the high-cosine
@@ -301,7 +319,8 @@ object Similarity {
     val p = 1.0 - math.acos(targetCos) / math.Pi
     val pw = math.pow(p, keyBits)
     val closed = math.max(1, math.ceil(math.log(1.0 - floor) / math.log1p(-pw)).toInt)
-    if (keyBits <= NarrowMarginMaxBits) closed + 1 else closed
+    val defaultOperatingPoint = targetCos == RecallTargetCos && floor == RecallFloor
+    if (keyBits <= NarrowMarginMaxBits && defaultOperatingPoint) closed + 1 else closed
   }
 
   /** Sign-LSH near-dup: each of `bands` bands keys the corpus by a

@@ -6,7 +6,8 @@
 #
 #   n=2k   (w=6,  b=6)   /tmp/graft-clustered-sf0.1   full O(n^2) truth
 #                        (b includes the round-13 narrow-width margin band)
-#   n=20k  (w=10, b=10)  /tmp/graft-clustered-sf1     full O(n^2) truth
+#   n=20k  (w=10, b=11)  /tmp/graft-clustered-sf1     full O(n^2) truth
+#                        (b=11 since round 14: margin band extended to w<=10)
 #   n=200k (w=13, b=17)  /tmp/graft-clustered5k-sf10  anchored truth (mod 100)
 #
 # The 200k corpus uses k=5000 so cluster sizes stay power-law but the
