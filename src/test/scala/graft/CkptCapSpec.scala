@@ -142,6 +142,46 @@ class CkptCapSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.isEmpty)
   }
 
+  /** Fork tools/graft_java.sh ProbeAsyncRelease and return its result
+    * line. stderr is MERGED into stdout (ADVICE r13: with only stdout
+    * drained, Spark's pre-setLogLevel INFO chatter on stderr could fill
+    * the ~64 KB pipe buffer and deadlock the child on write — the result
+    * line is found by its JSON marker, so merging is safe) and waitFor is
+    * bounded so a hung probe fails the test instead of the whole suite. */
+  private def runAsyncReleaseProbe(cycles: Int, async: Boolean): String = {
+    val repo = new java.io.File(".").getCanonicalFile
+    val pb = new java.lang.ProcessBuilder(
+      s"$repo/tools/graft_java.sh", "4g", "graft.ProbeAsyncRelease", cycles.toString)
+    if (async) pb.environment().put("SPARK_GRAFT_CKPT_ASYNC_RELEASE", "1")
+    else pb.environment().remove("SPARK_GRAFT_CKPT_ASYNC_RELEASE")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    // drain on a thread: the timeout must bite even if the child never
+    // closes stdout (a blocking mkString on the main thread would hang
+    // BEFORE waitFor and defeat the bound)
+    val buf = new java.lang.StringBuilder
+    val reader = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(p.getInputStream)
+      try src.getLines().foreach { l => buf.synchronized { buf.append(l).append('\n') } }
+      finally src.close()
+    })
+    reader.setDaemon(true)
+    reader.start()
+    val exited = p.waitFor(5, java.util.concurrent.TimeUnit.MINUTES)
+    if (!exited) {
+      p.destroyForcibly()
+      fail(s"probe JVM did not exit within 5 minutes; output tail: " +
+        buf.synchronized(buf.toString.takeRight(2000)))
+    }
+    reader.join(10000)
+    val out = buf.synchronized(buf.toString)
+    val rc = p.exitValue()
+    assert(rc == 0, s"probe JVM exited $rc; output tail: ${out.takeRight(2000)}")
+    out.linesIterator.find(_.contains("\"probe\":\"async_release\""))
+      .getOrElse(fail(s"probe printed no result line; output tail: ${out.takeRight(2000)}"))
+  }
+
   test("async-release CONTROL: the BlockBridge guard can fail when release is async") {
     // VERDICT r12 #6a: the blocking-default pin above is a config guard;
     // this leg proves the post-release BlockBridge check is BEHAVIORAL —
@@ -150,23 +190,28 @@ class CkptCapSpec extends SparkSpec {
     // immediately after releaseIds returns, i.e. exactly the state the
     // main spec's assertion exists to catch. Measured before pinning:
     // async observes a leftover on cycle 1; blocking observes none in 50.
-    val repo = new java.io.File(".").getCanonicalFile
-    val pb = new java.lang.ProcessBuilder(
-      s"$repo/tools/graft_java.sh", "4g", "graft.ProbeAsyncRelease", "200")
-    pb.environment().put("SPARK_GRAFT_CKPT_ASYNC_RELEASE", "1")
-    pb.environment().put("SPARK_GRAFT_CPUS", "4")
-    pb.redirectErrorStream(false)
-    val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    val rc = p.waitFor()
-    assert(rc == 0, s"probe JVM exited $rc")
-    val line = out.linesIterator.find(_.contains("\"probe\":\"async_release\""))
-      .getOrElse(fail(s"probe printed no result line; stdout: $out"))
+    val line = runAsyncReleaseProbe(200, async = true)
     assert(line.contains("\"blocking\":false"),
       s"env knob must flip the release mode in the forked JVM: $line")
     assert(!line.contains("\"leftover_observed\":0"),
       s"async release must be observable as leftover blocks (else the " +
         s"main spec's BlockBridge assertion is vacuous): $line")
+  }
+
+  test("blocking-release CONTROL: zero leftovers across every probe cycle") {
+    // VERDICT r13 #5: the complementary leg — the same forked probe
+    // WITHOUT the env knob must observe zero leftover blocks over all
+    // its cycles, so the pair brackets the contract from both sides in
+    // CI (async CAN leave leftovers; blocking NEVER does), not just the
+    // failure direction. 200 cycles in the probe's blocking mode run
+    // every cycle (each one is an assertion of the contract).
+    val line = runAsyncReleaseProbe(200, async = false)
+    assert(line.contains("\"blocking\":true"),
+      s"probe without the env knob must run in blocking mode: $line")
+    assert(line.contains("\"cycles\":200"),
+      s"blocking mode must run every cycle, never early-exit: $line")
+    assert(line.contains("\"leftover_observed\":0"),
+      s"blocking release must never leave observable leftover blocks: $line")
   }
 
   test("session shuffle-partition default follows cores — the adjudicated rule") {

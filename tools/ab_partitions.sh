@@ -29,22 +29,47 @@ leg() { # $1=tag $2=shuffle-parts $3=initial-parts(optional)
   echo "leg $tag done"
 }
 
-for round in 1 2; do
+# ADVICE r13: a failed leg leaves no (or a PREVIOUS run's) P*.json in
+# $OUT — clear stale artifacts so the summary can only see this run's
+# legs, and make missing legs loud instead of silently mixed in.
+rm -f "$OUT"/P*.json "$OUT"/P*.log "$OUT"/failures
+
+ROUNDS="${AB_ROUNDS:-2}"
+for round in $(seq 1 "$ROUNDS"); do
   leg "P32_$round" 32
   leg "P128_$round" 128
   leg "P256I_$round" 32 256
 done
 
-python3 - "$OUT" <<'EOF'
+AB_ROUNDS="$ROUNDS" python3 - "$OUT" <<'EOF'
 import json, sys, os, glob
 out = sys.argv[1]
+expected = int(os.environ.get("AB_ROUNDS", "2"))
 legs = {}
 for f in glob.glob(os.path.join(out, "P*.json")):
     tag = os.path.basename(f)[:-5]
     legs[tag] = json.load(open(f))
+if not legs:
+    sys.exit("ab_partitions: NO legs produced any output — every leg failed")
 cfgs = sorted({t.rsplit("_", 1)[0] for t in legs})
-qs = sorted(next(iter(legs.values()))["queries"])
-res = {}
+# a leg that failed mid-run may carry a different query set; use the
+# intersection and warn, so the table never KeyErrors on a partial leg
+qsets = [set(l["queries"]) for l in legs.values()]
+qs = sorted(set.intersection(*qsets))
+if qs != sorted(set.union(*qsets)):
+    print(f"ab_partitions: WARNING legs ran different query sets; "
+          f"summarizing the {len(qs)}-query intersection", file=sys.stderr)
+warn = []
+for c in sorted(set(cfgs) | {"P32", "P128", "P256I"}):
+    n = sum(1 for t in legs if t.startswith(c + "_"))
+    if n < expected:
+        warn.append(f"{c}: {n}/{expected} legs")
+if warn:
+    print(f"ab_partitions: WARNING missing legs ({'; '.join(warn)}) — "
+          "min-of-legs is computed over the legs that RAN", file=sys.stderr)
+res = {"_legs_expected": expected,
+       "_legs_present": {c: sorted(t for t in legs if t.startswith(c + "_"))
+                         for c in cfgs}}
 print(f"{'query':28s} " + " ".join(f"{c+'_min':>11s}" for c in cfgs))
 for q in qs:
     row = {}

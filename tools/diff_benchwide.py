@@ -95,6 +95,15 @@ def main():
         return {q: min(b[q], a[q]) for q in set(b) & set(a)}
 
     def probe_spread(snap):
+        # Sharded snapshot (round 14): each query's cold time comes from
+        # exactly one fresh-JVM shard, so the qualification question is
+        # "did ANY shard's box move mid-shard" — use the worst-deviation
+        # per-shard spread, not a global before/after (whose pair would
+        # straddle shard boundaries and JVM restarts).
+        ss = snap.get("shard_spreads")
+        if ss:
+            import math as _m
+            return max(ss.values(), key=lambda s: abs(_m.log(s)))
         b, a = snap.get("probe_before", {}), snap.get("probe_after", {})
         rs = [a[q] / b[q] for q in set(b) & set(a) if b[q] > 0]
         return round(statistics.median(rs), 3) if rs else None
@@ -131,7 +140,8 @@ def main():
     spread_bar = math.log(1.0 + args.max_probe_spread)
     spreads = [s for s in (probe_spread(old), probe_spread(new)) if s]
     unstable = [s for s in spreads if abs(math.log(s)) > spread_bar]
-    flags_reliable = not unstable
+    shard_transition = old.get("n_shards", 1) != new.get("n_shards", 1)
+    flags_reliable = not unstable and not shard_transition
     flags_note = None
     if unstable:
         flags_note = (f"intra-sweep probe spread {unstable} outside "
@@ -139,6 +149,11 @@ def main():
                       f"{1+args.max_probe_spread}]: the box moved mid-sweep, "
                       "per-query flags are unadjudicable from this sweep — "
                       "use the interleaved A/B protocol (SCALE.md)")
+    elif shard_transition:
+        flags_note = ("shard protocol changed between snapshots: each "
+                      "query's cold time now sits in a different warm-up "
+                      "context — totals comparable, per-query flags are "
+                      "not (one-round discontinuity; round 14)")
 
     report = {
         "old_total_sec": old.get("value"),
@@ -153,6 +168,15 @@ def main():
         "sweep_drift_ratio": round(sweep_drift, 3),
         "intra_sweep_drift_old": probe_spread(old),
         "intra_sweep_drift_new": probe_spread(new),
+        "shard_spreads_old": old.get("shard_spreads"),
+        "shard_spreads_new": new.get("shard_spreads"),
+        "shard_transition": (old.get("n_shards", 1) != new.get("n_shards", 1)
+                             and f"shard protocol changed "
+                                 f"{old.get('n_shards', 1)} -> "
+                                 f"{new.get('n_shards', 1)}: per-query "
+                                 "warm-up context differs across snapshots; "
+                                 "totals comparable, per-query flags are not"
+                             or None),
         "rel_bar": round(rel_bar, 3),
         "min_abs_sec": args.min_abs,
         "probe_queries_excluded": sorted(probe_names & set(shared)),

@@ -44,10 +44,13 @@ if [ "${SPARK_GRAFT_SKIP_FUZZ_CI:-0}" != "1" ]; then
   # Stale-class guard (ADVICE r12): classes that merely EXIST can be
   # compiled from older sources, and the fuzz gate would then silently
   # validate old code. Compare newest source vs newest class mtime.
+  # xargs -r + || true (ADVICE r13): under pipefail an empty match made
+  # `xargs stat` exit nonzero and killed the script AT the assignment,
+  # so the explicit -z diagnostic below was unreachable.
   NEWEST_SRC=$(find src/main -name '*.scala' -o -name '*.java' | \
-               xargs stat -c %Y 2>/dev/null | sort -n | tail -1)
+               { xargs -r stat -c %Y 2>/dev/null || true; } | sort -n | tail -1)
   NEWEST_CLS=$(find target/scala-2.13/classes -name '*.class' | \
-               xargs stat -c %Y 2>/dev/null | sort -n | tail -1)
+               { xargs -r stat -c %Y 2>/dev/null || true; } | sort -n | tail -1)
   if [ -z "${NEWEST_CLS:-}" ] || [ "${NEWEST_SRC:-0}" -gt "$NEWEST_CLS" ]; then
     echo "round_open: compiled classes are OLDER than src/main sources —" \
          "run 'sbt compile' first so the fuzz gate validates current code" >&2
