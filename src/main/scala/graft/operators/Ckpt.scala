@@ -109,7 +109,11 @@ object Ckpt {
     val sc = df.sparkSession.sparkContext
     reliableDir match {
       case Some(dir) =>
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        // getCheckpointDir returns the RESOLVED path (scheme-qualified,
+        // e.g. file:/..., plus a per-set UUID subdir) — match by
+        // substring, or every checkpoint would re-set the dir and
+        // scatter generations across fresh UUID subdirs.
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
         (df.checkpoint(eager = true), Set.empty[Int])
       case None => localScopedBlocks(df)
     }

@@ -28,6 +28,17 @@ own flag list when its evidence says the list can't be trusted —
     list is SUPPRESSED to a count + reason (r12's 0.706 spread would
     have collapsed 37 flags to one line), and adjudication falls back to
     the interleaved A/B protocol in SCALE.md.
+  - SHARDED snapshots (round 14) qualify by REPEATABILITY instead: the
+    fresh-JVM warm-up is front-loaded in every shard (measured r14:
+    per-shard spreads 0.57-0.80 even at ~75 queries/shard — the JIT
+    horizon is minutes, so no shard size reaches spread ~1), but query
+    order and shard membership are pinned, so the warm-up profile is a
+    position-dependent multiplier that REPEATS run-over-run and cancels
+    in per-query ratios. Flags are reliable iff both snapshots use the
+    same shard protocol AND each shard's intra-sweep spread matches its
+    counterpart within --max-spread-mismatch (default 0.10 in log
+    space): a matching signature means like positions saw like warm-up;
+    a mismatched one means a shard's environment changed mid-run.
 
 Usage:
   python3 tools/diff_benchwide.py OLD.json NEW.json [--bench BENCH.json]
@@ -61,7 +72,11 @@ def main():
     ap.add_argument("--max-probe-spread", type=float, default=0.15,
                     help="suppress per-query flags when either snapshot's "
                          "intra-sweep probe spread is outside "
-                         "[1/(1+x), 1+x]")
+                         "[1/(1+x), 1+x] (unsharded snapshots)")
+    ap.add_argument("--max-spread-mismatch", type=float, default=0.10,
+                    help="sharded pairs: suppress per-query flags when any "
+                         "shard's intra-sweep spread differs from its "
+                         "counterpart by more than this in log space")
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
@@ -138,22 +153,45 @@ def main():
     # de-drifting of individual cold times meaningless.
     import math
     spread_bar = math.log(1.0 + args.max_probe_spread)
-    spreads = [s for s in (probe_spread(old), probe_spread(new)) if s]
-    unstable = [s for s in spreads if abs(math.log(s)) > spread_bar]
     shard_transition = old.get("n_shards", 1) != new.get("n_shards", 1)
-    flags_reliable = not unstable and not shard_transition
+    so, sn = old.get("shard_spreads"), new.get("shard_spreads")
     flags_note = None
-    if unstable:
-        flags_note = (f"intra-sweep probe spread {unstable} outside "
-                      f"[{round(1/(1+args.max_probe_spread), 3)}, "
-                      f"{1+args.max_probe_spread}]: the box moved mid-sweep, "
-                      "per-query flags are unadjudicable from this sweep — "
-                      "use the interleaved A/B protocol (SCALE.md)")
-    elif shard_transition:
+    spread_mismatch = None
+    if shard_transition:
+        flags_reliable = False
         flags_note = ("shard protocol changed between snapshots: each "
                       "query's cold time now sits in a different warm-up "
                       "context — totals comparable, per-query flags are "
                       "not (one-round discontinuity; round 14)")
+    elif so and sn:
+        # Sharded pair: qualify by warm-up-signature REPEATABILITY (see
+        # module docstring) — per-shard spreads must match across the
+        # two snapshots, not sit near 1.0 (they never do: the fresh-JVM
+        # warm-up is front-loaded in every shard).
+        spread_mismatch = {
+            i: round(abs(math.log(sn[i] / so[i])), 3)
+            for i in sorted(set(so) & set(sn))}
+        missing = set(so) ^ set(sn)
+        bad = {i: m for i, m in spread_mismatch.items()
+               if m > args.max_spread_mismatch}
+        flags_reliable = not bad and not missing
+        if bad or missing:
+            flags_note = (f"warm-up signature did not repeat: shard spread "
+                          f"mismatch {bad or sorted(missing)} exceeds "
+                          f"{args.max_spread_mismatch} — per-query ratios "
+                          "no longer cancel the warm-up profile; use the "
+                          "interleaved A/B protocol (SCALE.md)")
+    else:
+        spreads = [s for s in (probe_spread(old), probe_spread(new)) if s]
+        unstable = [s for s in spreads if abs(math.log(s)) > spread_bar]
+        flags_reliable = not unstable
+        if unstable:
+            flags_note = (f"intra-sweep probe spread {unstable} outside "
+                          f"[{round(1/(1+args.max_probe_spread), 3)}, "
+                          f"{1+args.max_probe_spread}]: the box moved "
+                          "mid-sweep, per-query flags are unadjudicable "
+                          "from this sweep — use the interleaved A/B "
+                          "protocol (SCALE.md)")
 
     report = {
         "old_total_sec": old.get("value"),
@@ -170,6 +208,7 @@ def main():
         "intra_sweep_drift_new": probe_spread(new),
         "shard_spreads_old": old.get("shard_spreads"),
         "shard_spreads_new": new.get("shard_spreads"),
+        "shard_spread_mismatch_log": spread_mismatch,
         "shard_transition": (old.get("n_shards", 1) != new.get("n_shards", 1)
                              and f"shard protocol changed "
                                  f"{old.get('n_shards', 1)} -> "
