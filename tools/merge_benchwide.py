@@ -9,7 +9,14 @@ shape diff_benchwide.py consumes, plus the shard evidence:
   - value:        sum of shard totals (failed queries still excluded)
   - probe_before/probe_after: per-query MIN across shards — min is the
     right estimator for a lower-bounded timing corrupted by one-sided
-    noise, and every shard runs the identical pinned probe pair
+    noise, and every shard runs the identical pinned probe pair.
+    CAVEAT (measured r14): min across N fresh JVMs picks each probe's
+    FASTEST shard context, so a mid-run box slowdown can vanish from
+    the merged probe pair (a 1.66x slowdown between two sequential
+    sweeps read as probe drift 1.003). The merged probe block is a
+    box-speed floor, not a drift detector; drift adjudication for
+    sharded pairs belongs to the per-shard spread-repeatability
+    criterion in diff_benchwide.py.
   - shard_spreads: per-shard intra-sweep probe spread (median over probe
     queries of after/before within that shard) — the qualification
     evidence: per-query flags are adjudicable iff EVERY shard's spread
