@@ -3766,9 +3766,10 @@ object RelQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       // raw (possibly duplicated) pairs: bfsLevels dedups edges once —
-      // deduping here too would add a redundant shuffle
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      // deduping here too would add a redundant shuffle. Symmetrize in
+      // ONE pass (explode) so the orders⋈lineitem build isn't planned
+      // once per union branch (round 14, guide §2.4).
+      val edges = graft.operators.Graph.symmetrized(pairs, "c", "s")
       val seeds = tbl(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
         .select((col("c_custkey") * 2).as("id"))
       graft.operators.Graph.bfsLevels(edges, seeds, maxHops = 3)
@@ -3812,8 +3813,8 @@ object RelQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"),
           col("l_quantity").cast("long").as("w"))
-      val edges = raw.select(col("c").as("src"), col("s").as("dst"), col("w"))
-        .union(raw.select(col("s").as("src"), col("c").as("dst"), col("w")))
+      // one-pass symmetrization (see q214) — the weight rides the explode
+      val edges = graft.operators.Graph.symmetrized(raw, "c", "s", Seq("w"))
       val seeds = tbl(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
         .select((col("c_custkey") * 2).as("id"))
       graft.operators.Graph.cheapestPath(edges, seeds, maxHops = 3)
@@ -4443,8 +4444,8 @@ object RelQueries {
         .join(tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      // one-pass symmetrization (see q214)
+      val edges = graft.operators.Graph.symmetrized(pairs, "c", "s")
       graft.operators.Graph.kcore(edges, k = 40, rounds = 4)
         .groupBy(when(col("id") % 2 === 0, "customer").otherwise("supplier").as("kind"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
@@ -4686,8 +4687,8 @@ object RelQueries {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .dropDuplicates("c", "s")
-    pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    // one-pass symmetrization (see q214)
+    graft.operators.Graph.symmetrized(pairs, "c", "s")
   }
   private val tradeEdgesSql =
     """p AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
@@ -4773,8 +4774,12 @@ object RelQueries {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
         .agg(countDistinct(col("o_orderkey")).as("w"))
-      val ends = pairs.select(col("c").as("id"), col("w"))
-        .union(pairs.select(col("s").as("id"), col("w")))
+      // both endpoints in ONE pass over the aggregated pair relation —
+      // the union spelling planned the orders⋈lineitem groupBy twice
+      val ends = pairs.select(explode(array(
+          struct(col("c").as("id"), col("w")),
+          struct(col("s").as("id"), col("w")))).as("e"))
+        .select("e.*")
       ends.groupBy("id")
         .agg(count(lit(1)).as("deg"), sum(col("w")).as("strength"))
         .withColumn("kind",

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Both directions of an undirected pair list in ONE pass — explode a
+    * (forward, reverse) struct pair per row. The
+    * `sel(a→src).union(sel(b→src))` spelling plans the pair subtree once
+    * PER UNION BRANCH, and for the trade-graph queries that subtree is
+    * the full orders⋈lineitem build (round-14 ProbeJobs: the duplicated
+    * edge-build scan was ~1.5 s of q215's ~4 s warm pass). Extra columns
+    * (e.g. a weight) ride along via `carry`. Same row multiset, so every
+    * downstream dedup/groupBy/join and the oracle see identical edges. */
+  def symmetrized(pairs: DataFrame, a: String, b: String,
+                  carry: Seq[String] = Nil): DataFrame = {
+    val fwd = struct((col(a).as("src") +: col(b).as("dst") +:
+      carry.map(col)): _*)
+    val rev = struct((col(b).as("src") +: col(a).as("dst") +:
+      carry.map(col)): _*)
+    pairs.select(explode(array(fwd, rev)).as("e")).select("e.*")
+  }
+
   /** Min-hop level of every node reachable from `seeds` within `maxHops`
     * hops of the directed edge list `edges` (columns `src`, `dst`; pass
     * both directions for an undirected graph). `seeds` carries column

@@ -39,4 +39,10 @@ object BlockBridge {
   def storageMemoryUsed(sc: SparkContext): Long =
     sc.env.blockManager.master.getMemoryStatus.values
       .map { case (max, remaining) => max - remaining }.sum
+
+  /** Drain the async listener bus — lets a measurement listener
+    * ([[graft.ProbeJobs]]) read complete job/stage records right after an
+    * action returns, instead of racing event delivery. Dev-probe only. */
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
