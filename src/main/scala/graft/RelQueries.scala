@@ -4199,8 +4199,13 @@ object RelQueries {
       val kcol = from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
         .getField("k").as("k")
-      val e = tbl(s, dir, "events")
-        .select(col("user_id"), col("ts").cast("long").as("sec"), kcol)
+      // e feeds BOTH sides of the interval self-join — as a lazy subtree
+      // each side re-ran the events scan AND the from_json props parse
+      // (the query's per-row CPU wall). Checkpoint the slim
+      // (user_id, sec, k) relation: one parse pass total (round 14).
+      val e = graft.operators.Ckpt.local(
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("long").as("sec"), kcol))
       val probe = e
         .withColumn("dc", explode(array(lit(0L), lit(1L))))
         .select(col("user_id").as("src"), col("sec").as("a_sec"), col("k"),

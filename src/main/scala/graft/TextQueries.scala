@@ -2004,8 +2004,10 @@ object TextQueries {
     (s, dir) => {
       val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
-      val dupIds = pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id"))).distinct()
+      // ONE pass over the lazy pair pipeline (explode both endpoints) —
+      // the union-of-selects spelling re-executed the whole LSH verify
+      // join once per branch (round-14, guide §2.4: duplicated subtrees)
+      val dupIds = Dedup.pairEndpointIds(pairs)
       val scored = tbl(s, dir, "documents")
         .select(col("doc_id"),
           floor(TextFns.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
@@ -3037,8 +3039,13 @@ object TextQueries {
     "q183_quantile_norm",
     (s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val base = tbl(s, dir, "documents")
-        .select(col("source"), TextFns.qualityScore(col("text")).as("q"))
+      // base feeds THREE consumers (source cells, global histogram, the
+      // n_tot count) — as a lazy subtree each one re-ran the classifier
+      // over the corpus. Checkpoint the SLIM (source, q) relation so the
+      // classifier runs once (round 14).
+      val base = graft.operators.Ckpt.local(
+        tbl(s, dir, "documents")
+          .select(col("source"), TextFns.qualityScore(col("text")).as("q")))
       val srcCell = base.groupBy("source", "q").agg(count(lit(1)).as("n"))
       val wS = Window.partitionBy("source").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4270,8 +4277,8 @@ object TextQueries {
     (s, dir) => {
       val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
-      val dupIds = pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id"))).distinct()
+      // one pass over the lazy pair pipeline — see q158's rationale
+      val dupIds = Dedup.pairEndpointIds(pairs)
       val scored = tbl(s, dir, "documents")
         .select(col("doc_id"),
           floor(TextFns.qualityScore(col("text")) * lit(1000000.0) + lit(0.5))
@@ -4342,8 +4349,7 @@ object TextQueries {
             Seq("band", "key"))
           .filter(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands")))
-      val ids = cand.select(col("id_a").as("id"))
-        .union(cand.select(col("id_b").as("id"))).distinct()
+      val ids = Dedup.pairEndpointIds(cand) // one cand-checkpoint scan, not two
       val candSh = docs.select(col("doc_id").as("id"), col("text"))
         .join(broadcast(ids), "id")
         .select(col("id"), TextFns.wordShingles(col("text"), 3).as("sh"))
@@ -4662,10 +4668,13 @@ object TextQueries {
     "q296_shingle_sensitivity",
     (s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5)
-      val ids = pairs.select(col("id_a").as("id"))
-        .union(pairs.select(col("id_b").as("id"))).distinct()
+      // pairs feeds BOTH the endpoint-id set and the final 5-gram join —
+      // checkpoint the slim (id_a, id_b, jaccard) relation so the LSH
+      // verify pipeline runs once, and take endpoints in one explode pass
+      val pairs = graft.operators.Ckpt.local(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.5))
+      val ids = Dedup.pairEndpointIds(pairs)
       val sh5 = docs.select(col("doc_id").as("id"), col("text"))
         .join(broadcast(ids), "id")
         .select(col("id"), TextFns.wordShingles(col("text"), 5).as("sh"))

@@ -50,6 +50,18 @@ object Layout {
   def repartitionFor(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, df(key))
 
+  // NOTE (round 14): a scale-adaptive "spreadForCpu" hash-repartition
+  // before CPU-heavy expression stages (minhash signatures, text
+  // classifiers run as 1 task on the single-file sf corpora) was
+  // implemented and adjudicated OUT: interleaved fresh-JVM min-of-legs
+  // A/B over q22/q119/q138/q158/q172 measured the spread binary at
+  // 13.46 s vs 9.42 s without it (sf0.1, 32 cores) — the extra
+  // exchange, per-task overheads, and concurrency-inflated per-row CPU
+  // exceed the parallelism gain at sub-MB inputs, and at real scale
+  // inputs arrive multi-file/multi-split so the premise disappears
+  // (a generated sf3 corpus lands as 32 part files). See
+  // OPTIMIZATION_r14.md "negative results".
+
   /** Morton (Z-order) interleave of two `bits`-bit non-negative keys:
     * bit i of `a` lands at position 2i+1 and bit i of `b` at 2i, so rows
     * close in Z-value are close in BOTH key dimensions. Pure
