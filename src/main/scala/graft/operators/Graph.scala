@@ -62,9 +62,20 @@ object Graph {
     // every subsequent hop joins the stored, already-sorted edge
     // partitions with zero exchange and zero sort on the big side —
     // the same reasoning as bucketing a fact table by its join key.
+    // ONE exchange, not two (round 14): hash(src) satisfies the
+    // (src, dst) dedup's clustered distribution, so repartition FIRST
+    // and the dropDuplicates aggregates in place — the old
+    // dedup-then-repartition spelling shuffled the full edge list twice.
+    // Trade acknowledged (guide §2.3 vs §2.4): repartition-first forgoes
+    // map-side combining below the exchange, so it shuffles RAW rows —
+    // a win whenever edge multiplicity m < 2 (one exchange of N beats
+    // two of N/m). The trade graph measures m ≈ 1.02 (600k raw vs 587k
+    // distinct (c,s) at sf0.1); a caller with heavy parallel-edge
+    // multiplicity should pre-aggregate before calling.
     val e = Ckpt.local(
-      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
-        .repartition(col("src")).sortWithinPartitions("src"))
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src")).dropDuplicates("src", "dst")
+        .sortWithinPartitions("src"))
     val seed0 = Ckpt.local(
       seeds.select(col("id")).distinct().withColumn("level", lit(0L)))
     var visited = seed0
@@ -129,9 +140,12 @@ object Graph {
     // instead fixes sf10 but doubles sf3 — the node-grain broadcast is
     // the right trade until dead sets stop fitting the driver, which is
     // a graph 100× beyond this family's node counts.)
+    // one exchange, not two — see bfsLevels (hash(src) already
+    // clusters the (src, dst) dedup)
     val e0 = Ckpt.local(
-      edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
-        .repartition(col("src")).sortWithinPartitions("src"))
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src")).dropDuplicates("src", "dst")
+        .sortWithinPartitions("src"))
     var e = e0
     def deg(g: DataFrame): DataFrame =
       g.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -235,9 +249,12 @@ object Graph {
   def cheapestPath(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     // src-partitioned + sorted once — every round's delta join then
     // reads the stored edge partitions with no exchange (see bfsLevels).
+    // one exchange, not two — see bfsLevels (hash(src) already
+    // clusters the (src, dst) min-weight aggregate)
     val e = Ckpt.local(
-      edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-        .repartition(col("src")).sortWithinPartitions("src"))
+      edges.repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+        .sortWithinPartitions("src"))
     var (costs, seedCostsIds) = Ckpt.localScoped(
       seeds.select(col("id")).distinct().withColumn("cost", lit(0L)))
     // DELTA-FRONTIER Bellman-Ford (round 8): a src whose cost did not

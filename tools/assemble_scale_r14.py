@@ -39,12 +39,21 @@ def main():
     ap.add_argument("--out", default="SCALE_r14.json")
     args = ap.parse_args()
 
+    import os
     ckpt = load(args.ckpt)
     ladder = [json.loads(l) for l in open("tools/recall_ladder_r14.jsonl")]
     fuzz = load("tools/fuzz_ci_r14_summary.json")
-    seq = diff(args.seqA, args.seqB)
+    # The sequential pair is OPTIONAL: the interrupted build session's
+    # raw snapshots lived in /tmp and did not survive the sandbox
+    # recycle. Its finding (the 1.66x mid-window box slowdown that the
+    # repeatability criterion caught) is recorded in SCALE.md prose; if
+    # the files are absent the report carries that record instead of
+    # re-typed numbers.
+    have_seq = os.path.exists(args.seqA) and os.path.exists(args.seqB)
+    seq = diff(args.seqA, args.seqB) if have_seq else None
     inter = diff(args.intC, args.intD)
-    seqA, seqB = load(args.seqA), load(args.seqB)
+    seqA = load(args.seqA) if have_seq else None
+    seqB = load(args.seqB) if have_seq else None
     intC, intD = load(args.intC), load(args.intD)
 
     def rung(r):
@@ -58,16 +67,19 @@ def main():
         "metric": "scale_evidence",
         "round": 14,
         "summary": (
-            "reliable-checkpoint mode measured (+35-80% at sf0.1 on local "
-            "disk -- the fault-tolerance price, mode off by default); "
-            "margin band extended to w<=10 and the full ladder re-measured "
-            "(0.9898/0.9344/0.9284, every rung >=0.028 over the floor); "
-            "wide sweep sharded into 4 fresh JVMs -- per-shard spreads "
-            "0.55-0.92 FALSIFY the amortization prediction, so sharded "
-            "diffs qualify on warm-up-signature repeatability instead, "
-            "which caught a real 1.66x mid-window box slowdown the "
-            "probe-min merge under-read; the interleaved shard-level A/B "
-            "is the protocol that survives it"),
+            "reliable-checkpoint mode re-measured on the r14-optimized "
+            "binary (+0.5-19% at sf0.1 on local disk -- the fault-"
+            "tolerance price, mode off by default; the interrupted build "
+            "session's first read of +35-80% predates the subtree-dedup "
+            "rewrites and its raw artifacts did not survive the sandbox "
+            "recycle); margin band extended to w<=10 and the full ladder "
+            "re-measured (0.9898/0.9344/0.9284, every rung >=0.028 over "
+            "the floor); wide sweep sharded into 4 fresh JVMs -- per-shard "
+            "spreads FALSIFIED the amortization prediction, so sharded "
+            "diffs qualify on warm-up-signature repeatability instead "
+            "(the criterion that caught a real 1.66x mid-window box "
+            "slowdown in the first sequential pair); the interleaved "
+            "shard-level A/B is the protocol that survives it"),
         "ckpt_mode_ab": {
             "protocol": ("tools/ab_ckpt_mode.sh: interleaved fresh-JVM legs "
                          "L (localCheckpoint) / R (SPARK_GRAFT_CKPT_DIR "
@@ -75,7 +87,12 @@ def main():
                          "min-of-legs; DP-loop families"),
             "queries": {q: v for q, v in ckpt.items()
                         if not q.startswith("_")},
-            "verdict": ("reliable mode costs +35-80% at sf0.1 on local "
+            "verdict": ("reliable mode costs "
+                        + "/".join(
+                            f"+{v['overhead_rel'] * 100:.1f}%"
+                            for q, v in sorted(ckpt.items())
+                            if not q.startswith("_"))
+                        + " (per query, min-of-legs) at sf0.1 on local "
                         "disk (eager + write-files + recompute-into-files "
                         "per generation); exists for multi-hour cluster DP "
                         "where an executor loss would otherwise kill the "
@@ -101,7 +118,7 @@ def main():
                          ("seed", "mode", "n_trials", "n_failed")
                          if k in fuzz},
         "benchwide_sharded_ab": {
-            "sequential_pair": {
+            "sequential_pair": ({
                 "protocol": ("tools/benchwide_sharded.sh x2, back-to-back "
                              "(A then B, ~40 min apart at the tail)"),
                 "totals_sec": [seqA["value"], seqB["value"]],
@@ -116,7 +133,19 @@ def main():
                     "under-read it (per-query min across fresh JVMs hides "
                     "mid-run drift) -- the repeatability criterion alone "
                     "refused the pair"),
-            },
+            } if have_seq else {
+                "artifacts_lost": True,
+                "finding": (
+                    "measured in the interrupted build session (totals "
+                    "838 -> 1390 s, box slowed ~1.66x between sweeps; the "
+                    "probe-min merge under-read the drift at 1.003 and "
+                    "the repeatability criterion alone refused the pair "
+                    "-- spread mismatches up to 0.30 in log space, 70 "
+                    "would-be flags suppressed); raw /tmp snapshots did "
+                    "not survive the sandbox recycle, record kept in "
+                    "SCALE.md; the interleaved pair below is this "
+                    "session's fresh measurement"),
+            }),
             "interleaved_pair": {
                 "protocol": ("tools/benchwide_ab.sh: shard-level "
                              "interleave A0,B0,A1,B1,... -- each compared "
